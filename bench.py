@@ -1,0 +1,64 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count()-style full materialization (collect of
+the result — results are small aggregates/top-ks by construction). A warmup
+run of the flagship query amortizes JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lakeshed.session import get_spark
+from lakeshed import queries as q
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: every registered query that has an oracle, plus the
+# rows-only extension ops (they register with oracle=None).
+SKIP: set[str] = set()
+
+
+def main() -> None:
+    spark = get_spark("lakeshed-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + codegen + parquet footer caches
+    q.pricing_summary(spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in q.spark_queries().items():
+        if name in SKIP:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        # noop sink materializes every column of every row on the executors
+        # without paying driver-collect transfer — measures the plan itself.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "lakeshed_headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

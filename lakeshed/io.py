@@ -1,0 +1,75 @@
+"""Batch sources (SURVEY §2.1 S1-S4) and result handoff (§2.10).
+
+Thin, tested wrappers over ``spark.read`` — the reference's scans are
+verbatim Spark calls (``Iceberg - Getting Started.ipynb:77``,
+``WAP...ipynb:94``), so the engine keeps them verbatim. The value added is
+the star-schema loader used by every query in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Table names the driver materializes at /root/testdata/sf*/ (TESTDATA.md).
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S1 — Parquet batch scan, schema from footer
+    (reference: Iceberg - Getting Started.ipynb:77)."""
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, multiline: bool = True) -> DataFrame:
+    """S2 — JSON scan with schema inference
+    (reference: Iceberg - Write-Audit-Publish (WAP) with Branches.ipynb:94)."""
+    return (
+        spark.read.option("inferSchema", "true")
+        .option("multiline", "true" if multiline else "false")
+        .json(path)
+    )
+
+
+def load_star(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load driver test tables from ``sf_dir`` as DataFrames keyed by name.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS) which vanilla Spark rejects
+    (PARQUET_TYPE_ILLEGAL); read it via ``nanosAsLong`` and convert to
+    microsecond timestamps — the same truncation DuckDB applies (its
+    TIMESTAMP is µs), so the oracle sees identical values.
+    """
+    use = names or STAR_TABLES
+    out: dict[str, DataFrame] = {}
+    for name in use:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            if dict(df.dtypes).get("ts") == "bigint":
+                # integer div: ts is ~1.7e18, float division loses precision
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            out[name] = df
+        else:
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_star_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register each test table as a temp view so ``spark.sql`` resolves it —
+    the engine's analog of the reference catalog-table scan (S3)."""
+    for name, df in load_star(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,86 @@
+"""Relational operator helpers (SURVEY §2.3-2.6).
+
+Most of the reference's relational surface maps 1:1 onto DataFrame calls and
+needs no wrapper; this module holds the few composite operators the
+reference expresses ad hoc (histogram binning, z-score outlier filter,
+latest-row-per-key dedup, top-k) as reusable, scale-aware plans.
+
+Everything here is pure Catalyst — no UDFs, no collect-driven loops — so
+plans stay inside whole-stage codegen and scale with partition count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram(df: DataFrame, col: str, bins: int = 22,
+              lo: float | None = None, hi: float | None = None) -> DataFrame:
+    """A6 — histogram binning (reference: ``%sqlplot histogram --bins 22``,
+    PyIceberg - Getting Started.ipynb:305; pandas ``df.hist`` :220).
+
+    Single-pass plan: one agg for bounds (skipped when lo/hi given — at
+    100 TB pass them), then a map-side ``floor((x-lo)/width)`` group-by.
+    Returns (bin, lo, hi, cnt) sorted by bin.
+    """
+    if lo is None or hi is None:
+        bounds = df.agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi")
+        ).first()
+        lo = float(bounds["lo"]) if lo is None else lo
+        hi = float(bounds["hi"]) if hi is None else hi
+    width = (hi - lo) / bins or 1.0
+    bin_col = F.least(
+        F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
+    ).cast("int")
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bin_lo", (F.lit(lo) + F.col("bin") * F.lit(width)))
+        .withColumn("bin_hi", (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)))
+        .select("bin", "bin_lo", "bin_hi", "cnt")
+        .orderBy("bin")
+    )
+
+
+def zscore_filter(df: DataFrame, col: str, z: float = 3.0) -> DataFrame:
+    """P12/A7/J1 — drop rows more than ``z`` population std-devs from the mean
+    (reference: ``stats.zscore`` filter, PyIceberg - Getting Started.ipynb:230;
+    STDDEV_POP CTE cross-join :315).
+
+    Plan: 1-row aggregate cross-joined (auto-broadcast) against the fact
+    side — the same shape DuckDB picks for the reference's CTE. Two scans of
+    ``df``; at scale prefer caching df or passing precomputed stats.
+    """
+    stats = df.agg(
+        F.avg(col).alias("__mu"), F.stddev_pop(col).alias("__sigma")
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .where(F.abs((F.col(col) - F.col("__mu")) / F.col("__sigma")) < z)
+        .drop("__mu", "__sigma")
+    )
+
+
+def latest_by_key(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """W6 dedup core — last row per key by ``order_col`` (reference semantics:
+    Paimon ``'merge-engine'='deduplicate'`` PaimonStream.java:91).
+
+    ``row_number`` over (key, order desc) = 1: one shuffle on the key, no
+    driver involvement; AQE handles skewed keys.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def top_k(df: DataFrame, order_by: Column | str, k: int) -> DataFrame:
+    """O1+O2 — global top-k. Spark turns orderBy+limit into TakeOrderedAndProject
+    (per-partition heap + driver merge of k rows) — no full sort at scale."""
+    col = F.col(order_by) if isinstance(order_by, str) else order_by
+    return df.orderBy(col.desc()).limit(k)

@@ -1,0 +1,481 @@
+"""Query registry — every SURVEY §2 operator as a (Spark plan, DuckDB oracle) pair.
+
+This backs ``__spark_entry__.py``: each entry is a named query over the
+driver's test tables (TESTDATA.md) whose result must hash-match the oracle
+SQL run by DuckDB on the same parquet. Names are stable; columns are aliased
+identically on both sides (the driver sorts columns by name before hashing).
+
+Conventions for oracle parity:
+- round float aggregates (sums/avgs/ratios) to a fixed scale on BOTH sides —
+  different accumulation orders otherwise differ in the last ulp;
+- cast integer SUMs explicitly (DuckDB widens to HUGEINT, Spark to BIGINT);
+- break ties in every top-k with a unique key so LIMIT is deterministic.
+
+SURVEY §2 coverage is cited per query (S/P/A/O/J/D/W ids).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakeshed import ops
+from lakeshed.io import load_star
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over the pre-registered views, or None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def qdef(name: str, oracle: str | None, *tags: str):
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QueryDef(name, fn, oracle, tags)
+        return fn
+
+    return wrap
+
+
+# --------------------------------------------------------------------------
+# Relational core (SURVEY §2.3-2.6) over the star schema
+# --------------------------------------------------------------------------
+
+
+@qdef(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                      AS sum_qty,
+           round(sum(l_extendedprice), 2)                                 AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)              AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                      AS avg_qty,
+           round(avg(l_extendedprice), 4)                                 AS avg_price,
+           round(avg(l_discount), 4)                                      AS avg_disc,
+           count(*)                                                       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "A1", "A2", "P4", "P11", "O1",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary — the flagship query (SURVEY §7.2
+    slice 0): filter → partial/final agg (map-side combine is automatic) →
+    tiny sort. One shuffle on a low-cardinality key; scales linearly."""
+    li = load_star(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@qdef(
+    "groupby_count",
+    """
+    SELECT o_orderpriority, count(*) AS order_cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "A2", "A3",
+)
+def groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 — the reference's borough-count query shape
+    (WAP...ipynb:113: ``SELECT borough, count(*) permit_cnt ... GROUP BY``)."""
+    orders = load_star(spark, sf_dir, "orders")["orders"]
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_cnt")
+    )
+
+
+@qdef(
+    "count_star",
+    "SELECT count(*) AS cnt FROM lineitem",
+    "A1",
+)
+def count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — ``SELECT COUNT(*) as cnt`` (Iceberg - Getting Started.ipynb:100).
+    Parquet aggregate pushdown answers this from footer metadata."""
+    li = load_star(spark, sf_dir, "lineitem")["lineitem"]
+    return li.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@qdef(
+    "distinct_values",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+    "A4",
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — ``.select("borough").distinct()`` (WAP...ipynb:436)."""
+    cust = load_star(spark, sf_dir, "customer")["customer"]
+    return cust.select("c_mktsegment").distinct()
+
+
+@qdef(
+    "filter_compound",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE (l_discount > 0.05 OR l_quantity > 30) AND l_returnflag = 'R'
+    """,
+    "P1", "P3", "P4", "P5",
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3-P5 — disjunction+conjunction predicate, the DELETE-predicate shape of
+    Iceberg - Getting Started.ipynb:247. Filter reaches the parquet scan
+    (PushedFilters), projection prunes to 4 columns."""
+    li = load_star(spark, sf_dir, "lineitem")["lineitem"]
+    return li.where(
+        ((F.col("l_discount") > 0.05) | (F.col("l_quantity") > 30))
+        & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@qdef(
+    "null_filter_antijoin",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 300000
+    WHERE o.o_orderkey IS NULL
+    """,
+    "P6", "J",
+)
+def null_filter_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — IS NULL predicate (Getting Started.ipynb:268) realized as a
+    customers-without-big-orders left join (the >300k condition keeps the
+    result non-empty at every SF); shuffles on key at scale."""
+    t = load_star(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_totalprice > 300000),
+            "left",
+        )
+        .where(F.col("o_orderkey").isNull())
+        .select("c_custkey", "c_name")
+    )
+
+
+@qdef(
+    "like_filter",
+    """
+    SELECT p_brand, count(*) AS part_cnt
+    FROM part WHERE p_type LIKE '%A%' GROUP BY p_brand
+    """,
+    "P7", "A2",
+)
+def like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — LIKE pattern (WAP...ipynb:665 ``WHERE borough LIKE '%'``)."""
+    part = load_star(spark, sf_dir, "part")["part"]
+    return (
+        part.where(F.col("p_type").like("%A%"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("part_cnt"))
+    )
+
+
+@qdef(
+    "zscore_outliers",
+    """
+    WITH s AS (SELECT avg(value) AS mu, stddev_pop(value) AS sigma FROM events)
+    SELECT e.event_id, e.value
+    FROM events e, s
+    WHERE abs((e.value - s.mu) / s.sigma) < 3.0
+    """,
+    "J1", "A5", "A7", "P12", "O4",
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A5+P12 — the reference's only join: a 1-row STDDEV_POP CTE
+    cross-joined against the fact table for z-score filtering
+    (PyIceberg - Getting Started.ipynb:230,315). The 1-row side broadcasts."""
+    ev = load_star(spark, sf_dir, "events")["events"]
+    return ops.zscore_filter(ev, "value", 3.0).select("event_id", "value")
+
+
+@qdef(
+    "join_3way_rollup",
+    """
+    SELECT r.r_name, count(*) AS customer_cnt,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    "J", "A2",
+)
+def join_3way_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table equi-join (free from Catalyst per SURVEY §2.4): customer →
+    nation → region with explicit broadcast of the dim sides — at 100 TB the
+    fact side streams, dims broadcast, zero shuffle for the join itself."""
+    t = load_star(spark, sf_dir, "customer", "nation", "region")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("customer_cnt"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@qdef(
+    "union_all_counts",
+    """
+    SELECT o_orderstatus, count(*) AS cnt FROM (
+      SELECT o_orderstatus FROM orders WHERE o_totalprice > 100000
+      UNION ALL
+      SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) u GROUP BY o_orderstatus
+    """,
+    "O3", "A2",
+)
+def union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 — positional UNION ALL (Table Maintenance...ipynb:77
+    ``df_202201.union(df_202202).union(df_202203)``)."""
+    o = load_star(spark, sf_dir, "orders")["orders"]
+    u = o.where(F.col("o_totalprice") > 100000).select("o_orderstatus").union(
+        o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderstatus")
+    )
+    return u.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@qdef(
+    "cte_top_customers",
+    """
+    WITH spend AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, s.total_spend
+    FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+    ORDER BY s.total_spend DESC, c.c_custkey ASC
+    LIMIT 10
+    """,
+    "O1", "O2", "O4", "J",
+)
+def cte_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2+O4 — CTE, ORDER BY DESC, LIMIT (Berlin Buzzwords.ipynb:185,
+    PyIceberg...ipynb:282,315). orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-k, no global sort."""
+    t = load_star(spark, sf_dir, "orders", "customer")
+    spend = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    return (
+        spend.join(t["customer"], spend.o_custkey == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "total_spend")
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+@qdef(
+    "histogram_price",
+    """
+    SELECT CAST(least(floor((l_extendedprice - 0.0) / 5500.0), 19) AS INT) AS bin,
+           count(*) AS cnt
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+    GROUP BY 1
+    """,
+    "A6",
+)
+def histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — histogram binning (PyIceberg...ipynb:305 ``%sqlplot histogram``).
+    Fixed bounds [0, 110000) x 20 bins so both engines bin identically."""
+    li = load_star(spark, sf_dir, "lineitem")["lineitem"]
+    return ops.histogram(li, "l_extendedprice", bins=20, lo=0.0, hi=110000.0).select(
+        "bin", "cnt"
+    )
+
+
+@qdef(
+    "map_subscript_json",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+    "P8",
+)
+def map_subscript_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — map-subscript predicate shape (``summary['wap.id']``,
+    Integrated Audits...ipynb:280) over the events JSON props column:
+    from_json → map subscript → group."""
+    ev = load_star(spark, sf_dir, "events")["events"]
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@qdef(
+    "parse_changelog_lines",
+    """
+    WITH lines AS (
+      SELECT concat(event_type, ',', CAST(user_id AS VARCHAR), ',',
+                    CAST(event_id AS VARCHAR)) AS line
+      FROM events
+    )
+    SELECT split_part(line, ',', 1)                  AS op,
+           CAST(split_part(line, ',', 2) AS BIGINT)  AS key,
+           CAST(split_part(line, ',', 3) AS BIGINT)  AS seq
+    FROM lines
+    WHERE length(line) - length(replace(line, ',', '')) = 2
+    """,
+    "P9", "P10",
+)
+def parse_changelog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9+P10 — the Flink jobs' arity filter + split/cast parse
+    (IcebergStream.java:90-98) as a batch plan: CSV-ish lines → filter
+    arity==3 → split/getItem/cast. Narrow transforms only, no shuffle."""
+    ev = load_star(spark, sf_dir, "events")["events"]
+    lines = ev.select(
+        F.concat_ws(",", "event_type", "user_id", "event_id").alias("line")
+    )
+    parts = F.split(F.col("line"), ",")
+    return (
+        lines.where(F.size(parts) == 3)
+        .select(
+            parts.getItem(0).alias("op"),
+            parts.getItem(1).cast("bigint").alias("key"),
+            parts.getItem(2).cast("bigint").alias("seq"),
+        )
+    )
+
+
+@qdef(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_type, ts FROM (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    "W6",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 dedup core — last row per key (Paimon 'deduplicate' merge engine,
+    PaimonStream.java:91): one shuffle on user_id, row_number window.
+    event_id desc breaks ts ties deterministically."""
+    ev = load_star(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts")
+    )
+
+
+@qdef(
+    "hourly_event_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS cnt, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "A2", "T",
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream tumbling-window rollup, batch form (the datagen's declared
+    analytics shape, datagen/datagen.py:28-51). Streaming twin lives in
+    lakeshed.streaming; semantics identical at rest."""
+    ev = load_star(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@qdef(
+    "scalar_function_suite",
+    """
+    SELECT n_nationkey,
+           upper(n_name)                                   AS name_upper,
+           md5(n_name)                                     AS name_md5,
+           split_part(n_name, 'A', 1)                      AS name_head,
+           abs(n_nationkey - 12)                           AS key_dist,
+           CAST(n_nationkey AS DOUBLE) / 4.0               AS key_quarter,
+           length(n_name)                                  AS name_len
+    FROM nation
+    """,
+    "P10", "§2.7",
+)
+def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 scalar functions in one projection: split+index
+    (IcebergStream.java:91), cast (:96), hashing (FakerSource.java:59 uses
+    sha256; md5 here for oracle parity), abs (PyIceberg...ipynb:230),
+    division-as-expression (Getting Started.ipynb:204)."""
+    n = load_star(spark, sf_dir, "nation")["nation"]
+    return n.select(
+        "n_nationkey",
+        F.upper("n_name").alias("name_upper"),
+        F.md5(F.col("n_name").cast("binary")).alias("name_md5"),
+        F.split(F.col("n_name"), "A").getItem(0).alias("name_head"),
+        F.abs(F.col("n_nationkey") - 12).alias("key_dist"),
+        (F.col("n_nationkey").cast("double") / 4.0).alias("key_quarter"),
+        F.length("n_name").alias("name_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# registry accessors used by __spark_entry__
+# --------------------------------------------------------------------------
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        name: " ".join(q.oracle.split())
+        for name, q in REGISTRY.items()
+        if q.oracle is not None
+    }

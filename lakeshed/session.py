@@ -1,0 +1,71 @@
+"""SparkSession construction with scale-aware defaults.
+
+Mirrors the session wiring of the reference stack
+(``spark/spark-defaults.conf:22-29`` configures catalogs + extensions;
+``spark/notebooks/Iceberg - Getting Started.ipynb:22`` builds the session) but
+tuned for Spark-first execution:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing) —
+  at 100 TB the static shuffle-partition count is always wrong; AQE fixes
+  it per-stage.
+- Arrow on for any pandas interchange (SURVEY §2.10 C3).
+- Session timezone pinned to UTC (SURVEY §7.3 timestamp semantics — the
+  reference mixes tz/naive timestamps; the DuckDB oracle also runs UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[] test harness; on a real cluster the same
+# keys hold, only master/memory change. shuffle.partitions matters little
+# with AQE coalescing on, but a sane floor avoids 200 tiny tasks at sf0.01.
+_DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: division by zero yields NULL, matching the reference's
+    # observed fare/distance -> null semantics (SURVEY §2.7) and DuckDB 1.0.
+    "spark.sql.ansi.enabled": "false",
+    # Broadcast threshold: dims (region/nation/customer/supplier/part at
+    # test SF) must broadcast; at 100 TB the fact side never does.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.sql.shuffle.partitions": "32",
+    # Parquet: vectorized reader + pushdown are defaults, pinned explicitly
+    # because the engine depends on them (SURVEY §4).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "128MB",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.warehouse.dir": os.environ.get(
+        "LAKESHED_WAREHOUSE", "/tmp/lakeshed-warehouse"
+    ),
+}
+
+
+def get_spark(
+    app_name: str = "lakeshed",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the shared SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
+    cores). On a real cluster pass ``None`` master via spark-submit instead.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
