@@ -3,9 +3,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed with a count()-style full materialization (collect of
-the result — results are small aggregates/top-ks by construction). A warmup
-run of the flagship query amortizes JVM/codegen startup out of the numbers.
+Each query is materialized on the executors via a noop sink (no
+driver-collect transfer in the timing). Every query gets ONE untimed warmup
+execution first, so the reported number is steady-state execution — not
+Catalyst analysis + whole-stage-codegen compile (round-1 VERDICT: the 2.7 s
+"scalar_function_suite" figure was codegen startup on a 25-row input).
 """
 
 from __future__ import annotations
@@ -31,13 +33,12 @@ def main() -> None:
     spark = get_spark("lakeshed-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + codegen + parquet footer caches
-    q.pricing_summary(spark, SF_DIR).collect()
-
     timings: dict[str, float] = {}
     for name, fn in q.spark_queries().items():
         if name in SKIP:
             continue
+        # warmup: plan + codegen + parquet footer caches, untimed
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         # noop sink materializes every column of every row on the executors
@@ -46,7 +47,10 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(SF_DIR.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = None
     print(
         json.dumps(
             {
@@ -54,7 +58,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf else None,
+                "sf": sf,
             }
         )
     )

@@ -19,6 +19,6 @@ Public surface:
 
 from lakeshed.session import get_spark
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = ["get_spark", "__version__"]

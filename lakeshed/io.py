@@ -57,7 +57,10 @@ def load_star(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFr
     for name in use:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if name == "events":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # nanosAsLong is pinned once in session defaults (session.py) —
+            # it is consulted at *action* time, so a per-read set/restore
+            # would break lazy execution. Here we only normalize the bigint
+            # nanos to µs timestamps (matching DuckDB's µs TIMESTAMP).
             df = spark.read.parquet(path)
             if dict(df.dtypes).get("ts") == "bigint":
                 # integer div: ts is ~1.7e18, float division loses precision

@@ -28,6 +28,12 @@ def histogram(df: DataFrame, col: str, bins: int = 22,
         bounds = df.agg(
             F.min(col).alias("lo"), F.max(col).alias("hi")
         ).first()
+        if bounds is None or bounds["lo"] is None or bounds["hi"] is None:
+            # empty / all-NULL column: no bins to compute — empty result
+            # with the documented shape (round-1 ADVICE guard).
+            return df.sparkSession.createDataFrame(
+                [], "bin int, bin_lo double, bin_hi double, cnt bigint"
+            )
         lo = float(bounds["lo"]) if lo is None else lo
         hi = float(bounds["hi"]) if hi is None else hi
     width = (hi - lo) / bins or 1.0

@@ -38,6 +38,10 @@ _DEFAULT_CONF: dict[str, str] = {
     # Parquet: vectorized reader + pushdown are defaults, pinned explicitly
     # because the engine depends on them (SURVEY §4).
     "spark.sql.parquet.filterPushdown": "true",
+    # The driver's events.parquet stores TIMESTAMP(NANOS), which vanilla
+    # Spark rejects; read nanos as bigint session-wide (io.load_star converts
+    # to µs timestamps). Declared here, once, rather than mutated per call.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.files.maxPartitionBytes": "128MB",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
