@@ -26,7 +26,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: every registered query that has an oracle, plus the
 # rows-only extension ops (they register with oracle=None).
-SKIP: set[str] = set()
+# Skipped: ops documented as oracle-scale-only baselines (O(n²) all-pairs
+# by design — the LSH variants are the benchmarked scale paths).
+SKIP: set[str] = {"llm_embedding_neardup"}
 
 
 def main() -> None:

@@ -1,0 +1,283 @@
+"""Catalog facade — namespaces, table resolution, and the SQL surface.
+
+The reference's catalog is a REST/Hive service resolving
+``catalog.namespace.table`` (``spark/spark-defaults.conf:23-29``,
+``IcebergStream.java:53-64``); here a warehouse directory plays that role:
+``<warehouse>/<database>/<table>`` roots a :class:`lakeshed.table.LakeTable`.
+
+``Catalog.sql`` is the engine's analog of the reference's ``%%sql`` magic
+(``spark/ipython/startup/00-prettytables.py:60-81``): the lakehouse DDL/DML
+statements the notebooks use (CREATE DATABASE, CREATE/DROP/TRUNCATE TABLE,
+UPDATE, DELETE, DESCRIBE, CALL procedures) are routed to the table layer;
+SELECTs resolve ``db.table`` (and ``db.table.snapshots``-style metadata
+relations, S7) as temp views and run on stock Spark SQL — Catalyst stays
+the optimizer for every query (SURVEY §4: zero custom rules).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakeshed.table import MAIN, LakeTable, TableError
+
+_META_TABLES = (
+    "snapshots", "history", "files", "refs", "partitions",
+)
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+        self.spark = spark
+        self.warehouse = os.path.abspath(
+            warehouse
+            or os.environ.get("LAKESHED_WAREHOUSE", "/tmp/lakeshed-warehouse")
+        )
+        os.makedirs(self.warehouse, exist_ok=True)
+        # D14 — session conf pins the engine consults on writes
+        # (spark.wap.branch: WAP...ipynb:195; spark.wap.id: Integrated
+        # Audits...ipynb:191).
+        self._conf: dict[str, str] = {}
+
+    # ------------------------------------------------------------ namespaces
+
+    def create_database(self, name: str, if_not_exists: bool = True) -> None:
+        """D1 — CREATE DATABASE IF NOT EXISTS (Getting Started.ipynb:53)."""
+        p = os.path.join(self.warehouse, name)
+        if os.path.isdir(p) and not if_not_exists:
+            raise TableError(f"database {name!r} exists")
+        os.makedirs(p, exist_ok=True)
+
+    def databases(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    def tables(self, database: str) -> list[str]:
+        p = os.path.join(self.warehouse, database)
+        if not os.path.isdir(p):
+            return []
+        return sorted(
+            t for t in os.listdir(p)
+            if LakeTable(self.spark, os.path.join(p, t)).exists()
+        )
+
+    # ----------------------------------------------------------- resolution
+
+    def _path(self, name: str) -> str:
+        parts = name.split(".")
+        if len(parts) == 1:
+            parts = ["default", parts[0]]
+        if len(parts) != 2:
+            raise TableError(f"table name {name!r} is not [db.]table")
+        return os.path.join(self.warehouse, *parts)
+
+    def table(self, name: str) -> LakeTable:
+        t = LakeTable(self.spark, self._path(name))
+        if not t.exists():
+            raise TableError(f"no such table {name!r} in {self.warehouse}")
+        return t
+
+    def create_table(
+        self,
+        name: str,
+        df: DataFrame | None = None,
+        *,
+        schema: str | None = None,
+        partition_by: tuple[str, ...] = (),
+        properties: dict[str, str] | None = None,
+        mode: str = "error",
+    ) -> LakeTable:
+        os.makedirs(os.path.dirname(self._path(name)), exist_ok=True)
+        return LakeTable(self.spark, self._path(name)).create(
+            df, schema=schema, partition_by=partition_by,
+            properties=properties, mode=mode,
+        )
+
+    def drop_table(self, name: str, if_exists: bool = True) -> None:
+        t = LakeTable(self.spark, self._path(name))
+        if not t.exists() and not if_exists:
+            raise TableError(f"no such table {name!r}")
+        t.drop()
+
+    # ------------------------------------------------------- session pins
+
+    def set_conf(self, key: str, value: str | None) -> None:
+        """D14 — ``spark.conf.set('spark.wap.branch', ...)`` analog."""
+        if value is None:
+            self._conf.pop(key, None)
+        else:
+            self._conf[key] = value
+
+    def write_branch(self) -> str:
+        return self._conf.get("spark.wap.branch", MAIN)
+
+    # -------------------------------------------------------------- SQL
+
+    def sql(self, statement: str, **fmt: object) -> DataFrame | None:
+        """Route one SQL statement (C5 — the ``%%sql`` magic path).
+
+        f-string style parameterization (``WAP...ipynb:520`` interpolates
+        snapshot ids) is supported via ``**fmt``.
+        """
+        if fmt:
+            statement = statement.format(**fmt)
+        s = statement.strip().rstrip(";").strip()
+        low = " ".join(s.lower().split())
+
+        m = re.match(r"create database (?:if not exists )?([\w.]+)", low)
+        if m:
+            self.create_database(m.group(1))
+            return None
+        m = re.match(r"drop table (?:if exists )?([\w.]+)", low)
+        if m:
+            self.drop_table(m.group(1), if_exists=True)
+            return None
+        m = re.match(r"truncate table ([\w.]+)", low)
+        if m:
+            self.table(m.group(1)).truncate()
+            return None
+        m = re.match(r"describe (?:extended )?([\w.]+)", low)
+        if m:
+            return self.table(m.group(1)).describe()
+        m = re.match(
+            r"update ([\w.]+) set (.+?)(?: where (.+))?$", s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            assigns = {}
+            for part in _split_top(m.group(2)):
+                col, _, expr = part.partition("=")
+                assigns[col.strip().strip("`")] = expr.strip()
+            self.table(m.group(1)).update(assigns, where=m.group(3))
+            return None
+        m = re.match(
+            r"delete from ([\w.]+) where (.+)$", s, re.IGNORECASE | re.DOTALL
+        )
+        if m:
+            self.table(m.group(1)).delete(m.group(2))
+            return None
+        m = re.match(
+            r"insert into ([\w.]+) (select .+|values .+)$", s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            tbl, rest = m.group(1), m.group(2)
+            if rest.lower().startswith("select"):
+                # W4 — INSERT INTO SELECT (PaimonStream.java:94)
+                df = self.sql(rest)
+            else:
+                # W3 — INSERT VALUES (Integrated Audits...ipynb:471)
+                df = self.spark.sql(
+                    f"SELECT * FROM {rest}"  # VALUES (...) relation
+                )
+            t = self.table(tbl)
+            # SQL INSERT is positional (W2: df.write.insertInto,
+            # Table Maintenance...ipynb:77) — rename to target schema
+            df = df.toDF(*[f.name for f in t.schema_fields()])
+            t.append(df, branch=self.write_branch())
+            return None
+        m = re.match(
+            r"call \w*\.?rollback_to_snapshot\('([\w.]+)'\s*,\s*(\d+)\)", low
+        )
+        if m:
+            self.table(m.group(1)).rollback_to_snapshot(int(m.group(2)))
+            return None
+        m = re.match(
+            r"call \w*\.?cherrypick_snapshot\('([\w.]+)'\s*,\s*(\d+)\)", low
+        )
+        if m:
+            self.table(m.group(1)).cherrypick_snapshot(int(m.group(2)))
+            return None
+        m = re.match(
+            r"alter table ([\w.]+) create branch (?:if not exists )?(\w+)", low
+        )
+        if m:
+            try:
+                self.table(m.group(1)).create_branch(m.group(2))
+            except TableError:
+                if "if not exists" not in low:
+                    raise
+            return None
+        m = re.match(r"alter table ([\w.]+) drop branch (\w+)", low)
+        if m:
+            self.table(m.group(1)).drop_branch(m.group(2))
+            return None
+        m = re.match(
+            r"alter table ([\w.]+) rename column (\w+) to (\w+)", low
+        )
+        if m:
+            self.table(m.group(1)).rename_column(m.group(2), m.group(3))
+            return None
+        m = re.match(
+            r"alter table ([\w.]+) add column (\w+) ([\w<>,() ]+?)"
+            r"(?: after (\w+))?$", low
+        )
+        if m:
+            self.table(m.group(1)).add_column(
+                m.group(2), m.group(3).strip(), after=m.group(4)
+            )
+            return None
+        m = re.match(
+            r"alter table ([\w.]+) alter column (\w+) type ([\w<>,() ]+)", low
+        )
+        if m:
+            self.table(m.group(1)).alter_column(m.group(2), type=m.group(3))
+            return None
+
+        # plain query: resolve db.table / db.table.<meta> names as temp views
+        return self._run_select(s)
+
+    def _run_select(self, s: str) -> DataFrame:
+        registered: set[str] = set()
+        for db in self.databases():
+            for tbl in self.tables(db):
+                base = f"{db}.{tbl}"
+                t = self.table(base)
+                for meta in _META_TABLES:
+                    dotted = f"{base}.{meta}"
+                    if re.search(re.escape(dotted), s, re.IGNORECASE):
+                        view = f"__lakeshed_{db}_{tbl}_{meta}"
+                        getattr(t, meta)().createOrReplaceTempView(view)
+                        s = re.sub(
+                            re.escape(dotted), view, s, flags=re.IGNORECASE
+                        )
+                        registered.add(dotted)
+                if re.search(rf"\b{re.escape(base)}\b", s, re.IGNORECASE):
+                    view = f"__lakeshed_{db}_{tbl}"
+                    t.read().createOrReplaceTempView(view)
+                    s = re.sub(
+                        rf"\b{re.escape(base)}\b", view, s, flags=re.IGNORECASE
+                    )
+        return self.spark.sql(s)
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas not nested in parens/quotes (UPDATE SET lists)."""
+    out, depth, cur, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [p for p in (x.strip() for x in out) if p]

@@ -1,0 +1,284 @@
+"""Deduplication — exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point at 100 TB):
+
+- **exact**: one hash + one groupBy shuffle on the digest. Never compares
+  texts pairwise.
+- **MinHash-LSH**: signatures are a narrow per-row projection (k universal
+  hashes over the token set, all JVM-side higher-order functions); banding
+  explodes each doc into b band keys and self-joins on (band, band
+  signature) — candidates only ever meet inside a bucket, ALL-PAIRS IS
+  NEVER FORMED. Candidate pairs are then verified with exact Jaccard.
+  b/r control the recall/cost curve: default b=64, r=4 ⇒ P(candidate) at
+  J=0.7 is 1-(1-0.7⁴)⁶⁴ ≈ 1-2e-8 (effectively exhaustive above the
+  threshold) while J=0.2 pairs almost never collide (≈1e-2).
+- **SimHash**: 64-bit signature per doc from token-hash bit votes; near-dup
+  = signatures within Hamming distance h, found by pigeonhole banding
+  (split 64 bits into h+1 chunks; equal pairs must share one chunk).
+- **n-gram Jaccard**: the exact verifier used by both LSH paths; also
+  exposed brute-force for oracle-scale data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakeshed.llm.text import normalize, tokens
+
+# deterministic universal-hash parameters (fixed seeds → stable results)
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(k: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    import random
+
+    rnd = random.Random(seed)
+    return (
+        [rnd.randrange(1, _MERSENNE) for _ in range(k)],
+        [rnd.randrange(0, _MERSENNE) for _ in range(k)],
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the md5 of normalized text: keep the lowest id per
+    digest. One shuffle on the digest; survivor choice is deterministic."""
+    return (
+        df.withColumn("__digest", F.md5(normalize(text_col)))
+        .groupBy("__digest")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("__digest")
+    )
+
+
+def shingles(col: Column | str, n: int = 1) -> Column:
+    """Distinct word n-gram set of the normalized text (n=1 → token set)."""
+    toks = tokens(col)
+    if n == 1:
+        return F.array_distinct(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def hash_shingles(col: Column) -> Column:
+    """xxhash64 of each shingle — materialize this ONCE (as its own column)
+    before computing signatures, so the string hash is paid once per
+    element, not once per permutation."""
+    return F.transform(col, lambda s: F.xxhash64(s))
+
+
+def minhash_signature(hashed: Column, num_hashes: int = 128,
+                      seed: int = 42) -> Column:
+    """k-permutation MinHash over a column of already-hashed shingles
+    (see :func:`hash_shingles`): h_i = min((a_i·h + b_i) mod M).
+
+    All JVM higher-order functions — no Python, no shuffle. HOFs evaluate
+    interpreted (not codegen'd), so work is O(|set|·k) interpreted ops per
+    row: keep k modest and partition count high (minhash_lsh_pairs
+    repartitions before this projection)."""
+    a, b = _hash_params(num_hashes, seed)
+    return F.transform(
+        F.array(*[
+            F.struct(F.lit(a[i]).alias("a"), F.lit(b[i]).alias("b"))
+            for i in range(num_hashes)
+        ]),
+        lambda p: F.array_min(
+            F.transform(
+                hashed,
+                lambda h: F.pmod(p["a"] * h + p["b"], F.lit(_MERSENNE)),
+            )
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array-set columns."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, exact Jaccard ≥ threshold) via
+    banded MinHash-LSH candidate generation + exact verification.
+
+    Plan: repartition (single-file corpora otherwise serialize the
+    signature math onto one core) → hash shingles once → project k
+    signatures → explode b bands per doc (×b row blow-up of (id, 16-byte
+    band hash) only — not the text) → self-join on the band key (shuffle
+    join; bucket-local) → distinct candidate pairs → join back the shingle
+    sets → exact-Jaccard filter. Matches
+    ``MinHashLSH.approxSimilarityJoin``'s shape (SURVEY §7.2 step 7) with
+    the banding explicit. Default (b=32, r=4): P(candidate)=1-(1-J⁴)³²
+    ≈ 0.9998 at J=0.7, ≈1-1e-30 at J=0.97.
+    """
+    rows = num_hashes // bands
+    spark = df.sparkSession
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingles(text_col, shingle).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+    )
+    sigs = base.withColumn("hs", hash_shingles(F.col("sh"))).select(
+        "id", "sh",
+        minhash_signature(F.col("hs"), num_hashes, seed).alias("sig"),
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",", F.slice(F.col("sig"), bi * rows + 1, rows)
+                        )
+                    ).alias("bsig"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bsig")
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bsig") == F.col("r.bsig"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(base.select(F.col("id").alias("id_a"),
+                              F.col("sh").alias("sh_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"),
+                          F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_brute(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle: int = 1,
+) -> DataFrame:
+    """All-pairs exact Jaccard — the oracle-scale baseline the LSH path is
+    verified against. O(n²): do not run beyond ~10⁴ docs; the LSH variant
+    is the scale path."""
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle).alias("sh")
+    ).where(F.size("sh") > 0)
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(jaccard(F.col("l.sh"), F.col("r.sh")), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(col: Column | str, bits: int = 64) -> Column:
+    """SimHash signature: per-token xxhash64, each bit votes ±1, sign of the
+    vote sum per bit position → packed bigint. One projection, no shuffle.
+
+    The bit loop unrolls in Python (shift amounts must be literals for the
+    JVM shift functions); vote for bit i = 2·count(bit set) − n → set iff
+    positive."""
+    toks = F.array_distinct(tokens(col))
+    n = F.size(toks)
+
+    def bit_pred(i: int):
+        # NB: must close over i with a 1-arg lambda — pyspark treats a
+        # 2-arg lambda as (element, index) and would rebind i to a Column
+        return lambda t: (
+            F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1
+        )
+
+    sig = F.lit(0).cast("bigint")
+    for i in range(bits):
+        set_cnt = F.size(F.filter(toks, bit_pred(i)))
+        sig = sig + F.when(
+            set_cnt * 2 > n, F.shiftleft(F.lit(1).cast("bigint"), i)
+        ).otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ``max_hamming``.
+
+    Pigeonhole banding: split the signature into ``max_hamming+1`` chunks —
+    any pair within distance h agrees on ≥1 chunk, so the self-join runs on
+    (chunk index, chunk value) buckets, never all-pairs. Exact popcount
+    verifies candidates."""
+    chunks = max_hamming + 1
+    step = bits // chunks
+    sig = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(
+        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig")
+    )
+    banded = sig.select(
+        "id", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftright(F.col("sig"), i * step)
+                    .bitwiseAND(F.lit((1 << step) - 1)).alias("cval"),
+                )
+                for i in range(chunks)
+            ])
+        ).alias("bk"),
+    ).select("id", "sig", "bk.chunk", "bk.cval")
+    ham = F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig")))
+    return (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.cval") == F.col("r.cval"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,245 @@
+"""LLM-pipeline CORRECTNESS queries over documents/embeddings fixtures.
+
+Every oracle mirrors the Spark expression exactly (same normalization, same
+shingling, same rounding) so the driver's hash compare is deterministic.
+The MinHash-LSH entry is the one approximate-candidate path with an exact
+oracle: banding at (b=64, r=4) makes P(miss) < 1e-8 for the ≥0.7-Jaccard
+pairs present in the corpus, and every candidate is exact-verified, so the
+output equals the brute-force truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeshed.io import load_star
+from lakeshed.llm import dedup, multimodal, similarity, text
+from lakeshed.queries import qdef
+
+# normalization shared by all oracles ('g' = replace-all, Spark's default)
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+@qdef(
+    "llm_exact_dedup",
+    f"""
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents GROUP BY md5({_NORM})
+    """,
+    "LLM-dedup-exact",
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 of normalized text, keep lowest doc_id per digest.
+    One shuffle on the digest — at 100 TB this is a single hash-agg pass."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    return dedup.exact_dedup(docs)
+
+
+@qdef(
+    "llm_text_stats",
+    f"""
+    SELECT doc_id,
+           length(text)                                       AS n_chars_m,
+           len({_TOKS})                                       AS n_tokens,
+           round(length(replace({_NORM}, ' ', ''))
+                 / greatest(len({_TOKS}), 1), 4)              AS mean_token_len,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / greatest(length(text), 1), 4)              AS alpha_ratio,
+           len(list_intersect(list_distinct({_TOKS}),
+               ['the','a','an','and','of','to','in','is','it','that']))
+                                                              AS stopword_hits,
+           array_length(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))           AS bpe_tokens
+    FROM documents
+    """,
+    "LLM-text-stats",
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features — one narrow projection, no shuffle."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    return text.quality_features(docs).select(
+        "doc_id", "n_chars_m", "n_tokens", "mean_token_len", "alpha_ratio",
+        "stopword_hits", "bpe_tokens",
+    )
+
+
+@qdef(
+    "llm_lang_id",
+    f"""
+    SELECT lang,
+           count(*) AS doc_cnt,
+           round(avg(len(list_filter({_TOKS},
+               t -> t in ('the','a','an','and','of','to','in','is','it','that')))
+               * 1.0 / greatest(len({_TOKS}), 1)), 4) AS avg_en_score
+    FROM documents GROUP BY lang
+    """,
+    "LLM-lang-id",
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language signal rolled up against the labeled lang
+    column — the heuristic n-gram language-ID shape."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.select("lang", text.language_score("text").alias("s"),
+                    F.size(text.tokens("text")).alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_cnt"),
+            F.round(F.avg("s"), 4).alias("avg_en_score"),
+        )
+    )
+
+
+@qdef(
+    "llm_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+             list_min(list_transform(generate_series(1, len(toks) - 2),
+                      i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))
+           ELSE md5(concat_ws(' ', toks)) END AS fp
+    FROM t
+    """,
+    "LLM-fingerprint",
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-perm MinHash fingerprint (min md5 over 3-gram shingles)."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", text.fingerprint("text", ngram=3).alias("fp"))
+
+
+@qdef(
+    "llm_minhash_neardup",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+      FROM t WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))
+                 / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+    """,
+    "LLM-dedup-minhash-lsh",
+)
+def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup (b=32, r=4, 3-gram shingles) + exact
+    Jaccard verify — never forms all-pairs; the oracle does (it can, at
+    oracle scale), and the outputs agree because every candidate is
+    exact-verified and candidate recall at the corpus's pair similarities
+    (J ≈ 0.97) is 1-ε with ε ≈ 1e-30."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    return dedup.minhash_lsh_pairs(
+        docs, threshold=0.7, num_hashes=128, bands=32, shingle=3
+    )
+
+
+@qdef("llm_simhash_neardup", None, "LLM-dedup-simhash")
+def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3, pigeonhole-banded self-join).
+    No SQL oracle (bit-vote signatures aren't reasonably expressible in
+    DuckDB SQL); determinism is covered by unit tests instead."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    return dedup.simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
+    return list(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+
+
+@qdef(
+    "llm_cosine_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe),
+                 4) AS cos
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+    "LLM-similarity-topk",
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id 0 — brute-force baseline
+    (double-precision JVM fold + TakeOrderedAndProject)."""
+    emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
+    qv = _query_vec(spark, sf_dir)
+    return similarity.cosine_topk(
+        emb.where(F.col("vec_id") != 0), qv, k=10
+    )
+
+
+@qdef("llm_ann_topk_lsh", None, "LLM-similarity-ann")
+def llm_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH (4 bits × 32 tables,
+    multi-probe union, exact re-score inside candidates) — the scale path
+    that probes buckets instead of scanning all rows. Approximate by
+    design → no SQL oracle; recall vs brute force is asserted in unit
+    tests. (Short signatures because the fixture's random vectors are
+    weakly correlated; clustered real corpora support longer ones.)"""
+    emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
+    qv = _query_vec(spark, sf_dir)
+    return similarity.ann_topk_lsh(
+        emb.where(F.col("vec_id") != 0), qv, k=10, bits=4, tables=32
+    )
+
+
+@qdef(
+    "llm_embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4)
+               AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4)
+          >= 0.45
+    """,
+    "LLM-dedup-embedding",
+)
+def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact). Brute-force is the oracle
+    baseline; at scale the same verify runs inside LSH buckets
+    (similarity.lsh_index) instead of all-pairs."""
+    emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.cosine_pairs_brute(emb, threshold=0.45).where(
+        F.col("cos") >= 0.45
+    )
+
+
+@qdef(
+    "llm_multimodal_features",
+    """
+    SELECT doc_id,
+           'application/octet-stream' AS mime,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+    "LLM-multimodal",
+)
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text → binary payload + metadata struct →
+    Arrow-batched mapInPandas feature kernel (decode is a deterministic
+    stub; the schema/batch path is the real article). Oracle checks the
+    metadata legs; the stub features are unit-tested."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    feats = multimodal.extract_features(
+        multimodal.attach_binary_payload(docs)
+    )
+    return feats.select("doc_id", "mime", "n_bytes")

@@ -1,0 +1,107 @@
+"""Text analysis — normalization, token counting, quality, language ID.
+
+All pure ``pyspark.sql.functions`` column expressions (JVM-side, inside
+whole-stage codegen — the 100 TB hot path never enters Python). Each helper
+returns a Column so operators compose into single projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small English stopword core — enough for a heuristic language/quality
+# signal without shipping a model. (Deterministic; mirrored in the DuckDB
+# oracles.)
+EN_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+# BPE-ish pre-tokenizer: word pieces or single non-space symbols — the
+# standard GPT-2-style split shape, minus lookaheads Spark's RE2-like engine
+# and DuckDB both accept.
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def normalize(col: Column | str) -> Column:
+    """Canonical text form shared by every dedup/analysis op (and the
+    oracles): lowercase, trim, collapse internal whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens — the 'how many tokens will the model
+    see' estimator."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_REGEX), F.lit(0)))
+
+
+def stopword_count(col: Column | str, words: tuple[str, ...] = EN_STOPWORDS
+                   ) -> Column:
+    lit_words = F.array(*[F.lit(w) for w in words])
+    return F.size(F.array_intersect(F.array_distinct(tokens(col)), lit_words))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features, one narrow projection (no shuffle):
+
+    - n_chars / n_tokens / mean token length (length heuristics),
+    - alpha_ratio (symbol soup detector),
+    - stopword_hits (natural-language-ness),
+    - bpe_tokens (model-facing size).
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    return df.select(
+        "*",
+        F.length(c).alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace(normalize(text_col), " ", ""))
+            / F.greatest(n_tok, F.lit(1)),
+            4,
+        ).alias("mean_token_len"),
+        F.round(
+            F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+            / F.greatest(F.length(c), F.lit(1)),
+            4,
+        ).alias("alpha_ratio"),
+        stopword_count(text_col).alias("stopword_hits"),
+        bpe_token_count(text_col).alias("bpe_tokens"),
+    )
+
+
+def language_score(col: Column | str,
+                   words: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Heuristic English-ness: fraction of tokens that are core stopwords.
+    An n-gram-frequency model would slot in the same shape (per-language
+    score columns, argmax)."""
+    toks = tokens(col)
+    lit_words = F.array(*[F.lit(w) for w in words])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(lit_words, t)))
+    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 4)
+
+
+def fingerprint(col: Column | str, ngram: int = 3) -> Column:
+    """Deterministic document fingerprint: minimum md5 over word ``ngram``
+    shingles of the normalized text (a 1-perm MinHash — stable under small
+    edits far from the minimum). Falls back to md5 of the whole normalized
+    text for docs shorter than ``ngram`` tokens."""
+    toks = tokens(col)
+    n = F.size(toks)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(0), n - ngram),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, ngram))),
+    )
+    return F.when(n >= ngram, F.array_min(shingle_hashes)).otherwise(
+        F.md5(normalize(col))
+    )

@@ -469,11 +469,23 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _load_extensions() -> None:
+    """Import the registry-extension modules (they self-register via qdef).
+
+    Lazy so ``import lakeshed.queries`` stays cheap and circular-free; the
+    driver only pays for this when enumerating queries.
+    """
+    import lakeshed.llm.queries  # noqa: F401
+    import lakeshed.table_queries  # noqa: F401
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {name: q.fn for name, q in REGISTRY.items()}
 
 
 def oracles() -> dict[str, str]:
+    _load_extensions()
     return {
         name: " ".join(q.oracle.split())
         for name, q in REGISTRY.items()

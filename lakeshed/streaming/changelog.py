@@ -1,0 +1,167 @@
+"""Changelog pipeline: sources → parse → continuous MERGE → CDC read-back.
+
+Maps the reference's Flink streaming surface onto Structured Streaming:
+
+- S8 socket source (``IcebergStream.java:87-88``) → ``format("socket")``.
+- S10 faker/rate source (``FakerSource.java:42-64``) → ``format("rate")``
+  plus column expressions (sha2 hash, random I/D kind).
+- P9/P10 arity filter + split/cast parse (``IcebergStream.java:90-98``).
+- W5/W6 changelog upsert sink (``FlinkSink...equalityFieldColumns``,
+  ``IcebergStream.java:116-120``; Paimon dedup merge engine,
+  ``PaimonStream.java:90-91``) → ``foreachBatch`` + :meth:`LakeTable.merge`.
+- T1/T2 continuous execution with checkpoint-interval commits
+  (``enableCheckpointing(5000)``, ``IcebergStream.java:84``) →
+  ``trigger(processingTime='5 seconds')`` + ``checkpointLocation``; each
+  micro-batch commit is one atomic table snapshot, exactly the Flink
+  checkpoint→Iceberg-commit cadence.
+- W7 changelog read-back (``toChangelogStream``, ``PaimonStream.java:97-100``)
+  → :func:`diff_versions` (CDF-style row diff between snapshots).
+
+Scale: the per-batch MERGE joins a micro-batch (small, broadcastable)
+against only the target files it touches; state lives in the table, not in
+executor memory — the same reason the reference keeps its only state in the
+keyed table (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from lakeshed.table import LakeTable
+
+# the reference's line protocol: "<kind>,<key>,<payload>"
+# (FakerSource emits {type∈{I,D}, block_number, hash}; IcebergStream.java:93-98)
+CHANGELOG_SCHEMA = "type string, block_number int, hash string"
+
+
+def socket_lines(spark: SparkSession, host: str = "localhost",
+                 port: int = 9999) -> DataFrame:
+    """S8 — unbounded text lines from a socket
+    (``SocketTextStreamFunction``, IcebergStream.java:87-88)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
+def rate_changelog_source(spark: SparkSession, rows_per_second: int = 10
+                          ) -> DataFrame:
+    """S10 — the FakerSource rebuilt on the rate source: one row per tick
+    with ``{type∈{I,D}, block_number∈[0,10), hash=sha256}``
+    (FakerSource.java:53-64). Emits pre-formatted CSV lines so the same
+    parse path (P9/P10) serves socket, rate, and test-file sources."""
+    rate = spark.readStream.format("rate") \
+        .option("rowsPerSecond", rows_per_second).load()
+    return rate.select(
+        F.concat_ws(
+            ",",
+            F.when(F.rand(seed=42) < 0.5, "I").otherwise("D"),
+            (F.col("value") % 10).cast("string"),
+            F.sha2(F.col("value").cast("string"), 256),
+        ).alias("value")
+    )
+
+
+def parse_changelog(lines: DataFrame) -> DataFrame:
+    """P9+P10 — malformed-record filter (arity == 3) + split/cast parse
+    (IcebergStream.java:90-98), plus an arrival-sequence column so a key
+    appearing as I-then-D inside one batch nets to delete (SURVEY §7.3:
+    ``monotonically_increasing_id`` captured at parse stands in for the
+    Flink per-record order / Kafka offset)."""
+    parts = F.split(F.col("value"), ",")
+    out = (
+        lines.where(F.size(parts) == 3)
+        .select(
+            parts.getItem(0).alias("type"),
+            parts.getItem(1).cast("int").alias("block_number"),
+            parts.getItem(2).alias("hash"),
+            F.current_timestamp().alias("ts"),
+        )
+        .where(F.col("block_number").isNotNull() & F.col("type").isin("I", "D"))
+    )
+    if not lines.isStreaming:
+        # batch callers get the sequence here; streaming frames can't eval
+        # monotonically_increasing_id — changelog_upsert stamps it per
+        # micro-batch instead (same contract: arrival order within batch).
+        out = out.withColumn("__seq", F.monotonically_increasing_id())
+    return out
+
+
+def changelog_upsert(
+    parsed: DataFrame,
+    table: LakeTable,
+    *,
+    key: str = "block_number",
+    checkpoint: str,
+    trigger: dict | None = None,
+    batch_hook: Callable[[DataFrame, int], None] | None = None,
+) -> StreamingQuery:
+    """W5/W6 — continuous equality-delete upsert: every micro-batch MERGEs
+    into the table (matched+D → delete, matched → update, unmatched+I →
+    insert; last arrival per key wins within the batch).
+
+    ``trigger`` defaults to ``{"processingTime": "5 seconds"}`` — the
+    reference's 5000 ms checkpoint cadence (IcebergStream.java:84); tests
+    pass ``{"availableNow": True}`` to drain bounded input exactly once.
+    """
+    target_cols = [f.name for f in table.schema_fields()]
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if "__seq" not in batch.columns:
+            # arrival order within the micro-batch (Kafka callers would use
+            # the offset column instead — SURVEY §7.3)
+            batch = batch.withColumn(
+                "__seq", F.monotonically_increasing_id()
+            )
+        table.merge(
+            batch.select(*target_cols, "type", "__seq")
+            if "type" not in target_cols
+            else batch.select(*target_cols, "__seq"),
+            on=key,
+            when_matched_update={
+                c: f"s.`{c}`" for c in target_cols if c != key
+            },
+            when_matched_delete="s.type = 'D'",
+            when_not_matched_insert="type <> 'D'",
+            source_order="__seq",
+        )
+        if batch_hook is not None:
+            batch_hook(batch, batch_id)
+
+    writer = (
+        parsed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    writer = writer.trigger(**(trigger or {"processingTime": "5 seconds"}))
+    return writer.start()
+
+
+def diff_versions(table: LakeTable, v_from: int, v_to: int | None = None
+                  ) -> DataFrame:
+    """W7 — CDC read-back: row-level diff between two snapshots with a
+    ``_change_type`` column (insert/delete; an update appears as its
+    delete+insert pair — the ±U encoding of ``ChangelogMode.all()``,
+    PaimonStream.java:86).
+
+    Exact-row anti-joins both ways; at 100 TB you'd restrict to the files
+    added/removed between the versions first (the log knows), which this
+    honors implicitly: unchanged files cancel out in the join."""
+    old = table.read(version=v_from)
+    new = table.read(version=v_to if v_to is not None else table.head())
+    cols = old.columns
+    inserts = new.exceptAll(old).select(
+        F.lit("insert").alias("_change_type"), *cols
+    )
+    deletes = old.exceptAll(new).select(
+        F.lit("delete").alias("_change_type"), *cols
+    )
+    return inserts.unionByName(deletes)

@@ -1,0 +1,1120 @@
+"""ACID table layer — versioned-Parquet tables with a JSON commit log.
+
+The reference delegates its table format to Iceberg/Paimon (SURVEY §1.1);
+this module rebuilds the same *user-visible* services Spark-first, with a
+tiny Delta-style commit log instead of a native runtime jar (SURVEY §7.1
+fallback design):
+
+- snapshot-versioned writes: every mutation is one atomic commit
+  (``Iceberg - Getting Started.ipynb:77`` saveAsTable → snapshot);
+- copy-on-write row-level DML: UPDATE (``:204``), DELETE WHERE (``:247``),
+  MERGE/changelog upsert (``IcebergStream.java:116-120``,
+  ``PaimonStream.java:90-91``);
+- time travel + rollback (``:424``), metadata tables
+  (``:346,367,390``, ``WAP...ipynb:508``);
+- branches / Write-Audit-Publish (``WAP...ipynb:166,195,544``);
+- maintenance: compaction + snapshot expiry
+  (``Table Maintenance...ipynb:119,157``);
+- schema evolution by field-id, not name (``Getting Started.ipynb:123-183``).
+
+Scale design (100 TB): the commit log holds *metadata only* — file paths,
+row counts, per-column min/max — so log operations are O(files) driver-side
+metadata work, exactly like Delta/Iceberg manifests. All row data flows
+executor-side through ordinary Spark parquet scans/writes: reads prune to
+the logged file list (no storage listing), copy-on-write DML rewrites only
+the files that actually contain matching rows (discovered with the
+``_metadata.file_path`` hidden column — a distributed scan, never a driver
+loop), and MERGE joins source→target with Catalyst picking broadcast vs
+shuffle. Per-file stats are read from parquet footers at commit time
+(footer-only reads; on a real cluster the writer tasks would report these
+back, same contract).
+
+Concurrency: commits are atomic via exclusive-create of the next numbered
+log file (optimistic concurrency, Delta-style). A losing writer gets
+``CommitConflictError`` and may re-resolve + retry.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Any, Iterable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_LOG_DIR = "_lakeshed_log"
+_REFS = "_refs.json"
+MAIN = "main"
+
+
+class TableError(RuntimeError):
+    pass
+
+
+class CommitConflictError(TableError):
+    """Another writer committed the same version first — re-resolve and retry."""
+
+
+# --------------------------------------------------------------------------
+# schema with field ids (Iceberg-style identity for rename/retype/reorder)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Field:
+    id: int
+    name: str
+    type: str  # Spark simpleString, e.g. "bigint", "double", "array<string>"
+    nullable: bool = True
+    comment: str | None = None
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "id": self.id,
+            "name": self.name,
+            "type": self.type,
+            "nullable": self.nullable,
+            "comment": self.comment,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Field":
+        return Field(d["id"], d["name"], d["type"], d.get("nullable", True),
+                     d.get("comment"))
+
+
+def _schema_from_df(df: DataFrame, start_id: int = 1) -> list[Field]:
+    return [
+        Field(start_id + i, f.name, f.dataType.simpleString(), f.nullable)
+        for i, f in enumerate(df.schema.fields)
+    ]
+
+
+def _ddl(fields: list[Field]) -> str:
+    return ", ".join(f"`{f.name}` {f.type}" for f in fields)
+
+
+# --------------------------------------------------------------------------
+# commit log records
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class AddFile:
+    path: str            # relative to table root
+    base: str            # write-group dir (basePath for partition discovery)
+    rows: int
+    bytes: int
+    schema_version: int
+    # column-name → stringified stat (the reference surfaces these through
+    # the .files metadata table: Iceberg - Getting Started.ipynb:367)
+    lower_bounds: dict[str, str] = field(default_factory=dict)
+    upper_bounds: dict[str, str] = field(default_factory=dict)
+    null_counts: dict[str, int] = field(default_factory=dict)
+
+    def to_json(self) -> dict[str, Any]:
+        return self.__dict__.copy()
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "AddFile":
+        return AddFile(**d)
+
+
+@dataclass
+class Commit:
+    version: int
+    parent: int | None
+    branch: str
+    operation: str
+    timestamp_ms: int
+    schema_version: int
+    schemas: dict[str, list[Field]]      # schema_version(str) → fields
+    partition_spec: list[str]
+    add: list[AddFile]
+    remove: list[str]                    # relative paths
+    properties: dict[str, str]
+    summary: dict[str, Any]
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "version": self.version,
+            "parent": self.parent,
+            "branch": self.branch,
+            "operation": self.operation,
+            "timestamp_ms": self.timestamp_ms,
+            "schema_version": self.schema_version,
+            "schemas": {
+                k: [f.to_json() for f in v] for k, v in self.schemas.items()
+            },
+            "partition_spec": self.partition_spec,
+            "add": [a.to_json() for a in self.add],
+            "remove": self.remove,
+            "properties": self.properties,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Commit":
+        return Commit(
+            version=d["version"],
+            parent=d["parent"],
+            branch=d["branch"],
+            operation=d["operation"],
+            timestamp_ms=d["timestamp_ms"],
+            schema_version=d["schema_version"],
+            schemas={
+                k: [Field.from_json(f) for f in v]
+                for k, v in d["schemas"].items()
+            },
+            partition_spec=d["partition_spec"],
+            add=[AddFile.from_json(a) for a in d["add"]],
+            remove=d["remove"],
+            properties=d["properties"],
+            summary=d["summary"],
+        )
+
+
+def _file_stats(abs_path: str) -> tuple[int, int, dict, dict, dict]:
+    """Footer-only stats read (rows, bytes, lower/upper bounds, null counts).
+
+    pyarrow reads just the parquet footer — cheap even for GB files. On a
+    real cluster the write tasks would return these in their commit message;
+    the log contract is identical.
+    """
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    lower: dict[str, str] = {}
+    upper: dict[str, str] = {}
+    nulls: dict[str, int] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if st is None:
+                continue
+            if st.has_min_max:
+                mn, mx = str(st.min), str(st.max)
+                if name not in lower or mn < lower[name]:
+                    lower[name] = mn
+                if name not in upper or mx > upper[name]:
+                    upper[name] = mx
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    return md.num_rows, os.path.getsize(abs_path), lower, upper, nulls
+
+
+class LakeTable:
+    """One versioned table rooted at ``path``.
+
+    All mutations go through ``_commit`` (exclusive-create of the next log
+    file = the atomic snapshot swap of SURVEY §3.2 step 4).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.log_dir = os.path.join(self.path, _LOG_DIR)
+
+    # ---------------------------------------------------------------- log IO
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir) and bool(
+            glob.glob(os.path.join(self.log_dir, "[0-9]*.json"))
+        )
+
+    def _commit_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:08d}.json")
+
+    def _read_commit(self, version: int) -> Commit:
+        try:
+            with open(self._commit_path(version)) as fh:
+                return Commit.from_json(json.load(fh))
+        except FileNotFoundError:
+            raise TableError(
+                f"no snapshot {version} for table {self.path}"
+            ) from None
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(os.path.basename(p).split(".")[0])
+            for p in glob.glob(os.path.join(self.log_dir, "[0-9]*.json"))
+        )
+
+    def _refs(self) -> dict[str, int]:
+        p = os.path.join(self.log_dir, _REFS)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _write_refs(self, refs: dict[str, int]) -> None:
+        tmp = os.path.join(self.log_dir, f".{_REFS}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(refs, fh)
+        os.replace(tmp, os.path.join(self.log_dir, _REFS))  # atomic swap
+
+    def head(self, branch: str = MAIN) -> int:
+        refs = self._refs()
+        if branch not in refs:
+            raise TableError(f"unknown branch {branch!r} for table {self.path}")
+        return refs[branch]
+
+    def _chain(self, version: int) -> list[Commit]:
+        """Commit chain root→version (driver-side metadata walk, O(commits))."""
+        out: list[Commit] = []
+        v: int | None = version
+        while v is not None:
+            c = self._read_commit(v)
+            out.append(c)
+            v = c.parent
+        return list(reversed(out))
+
+    def _state(self, version: int) -> tuple[Commit, list[AddFile]]:
+        """Live file set at ``version``: replay add/remove along the chain."""
+        chain = self._chain(version)
+        live: dict[str, AddFile] = {}
+        for c in chain:
+            for rm in c.remove:
+                live.pop(rm, None)
+            for a in c.add:
+                live[a.path] = a
+        return chain[-1], list(live.values())
+
+    # ------------------------------------------------------------- commit op
+
+    def _commit(
+        self,
+        operation: str,
+        add: list[AddFile],
+        remove: list[str],
+        *,
+        branch: str = MAIN,
+        parent: int | None = None,
+        schema_version: int | None = None,
+        schemas: dict[str, list[Field]] | None = None,
+        partition_spec: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+        summary: dict[str, Any] | None = None,
+    ) -> Commit:
+        os.makedirs(self.log_dir, exist_ok=True)
+        refs = self._refs()
+        if parent is None:
+            parent = refs.get(branch)
+        if parent is not None:
+            prev = self._read_commit(parent)
+            schema_version = (
+                prev.schema_version if schema_version is None else schema_version
+            )
+            schemas = prev.schemas if schemas is None else schemas
+            partition_spec = (
+                prev.partition_spec if partition_spec is None else partition_spec
+            )
+            properties = prev.properties if properties is None else properties
+        versions = self._versions()
+        version = (versions[-1] + 1) if versions else 0
+        commit = Commit(
+            version=version,
+            parent=parent,
+            branch=branch,
+            operation=operation,
+            timestamp_ms=int(time.time() * 1000),
+            schema_version=schema_version or 0,
+            schemas=schemas or {},
+            partition_spec=partition_spec or [],
+            add=add,
+            remove=remove,
+            properties=properties or {},
+            summary={
+                "added-files": len(add),
+                "removed-files": len(remove),
+                "added-records": sum(a.rows for a in add),
+                **(summary or {}),
+            },
+        )
+        try:
+            # exclusive create = the atomic commit; two writers racing on the
+            # same version — one wins, one gets the conflict to retry.
+            with open(self._commit_path(version), "x") as fh:
+                json.dump(commit.to_json(), fh)
+        except FileExistsError as e:
+            raise CommitConflictError(
+                f"version {version} already committed under {self.log_dir}"
+            ) from e
+        refs[branch] = version
+        self._write_refs(refs)
+        return commit
+
+    # ------------------------------------------------------------ data write
+
+    def _write_files(
+        self, df: DataFrame, spec: list[str], schema_version: int
+    ) -> list[AddFile]:
+        wid = uuid.uuid4().hex[:12]
+        base_rel = os.path.join("data", wid)
+        base_abs = os.path.join(self.path, base_rel)
+        writer = df.write.mode("overwrite")
+        if spec:
+            writer = writer.partitionBy(*spec)
+        writer.parquet(base_abs)
+        adds: list[AddFile] = []
+        for abs_p in sorted(
+            glob.glob(os.path.join(base_abs, "**", "*.parquet"), recursive=True)
+        ):
+            rows, nbytes, lo, hi, nulls = _file_stats(abs_p)
+            adds.append(
+                AddFile(
+                    path=os.path.relpath(abs_p, self.path),
+                    base=base_rel,
+                    rows=rows,
+                    bytes=nbytes,
+                    schema_version=schema_version,
+                    lower_bounds=lo,
+                    upper_bounds=hi,
+                    null_counts=nulls,
+                )
+            )
+        return adds
+
+    # ----------------------------------------------------------------- DDL
+
+    def create(
+        self,
+        df: DataFrame | None = None,
+        *,
+        schema: str | None = None,
+        partition_by: Iterable[str] = (),
+        properties: dict[str, str] | None = None,
+        mode: str = "error",
+    ) -> "LakeTable":
+        """W1 — create-table-as-write (``df.write.saveAsTable``,
+        Iceberg - Getting Started.ipynb:77) or empty typed table (D2,
+        ``CREATE TABLE`` PyIceberg...ipynb:75)."""
+        if self.exists():
+            if mode == "ignore":
+                return self
+            if mode == "overwrite":
+                shutil.rmtree(self.path)
+            else:
+                raise TableError(f"table already exists at {self.path}")
+        if df is None:
+            if not schema:
+                raise TableError("create() needs a DataFrame or a DDL schema")
+            df = self.spark.createDataFrame([], schema=schema)
+        fields = _schema_from_df(df)
+        spec = list(partition_by)
+        adds = (
+            self._write_files(df, spec, 0) if df.isStreaming is False else []
+        )
+        self._commit(
+            "create",
+            adds,
+            [],
+            parent=None,
+            schema_version=0,
+            schemas={"0": fields},
+            partition_spec=spec,
+            properties=properties or {},
+        )
+        return self
+
+    def drop(self) -> None:
+        """D3 — DROP TABLE (Getting Started.ipynb:65)."""
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+
+    def truncate(self) -> Commit:
+        """D4 — TRUNCATE TABLE (PyIceberg...ipynb:108): remove all live files
+        in one commit; history (and rollback) still see the old data."""
+        head = self.head()
+        _, live = self._state(head)
+        return self._commit("truncate", [], [a.path for a in live])
+
+    # --------------------------------------------------------------- schema
+
+    def schema_fields(self, version: int | None = None) -> list[Field]:
+        c = self._read_commit(self.head() if version is None else version)
+        return c.schemas[str(c.schema_version)]
+
+    def schema_ddl(self) -> str:
+        return _ddl(self.schema_fields())
+
+    def _evolve(self, operation: str, new_fields: list[Field],
+                summary: dict[str, Any]) -> Commit:
+        head_commit = self._read_commit(self.head())
+        sv = head_commit.schema_version + 1
+        schemas = dict(head_commit.schemas)
+        schemas[str(sv)] = new_fields
+        return self._commit(
+            operation, [], [], schema_version=sv, schemas=schemas,
+            summary=summary,
+        )
+
+    def rename_column(self, old: str, new: str) -> Commit:
+        """D6 — metadata-only rename by field id (Getting Started.ipynb:123);
+        existing data files are untouched and re-mapped at read time."""
+        fields = [
+            Field(f.id, new if f.name == old else f.name, f.type, f.nullable,
+                  f.comment)
+            for f in self.schema_fields()
+        ]
+        if all(f.name != new for f in fields):
+            raise TableError(f"no column {old!r}")
+        return self._evolve("rename-column", fields, {"rename": f"{old}->{new}"})
+
+    def alter_column(
+        self, name: str, *, type: str | None = None,  # noqa: A002
+        comment: str | None = None, after: str | None = None,
+        first: bool = False,
+    ) -> Commit:
+        """D7 — widen type / comment / reposition (Getting Started.ipynb:147,
+        159,171). Type changes are applied as casts at read for old files."""
+        fields = [Field(f.id, f.name, f.type, f.nullable, f.comment)
+                  for f in self.schema_fields()]
+        target = next((f for f in fields if f.name == name), None)
+        if target is None:
+            raise TableError(f"no column {name!r}")
+        if type is not None:
+            target.type = type
+        if comment is not None:
+            target.comment = comment
+        if after is not None or first:
+            fields.remove(target)
+            if first:
+                fields.insert(0, target)
+            else:
+                idx = next(
+                    i for i, f in enumerate(fields) if f.name == after
+                )
+                fields.insert(idx + 1, target)
+        return self._evolve("alter-column", fields, {"alter": name})
+
+    def add_column(
+        self, name: str, type: str, *, after: str | None = None,  # noqa: A002
+        first: bool = False, comment: str | None = None,
+    ) -> Commit:
+        """D8 — ADD COLUMN typed + positioned (Getting Started.ipynb:183).
+        Old files read the new column as NULL."""
+        fields = [Field(f.id, f.name, f.type, f.nullable, f.comment)
+                  for f in self.schema_fields()]
+        if any(f.name == name for f in fields):
+            raise TableError(f"column {name!r} exists")
+        new = Field(max(f.id for f in fields) + 1, name, type, True, comment)
+        if first:
+            fields.insert(0, new)
+        elif after is not None:
+            idx = next(i for i, f in enumerate(fields) if f.name == after)
+            fields.insert(idx + 1, new)
+        else:
+            fields.append(new)
+        return self._evolve("add-column", fields, {"add": name})
+
+    def drop_column(self, name: str) -> Commit:
+        fields = [f for f in self.schema_fields() if f.name != name]
+        return self._evolve("drop-column", fields, {"drop": name})
+
+    def set_properties(self, **props: str) -> Commit:
+        """D9 — SET TBLPROPERTIES (WAP...ipynb:143)."""
+        merged = dict(self._read_commit(self.head()).properties)
+        merged.update({k: str(v) for k, v in props.items()})
+        return self._commit("set-properties", [], [], properties=merged,
+                            summary={"set": sorted(props)})
+
+    def unset_properties(self, *names: str) -> Commit:
+        merged = dict(self._read_commit(self.head()).properties)
+        for n in names:
+            merged.pop(n, None)
+        return self._commit("unset-properties", [], [], properties=merged,
+                            summary={"unset": sorted(names)})
+
+    def properties(self) -> dict[str, str]:
+        return dict(self._read_commit(self.head()).properties)
+
+    # ---------------------------------------------------------- partitioning
+
+    def add_partition_field(self, col: str) -> Commit:
+        """D12 — partition evolution (Getting Started.ipynb:323): affects
+        future writes only; existing files keep their old layout (Iceberg
+        semantics — specs are per-file-group, reads union across specs)."""
+        spec = list(self._read_commit(self.head()).partition_spec)
+        if col in spec:
+            raise TableError(f"{col!r} already a partition field")
+        spec.append(col)
+        return self._commit("add-partition-field", [], [],
+                            partition_spec=spec, summary={"spec": spec})
+
+    def drop_partition_field(self, col: str) -> Commit:
+        spec = [c for c in self._read_commit(self.head()).partition_spec
+                if c != col]
+        return self._commit("drop-partition-field", [], [],
+                            partition_spec=spec, summary={"spec": spec})
+
+    # ----------------------------------------------------------------- read
+
+    def _adapt(self, df: DataFrame, from_fields: list[Field],
+               to_fields: list[Field],
+               extra_cols: tuple[str, ...] = ()) -> DataFrame:
+        """Project a file-group written under an old schema version to the
+        current one — by field id (rename-safe), with casts (widen-safe) and
+        NULL-fill for later-added columns. Pure projection: stays in
+        whole-stage codegen, no shuffle."""
+        by_id = {f.id: f for f in from_fields}
+        cols: list[Column] = []
+        for f in to_fields:
+            old = by_id.get(f.id)
+            if old is None:
+                cols.append(F.lit(None).cast(f.type).alias(f.name))
+            else:
+                c = F.col(f"`{old.name}`")
+                if old.type != f.type:
+                    c = c.cast(f.type)
+                cols.append(c.alias(f.name))
+        cols.extend(F.col(f"`{c}`") for c in extra_cols)
+        return df.select(*cols)
+
+    def read(self, version: int | None = None, branch: str | None = None
+             ) -> DataFrame:
+        """Current-snapshot scan, or S5 snapshot-pinned time travel
+        (``.option("snapshot-id", ...)``, Integrated Audits...ipynb:314) /
+        S6 branch-pinned scan (WAP...ipynb:436).
+
+        Reads exactly the live file list from the log (no directory listing
+        — at 100 TB, listing is the scan killer); file groups written under
+        older schema versions are adapted per-group then unioned.
+        """
+        if version is None:
+            version = self.head(branch or MAIN)
+        elif branch is not None:
+            raise TableError("pass either version or branch, not both")
+        return self._scan(version)
+
+    def _scan(self, version: int, with_file_path: bool = False) -> DataFrame:
+        """Live-file scan at ``version``; optionally carries a ``__file``
+        column captured from ``_metadata.file_path`` INSIDE each file-group
+        scan (the hidden column does not survive a union, so DML planning
+        must grab it before groups merge)."""
+        commit, live = self._state(version)
+        cur_fields = commit.schemas[str(commit.schema_version)]
+        if not live:
+            ddl = _ddl(cur_fields)
+            if with_file_path:
+                ddl += ", `__file` string"
+            return self.spark.createDataFrame([], schema=ddl)
+        groups: dict[tuple[str, int], list[AddFile]] = {}
+        for a in live:
+            groups.setdefault((a.base, a.schema_version), []).append(a)
+        parts: list[DataFrame] = []
+        for (base, sv), adds in sorted(groups.items()):
+            paths = [os.path.join(self.path, a.path) for a in adds]
+            df = (
+                self.spark.read.option(
+                    "basePath", os.path.join(self.path, base)
+                ).parquet(*paths)
+            )
+            if with_file_path:
+                df = df.withColumn("__file", F.col("_metadata.file_path"))
+            adapted = self._adapt(
+                df, commit.schemas[str(sv)], cur_fields,
+                extra_cols=("__file",) if with_file_path else (),
+            )
+            parts.append(adapted)
+        return reduce(DataFrame.unionByName, parts)
+
+    def to_df(self) -> DataFrame:
+        return self.read()
+
+    # ---------------------------------------------------------------- writes
+
+    def append(self, df: DataFrame, *, branch: str = MAIN) -> Commit:
+        """W2 — append write (``mode("append").saveAsTable``,
+        PyIceberg...ipynb:120 / ``writeTo(...).append()``,
+        Berlin Buzzwords.ipynb:119)."""
+        head_commit = self._read_commit(self.head(branch))
+        fields = head_commit.schemas[str(head_commit.schema_version)]
+        aligned = df.select(*[F.col(f"`{f.name}`").cast(f.type) for f in fields])
+        adds = self._write_files(
+            aligned, head_commit.partition_spec, head_commit.schema_version
+        )
+        return self._commit("append", adds, [], branch=branch)
+
+    def overwrite(self, df: DataFrame, *, branch: str = MAIN) -> Commit:
+        """Full-table overwrite = remove all live files + add new, one commit."""
+        head = self.head(branch)
+        head_commit, live = self._state(head)
+        fields = head_commit.schemas[str(head_commit.schema_version)]
+        aligned = df.select(*[F.col(f"`{f.name}`").cast(f.type) for f in fields])
+        adds = self._write_files(
+            aligned, head_commit.partition_spec, head_commit.schema_version
+        )
+        return self._commit(
+            "overwrite", adds, [a.path for a in live], branch=branch
+        )
+
+    def insert_values(self, *rows: tuple, branch: str = MAIN) -> Commit:
+        """W3 — SQL INSERT VALUES (Integrated Audits...ipynb:471)."""
+        df = self.spark.createDataFrame(list(rows), schema=self.schema_ddl())
+        return self.append(df, branch=branch)
+
+    # ------------------------------------------------------------- row DML
+
+    def _match_files(self, cond: Column, live: list[AddFile],
+                     commit: Commit) -> set[str]:
+        """Relative paths of live files containing ≥1 row matching ``cond``.
+
+        Distributed: a pruned scan + filter + distinct on the hidden
+        ``_metadata.file_path`` column — the only thing collected is the
+        (metadata-scale) file-name list. This is the copy-on-write planning
+        step of Iceberg/Delta DML."""
+        if not live:
+            return set()
+        df = self._scan(self.head(), with_file_path=True)
+        matched = (
+            df.where(cond)
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        prefix_len = len(os.path.abspath(self.path)) + 1
+        rel = set()
+        for r in matched:
+            p = r["__file"]
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+            rel.add(os.path.abspath(p)[prefix_len:])
+        return rel
+
+    def update(self, set: dict[str, str | Column],  # noqa: A002
+               where: str | Column | None = None) -> Commit:
+        """D10 — ``UPDATE t SET col = expr [WHERE ...]``
+        (Getting Started.ipynb:204). Copy-on-write: only files containing
+        matching rows are rewritten; untouched files carry over by
+        reference."""
+        cond = (
+            F.lit(True) if where is None
+            else (F.expr(where) if isinstance(where, str) else where)
+        )
+        head_commit, live = self._state(self.head())
+        known = {
+            f.name for f in head_commit.schemas[str(head_commit.schema_version)]
+        }
+        unknown = set.keys() - known  # NB: `set` is the assignments dict
+        if unknown:
+            raise TableError(
+                f"UPDATE references unknown column(s) {sorted(unknown)}"
+            )
+        hit = self._match_files(cond, live, head_commit)
+        if not hit:
+            return self._commit("update", [], [], summary={"updated-files": 0})
+        hit_adds = [a for a in live if a.path in hit]
+        rewritten = self._read_files(hit_adds, head_commit)
+        assigns = {
+            c: (F.expr(e) if isinstance(e, str) else e) for c, e in set.items()
+        }
+        out = rewritten.select(*[
+            F.when(cond, assigns[f.name]).otherwise(F.col(f"`{f.name}`"))
+            .cast(f.type).alias(f.name)
+            if f.name in assigns else F.col(f"`{f.name}`")
+            for f in head_commit.schemas[str(head_commit.schema_version)]
+        ])
+        adds = self._write_files(
+            out, head_commit.partition_spec, head_commit.schema_version
+        )
+        return self._commit("update", adds, sorted(hit),
+                            summary={"updated-files": len(hit)})
+
+    def delete(self, where: str | Column) -> Commit:
+        """D11 — ``DELETE FROM t WHERE ...`` (Getting Started.ipynb:247,268).
+        Files whose every row matches become metadata-only removes (the
+        rewrite produces nothing for them); partial files are rewritten
+        without the matching rows."""
+        cond = F.expr(where) if isinstance(where, str) else where
+        head_commit, live = self._state(self.head())
+        hit = self._match_files(cond, live, head_commit)
+        if not hit:
+            return self._commit("delete", [], [], summary={"deleted-files": 0})
+        hit_adds = [a for a in live if a.path in hit]
+        kept = self._read_files(hit_adds, head_commit).where(~cond)
+        adds = (
+            self._write_files(
+                kept, head_commit.partition_spec, head_commit.schema_version
+            )
+            if kept.limit(1).count() > 0 else []
+        )
+        return self._commit("delete", adds, sorted(hit),
+                            summary={"deleted-files": len(hit)})
+
+    def _read_files(self, adds: list[AddFile], commit: Commit) -> DataFrame:
+        cur = commit.schemas[str(commit.schema_version)]
+        groups: dict[tuple[str, int], list[AddFile]] = {}
+        for a in adds:
+            groups.setdefault((a.base, a.schema_version), []).append(a)
+        parts = []
+        for (base, sv), grp in sorted(groups.items()):
+            df = self.spark.read.option(
+                "basePath", os.path.join(self.path, base)
+            ).parquet(*[os.path.join(self.path, a.path) for a in grp])
+            parts.append(self._adapt(df, commit.schemas[str(sv)], cur))
+        return reduce(DataFrame.unionByName, parts)
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: str | list[str],
+        *,
+        when_matched_update: dict[str, str] | str | None = "*",
+        when_matched_delete: str | None = None,
+        when_not_matched_insert: str | None = "*",
+        source_order: str | None = None,
+    ) -> Commit:
+        """J2/W5/W6 — MERGE INTO: the changelog upsert of
+        ``IcebergStream.java:116-120`` (equality-delete sink) and the Paimon
+        dedup merge engine (``PaimonStream.java:90-91``).
+
+        - ``on``: equality key column(s) shared by target and source.
+        - ``when_matched_delete``: SQL predicate over source cols (e.g.
+          ``"op = 'D'"``) — matching target rows are removed.
+        - ``when_matched_update``: ``"*"`` (all target cols from source) or
+          {target_col: sql_expr_over_source}.
+        - ``when_not_matched_insert``: ``"*"`` or a predicate gating inserts
+          (e.g. ``"op <> 'D'"``); inserts take target cols from source.
+        - ``source_order``: column ranking within-key arrival order; the
+          LAST row per key wins (SURVEY §7.3: an I-then-D key in one batch
+          must net to delete). Required when source can repeat keys.
+
+        Scale: source is deduped with one window shuffle, target-file
+        discovery is a semi-join (broadcast when the source is small —
+        typical for a micro-batch), and only hit files rewrite.
+        """
+        keys = [on] if isinstance(on, str) else list(on)
+        head_commit, live = self._state(self.head())
+        fields = head_commit.schemas[str(head_commit.schema_version)]
+
+        src = source
+        if source_order is not None:
+            w = Window.partitionBy(*keys).orderBy(F.col(source_order).desc())
+            src = (
+                src.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        src = src.cache()
+
+        hit: set[str] = set()
+        if live:
+            target = self._scan(self.head(), with_file_path=True)
+            key_cond = reduce(
+                lambda a, b: a & b,
+                [target[k] == src[k] for k in keys],
+            )
+            hit_rows = target.join(src, key_cond, "left_semi")
+            prefix_len = len(os.path.abspath(self.path)) + 1
+            for r in hit_rows.select("__file").distinct().collect():
+                p = r["__file"]
+                if p.startswith("file:"):
+                    p = p[len("file:"):]
+                hit.add(os.path.abspath(p)[prefix_len:])
+
+        hit_adds = [a for a in live if a.path in hit]
+        adds: list[AddFile] = []
+        target_cols = [f.name for f in fields]
+
+        delete_cond = (
+            F.expr(when_matched_delete) if when_matched_delete else F.lit(False)
+        )
+        insert_pred = (
+            F.lit(True)
+            if when_not_matched_insert in ("*", None)
+            else F.expr(when_not_matched_insert)
+        )
+
+        rewritten_parts: list[DataFrame] = []
+        if hit_adds:
+            tgt = self._read_files(hit_adds, head_commit)
+            joined = tgt.alias("t").join(
+                src.alias("s"),
+                reduce(lambda a, b: a & b,
+                       [F.col(f"t.`{k}`") == F.col(f"s.`{k}`") for k in keys]),
+                "left",
+            )
+            match = reduce(lambda a, b: a | b,
+                           [F.col(f"s.`{k}`").isNotNull() for k in keys])
+            if when_matched_update == "*":
+                upd_cols = {
+                    c: F.col(f"s.`{c}`") for c in target_cols
+                    if c in src.columns
+                }
+            elif when_matched_update is None:
+                upd_cols = {}
+            else:
+                upd_cols = {
+                    c: F.expr(e) for c, e in when_matched_update.items()
+                }
+            surviving = joined.where(~(match & delete_cond))
+            rewritten_parts.append(
+                surviving.select(*[
+                    F.when(match, upd_cols[c]).otherwise(F.col(f"t.`{c}`"))
+                    .cast(next(f.type for f in fields if f.name == c))
+                    .alias(c)
+                    if c in upd_cols else F.col(f"t.`{c}`").alias(c)
+                    for c in target_cols
+                ])
+            )
+
+        if when_not_matched_insert is not None:
+            existing_keys = self.read().select(*keys)
+            inserts = (
+                src.alias("s").join(existing_keys, keys, "left_anti")
+                .where(insert_pred & ~delete_cond)
+                .select(*[
+                    F.col(f"`{c}`").cast(
+                        next(f.type for f in fields if f.name == c)
+                    ).alias(c)
+                    for c in target_cols
+                ])
+            )
+            rewritten_parts.append(inserts)
+
+        if rewritten_parts:
+            out = reduce(DataFrame.unionByName, rewritten_parts)
+            if out.limit(1).count() > 0:
+                adds = self._write_files(
+                    out, head_commit.partition_spec, head_commit.schema_version
+                )
+        src.unpersist()
+        return self._commit(
+            "merge", adds, sorted(hit),
+            summary={"matched-files": len(hit)},
+        )
+
+    # --------------------------------------------------------- time travel
+
+    def rollback_to_snapshot(self, version: int) -> None:
+        """D15 — ``CALL system.rollback_to_snapshot`` (Getting
+        Started.ipynb:424): moves the main ref back; history is preserved
+        (Iceberg semantics — no data rewritten)."""
+        if version not in self._versions():
+            raise TableError(f"no snapshot {version}")
+        refs = self._refs()
+        refs[MAIN] = version
+        self._write_refs(refs)
+
+    # ------------------------------------------------------------- branches
+
+    def create_branch(self, name: str, *, at: int | None = None) -> None:
+        """D13 — ``ALTER TABLE ... CREATE BRANCH`` (WAP...ipynb:166):
+        a branch is a named ref into the same commit DAG — copy-on-write,
+        free until written to (WAP...ipynb:157)."""
+        refs = self._refs()
+        if name in refs:
+            raise TableError(f"branch {name!r} exists")
+        refs[name] = self.head() if at is None else at
+        self._write_refs(refs)
+
+    def drop_branch(self, name: str) -> None:
+        if name == MAIN:
+            raise TableError("cannot drop main")
+        refs = self._refs()
+        refs.pop(name, None)
+        self._write_refs(refs)
+
+    def branches(self) -> dict[str, int]:
+        return self._refs()
+
+    def fast_forward(self, branch: str) -> None:
+        """Publish a branch: point main at the branch head (the WAP publish
+        when main has not moved; WAP...ipynb:544 uses cherry-pick)."""
+        refs = self._refs()
+        refs[MAIN] = refs[branch]
+        self._write_refs(refs)
+
+    def cherrypick_snapshot(self, version: int) -> Commit:
+        """D16 — ``CALL system.cherrypick_snapshot`` (Integrated
+        Audits...ipynb:394): re-applies one staged commit's file delta onto
+        the current main head (metadata-only — data files are shared)."""
+        staged = self._read_commit(version)
+        return self._commit(
+            f"cherrypick-{staged.operation}",
+            staged.add,
+            staged.remove,
+            summary={"cherrypicked-snapshot-id": version},
+        )
+
+    # ----------------------------------------------------------- maintenance
+
+    def compact(self, target_size_bytes: int = 128 * 1024 * 1024) -> Commit:
+        """D18 — ``rewrite_data_files`` (Table Maintenance...ipynb:119):
+        rewrite live files into ~target-size files. One distributed
+        read+repartition+write; commit swaps the whole file set."""
+        head_commit, live = self._state(self.head())
+        total = sum(a.bytes for a in live)
+        n = max(1, -(-total // target_size_bytes))  # ceil
+        df = self.read().repartition(n)
+        adds = self._write_files(
+            df, head_commit.partition_spec, head_commit.schema_version
+        )
+        return self._commit(
+            "rewrite-data-files", adds, [a.path for a in live],
+            summary={"rewritten-bytes": total, "target-files": n},
+        )
+
+    def expire_snapshots(self, *, older_than_ms: int | None = None,
+                         retain_last: int = 1) -> list[int]:
+        """D17 — ``expire_snapshots`` (Table Maintenance...ipynb:157):
+        drop expired commits, squash their net state into the oldest
+        retained commit, and GC data files no retained commit references."""
+        now = int(time.time() * 1000)
+        cutoff = now if older_than_ms is None else older_than_ms
+        versions = self._versions()
+        refs = self._refs()
+        keep: set[int] = set()
+        # never expire anything reachable within retain_last of any ref, or
+        # newer than the cutoff
+        for head in refs.values():
+            chain = self._chain(head)
+            for c in chain[-retain_last:]:
+                keep.add(c.version)
+            for c in chain:
+                if c.timestamp_ms >= cutoff:
+                    keep.add(c.version)
+        expired = [v for v in versions if v not in keep]
+        if not expired:
+            return []
+        # squash: rewrite each kept commit whose parent is expired into a
+        # full-state checkpoint commit (same version number, same live set)
+        for v in sorted(keep):
+            c = self._read_commit(v)
+            if c.parent is not None and c.parent in expired:
+                _, live = self._state(v)
+                squashed = Commit(
+                    version=c.version, parent=None, branch=c.branch,
+                    operation=c.operation, timestamp_ms=c.timestamp_ms,
+                    schema_version=c.schema_version, schemas=c.schemas,
+                    partition_spec=c.partition_spec, add=live, remove=[],
+                    properties=c.properties,
+                    summary={**c.summary, "squashed-below": c.parent},
+                )
+                tmp = self._commit_path(v) + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(squashed.to_json(), fh)
+                os.replace(tmp, self._commit_path(v))
+        # referenced files across all retained commits (live sets)
+        referenced: set[str] = set()
+        for v in keep:
+            _, live = self._state(v)
+            referenced.update(a.path for a in live)
+        for v in expired:
+            for a in self._read_commit(v).add:
+                if a.path not in referenced:
+                    p = os.path.join(self.path, a.path)
+                    if os.path.exists(p):
+                        os.remove(p)
+            os.remove(self._commit_path(v))
+        return expired
+
+    # ------------------------------------------------------ metadata tables
+
+    def snapshots(self) -> DataFrame:
+        """S7 — ``SELECT * FROM t.snapshots`` (Getting Started.ipynb:346)."""
+        rows = []
+        for v in self._versions():
+            c = self._read_commit(v)
+            rows.append((
+                c.timestamp_ms, c.version, c.parent, c.branch, c.operation,
+                {k: str(vv) for k, vv in c.summary.items()},
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "committed_at_ms bigint, snapshot_id bigint, parent_id bigint, "
+            "branch string, operation string, summary map<string,string>",
+        )
+
+    def history(self) -> DataFrame:
+        """S7 — ``t.history`` (Getting Started.ipynb:390): main-lineage view
+        with is_current_ancestor, so rolled-back snapshots show false."""
+        ancestors = {c.version for c in self._chain(self.head())}
+        rows = []
+        for v in self._versions():
+            c = self._read_commit(v)
+            rows.append(
+                (c.timestamp_ms, c.version, c.parent, v in ancestors)
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "made_current_at_ms bigint, snapshot_id bigint, "
+            "parent_id bigint, is_current_ancestor boolean",
+        )
+
+    def files(self) -> DataFrame:
+        """S7 — ``t.files`` (Getting Started.ipynb:367) incl. the stats maps
+        the notebook selects (record_count, null_value_counts, bounds)."""
+        _, live = self._state(self.head())
+        rows = [
+            (a.path, "PARQUET", a.rows, a.bytes,
+             {k: int(v) for k, v in a.null_counts.items()},
+             a.lower_bounds, a.upper_bounds)
+            for a in sorted(live, key=lambda x: x.path)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "file_path string, file_format string, record_count bigint, "
+            "file_size_in_bytes bigint, null_value_counts map<string,bigint>, "
+            "lower_bounds map<string,string>, upper_bounds map<string,string>",
+        )
+
+    def refs(self) -> DataFrame:
+        """S7 — ``t.refs`` (WAP...ipynb:508)."""
+        rows = [(name, "BRANCH", v) for name, v in sorted(self._refs().items())]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id bigint"
+        )
+
+    def partitions(self) -> DataFrame:
+        """S7 — ``t.partitions`` (Berlin Buzzwords.ipynb:255): live files
+        rolled up by partition value (derived from file paths)."""
+        _, live = self._state(self.head())
+        spec_cols: set[str] = set()
+        rows = []
+        for a in live:
+            parts = {}
+            for seg in a.path.split(os.sep):
+                if "=" in seg:
+                    k, _, val = seg.partition("=")
+                    parts[k] = val
+                    spec_cols.add(k)
+            rows.append((json.dumps(parts, sort_keys=True), a.rows, a.bytes))
+        agg: dict[str, list[int]] = {}
+        for p, r, b in rows:
+            cur = agg.setdefault(p, [0, 0, 0])
+            cur[0] += r
+            cur[1] += b
+            cur[2] += 1
+        out = [(p, v[0], v[1], v[2]) for p, v in sorted(agg.items())]
+        return self.spark.createDataFrame(
+            out,
+            "partition string, record_count bigint, "
+            "total_size_in_bytes bigint, file_count bigint",
+        )
+
+    def describe(self) -> DataFrame:
+        """D5 — DESCRIBE EXTENDED (Getting Started.ipynb:88)."""
+        c = self._read_commit(self.head())
+        rows = [
+            (f.name, f.type, f.comment) for f in c.schemas[str(c.schema_version)]
+        ]
+        rows.append(("", "", None))
+        rows.append(("# Partitioning", ", ".join(c.partition_spec) or "none",
+                     None))
+        rows.append(("# Location", self.path, None))
+        rows.append(("# Properties", json.dumps(c.properties), None))
+        rows.append(("# Current snapshot", str(self.head()), None))
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
+        )

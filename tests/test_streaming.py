@@ -1,0 +1,130 @@
+"""Streaming changelog pipeline tests (SURVEY §5.4).
+
+Feeds the FakerSource/datagen record shapes — including malformed lines and
+same-batch I/D collisions — through source → parse → foreachBatch MERGE
+with an ``availableNow`` trigger, and asserts the final table state equals
+a plain-Python changelog replay (the reference's semantics: last change per
+key wins; D removes the key — IcebergStream.java:116-120).
+"""
+
+from __future__ import annotations
+
+import os
+
+from lakeshed.catalog import Catalog
+from lakeshed.streaming import changelog_upsert, diff_versions, parse_changelog
+
+LINES_BATCH_1 = [
+    "I,1,aaa",
+    "garbage-line-no-commas",     # arity filter drops (P9)
+    "I,2,bbb",
+    "I,2,bbb2",                   # same-batch same-key: last wins
+    "D,3,ccc",                    # delete of a key that never existed
+    "I,4,ddd",
+    "D,4,ddd",                    # I then D in one batch → net delete
+    "too,many,fields,here",       # arity 4 → dropped
+    "I,notanint,eee",             # unparseable key → dropped
+]
+LINES_BATCH_2 = [
+    "D,1,aaa",                    # delete existing
+    "I,5,fff",
+    "I,2,bbb3",                   # update existing
+]
+
+
+def _python_replay(batches: list[list[str]]) -> dict[int, str]:
+    state: dict[int, str] = {}
+    for lines in batches:
+        for line in lines:
+            parts = line.split(",")
+            if len(parts) != 3 or parts[0] not in ("I", "D"):
+                continue
+            try:
+                key = int(parts[1])
+            except ValueError:
+                continue
+            if parts[0] == "D":
+                state.pop(key, None)
+            else:
+                state[key] = parts[2]
+    return state
+
+
+def _run_stream(spark, tmp_path, batches: list[list[str]]) -> dict[int, str]:
+    src_dir = tmp_path / "in"
+    src_dir.mkdir(exist_ok=True)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    table = cat.create_table(
+        "default.blocks",
+        schema="block_number int, hash string, type string",
+    )
+    for i, lines in enumerate(batches):
+        # one file per micro-batch; maxFilesPerTrigger=1 keeps batch
+        # boundaries aligned with the files
+        with open(src_dir / f"batch_{i}.txt", "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        lines_df = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src_dir))
+        )
+        q = changelog_upsert(
+            parse_changelog(lines_df).drop("ts"),
+            table,
+            checkpoint=str(tmp_path / "ckpt"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+    return {
+        r.block_number: r.hash for r in table.read().collect()
+    }, table
+
+
+def test_changelog_stream_matches_python_replay(spark, tmp_path):
+    final, _ = _run_stream(spark, tmp_path, [LINES_BATCH_1, LINES_BATCH_2])
+    assert final == _python_replay([LINES_BATCH_1, LINES_BATCH_2])
+
+
+def test_checkpoint_no_reprocessing(spark, tmp_path):
+    """T2 — the checkpoint makes each file's lines apply exactly once:
+    restarting the stream over the same input+checkpoint with no new files
+    produces no new table commits (exactly-once table state)."""
+    final, table = _run_stream(spark, tmp_path, [LINES_BATCH_1])
+    assert final == _python_replay([LINES_BATCH_1])
+    head_before = table.head()
+    # restart over the same directory + checkpoint, no new files
+    lines_df = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(tmp_path / "in"))
+    )
+    q = changelog_upsert(
+        parse_changelog(lines_df).drop("ts"),
+        table,
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    assert table.head() == head_before
+
+
+def test_diff_versions_cdc(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh2"))
+    t = cat.create_table(
+        "default.cdc",
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"
+        ),
+    )
+    v0 = t.head()
+    t.update({"v": "'b2'"}, where="k = 2")
+    t.insert_values((3, "c"))
+    changes = {
+        (r._change_type, r.k, r.v)
+        for r in diff_versions(t, v0).collect()
+    }
+    assert changes == {
+        ("delete", 2, "b"),   # update = delete+insert pair (±U)
+        ("insert", 2, "b2"),
+        ("insert", 3, "c"),
+    }

@@ -1,0 +1,231 @@
+"""Table-layer scenario tests — the notebook lifecycles as assertions.
+
+Each test replays a reference notebook flow (SURVEY §5.3-5.5) against the
+commit-log table layer:
+- Getting Started: count → add col → update → delete → count → rollback
+  (Iceberg - Getting Started.ipynb:100→183→204→247→300→424→477)
+- schema evolution: rename → widen → reorder → add (ipynb:123-183)
+- MERGE changelog: I-then-D same batch nets to delete (SURVEY §7.3)
+- WAP: stage on branch → audit → publish/drop, main untouched until publish
+  (WAP...ipynb:166→213→324→544→586)
+- maintenance: compaction shrinks file count, expiry GCs files
+  (Table Maintenance...ipynb:119,157)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeshed.catalog import Catalog
+from lakeshed.table import LakeTable, TableError
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "wh"))
+
+
+@pytest.fixture()
+def nation(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+
+
+def test_lifecycle_count_update_delete_rollback(cat, spark):
+    """The Getting-Started lifecycle, end to end."""
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    cat.create_database("nyc")
+    t = cat.create_table("nyc.taxis", orders)
+    n0 = t.read().count()
+    assert n0 == orders.count() > 0
+
+    # ADD COLUMN fare_per_distance_unit float AFTER ... (ipynb:183)
+    t.add_column("price_per_item", "double")
+    assert "price_per_item" in [f.name for f in t.schema_fields()]
+    assert t.read().where(F.col("price_per_item").isNotNull()).count() == 0
+
+    # UPDATE t SET col = expr (ipynb:204)
+    t.update({"price_per_item": "o_totalprice / (o_custkey % 7)"})
+    # custkeys divisible by 7 → /0 → NULL (ANSI off), like the
+    # reference's fare/distance nulls (ipynb:259)
+    t.update({"price_per_item": "o_totalprice"},
+             where="price_per_item IS NULL")
+    assert t.read().where(F.col("price_per_item").isNull()).count() == 0
+
+    # DELETE WHERE disjunction (ipynb:247)
+    pre = t.read()
+    expect_deleted = pre.where(
+        (F.col("o_totalprice") > 200000) | (F.col("o_orderstatus") == "F")
+    ).count()
+    v_before_delete = t.head()
+    t.delete("o_totalprice > 200000 OR o_orderstatus = 'F'")
+    assert t.read().count() == n0 - expect_deleted
+
+    # rollback restores the pre-delete count (ipynb:424→477)
+    t.rollback_to_snapshot(v_before_delete)
+    assert t.read().count() == n0
+    # snapshots metadata grew once per commit (create+add+2 updates+delete)
+    assert t.snapshots().count() == 5
+    hist = {r.snapshot_id: r.is_current_ancestor
+            for r in t.history().collect()}
+    assert hist[v_before_delete] is True
+
+
+def test_schema_evolution_rename_widen_reorder_add(cat, nation):
+    t = cat.create_table("default.nation_evo", nation)
+    # rename (ipynb:123) — metadata only, old files re-mapped by field id
+    t.rename_column("n_name", "nation_name")
+    assert t.read().columns == ["n_nationkey", "nation_name", "n_regionkey"]
+    # widen int → double (ipynb:159)
+    t.alter_column("n_regionkey", type="double")
+    assert dict(t.read().dtypes)["n_regionkey"] == "double"
+    # reorder (ipynb:171)
+    t.alter_column("n_regionkey", after="n_nationkey")
+    assert t.read().columns[1] == "n_regionkey"
+    # add positioned (ipynb:183)
+    t.add_column("extra", "float", after="n_regionkey")
+    assert t.read().columns[2] == "extra"
+    # old rows still fully readable with values intact
+    rows = t.read().orderBy("n_nationkey").collect()
+    src = nation.orderBy("n_nationkey").collect()
+    assert len(rows) == len(src)
+    assert rows[0]["nation_name"] == src[0]["n_name"]
+    assert rows[0]["n_regionkey"] == float(src[0]["n_regionkey"])
+    assert rows[0]["extra"] is None
+    # appends after evolution coexist with old file groups
+    t.append(t.spark.createDataFrame(
+        [(99, 1.5, 0.25, "ZZZ")], schema=t.schema_ddl()))
+    assert t.read().count() == len(src) + 1
+
+
+def test_merge_changelog_upsert(cat, spark):
+    """W5/W6 — equality-delete upsert with within-batch I-then-D ordering."""
+    t = cat.create_table(
+        "default.blocks",
+        spark.createDataFrame(
+            [(1, "h1", "I"), (2, "h2", "I")],
+            "block_number int, hash string, type string",
+        ),
+    )
+    # batch: update k=1, delete k=2, insert k=3, and k=4 appears I then D
+    # within the batch (seq orders arrival; D is last → net delete → never
+    # inserted), k=5 appears D then I (net insert)
+    batch = spark.createDataFrame(
+        [
+            (1, "h1b", "U", 1),
+            (2, "h2", "D", 2),
+            (3, "h3", "I", 3),
+            (4, "h4", "I", 4),
+            (4, "h4", "D", 5),
+            (5, "h5", "D", 6),
+            (5, "h5b", "I", 7),
+        ],
+        "block_number int, hash string, type string, seq int",
+    )
+    t.merge(
+        batch,
+        on="block_number",
+        when_matched_update={"hash": "s.hash", "type": "s.type"},
+        when_matched_delete="s.type = 'D'",
+        when_not_matched_insert="type <> 'D'",
+        source_order="seq",
+    )
+    final = {r.block_number: r.hash for r in t.read().collect()}
+    assert final == {1: "h1b", 3: "h3", 5: "h5b"}
+
+
+def test_wap_branch_stage_audit_publish(cat, nation):
+    """WAP...ipynb:166→195→213→324→544: staged writes invisible on main
+    until cherry-picked; audit failure → drop branch, main untouched."""
+    t = cat.create_table("default.permits", nation)
+    n0 = t.read().count()
+    t.set_properties(**{"write.wap.enabled": "true"})
+    t.create_branch("etl_job_42")
+    # staged write on the branch
+    staged_commit = t.append(
+        nation.limit(3).withColumn("n_name", F.lit("STAGED")),
+        branch="etl_job_42",
+    )
+    # main is untouched; branch sees the extra rows
+    assert t.read().count() == n0
+    assert t.read(branch="etl_job_42").count() == n0 + 3
+    refs = {r["name"]: r["snapshot_id"] for r in t.refs().collect()}
+    assert refs["etl_job_42"] == staged_commit.version
+    # audit passes → publish via cherry-pick (Integrated Audits...ipynb:394)
+    t.cherrypick_snapshot(staged_commit.version)
+    assert t.read().count() == n0 + 3
+    t.drop_branch("etl_job_42")
+    assert "etl_job_42" not in t.branches()
+
+
+def test_time_travel_and_metadata_tables(cat, nation):
+    t = cat.create_table("default.tt", nation)
+    v0 = t.head()
+    t.append(nation.limit(5))
+    v1 = t.head()
+    assert t.read(version=v0).count() == nation.count()
+    assert t.read(version=v1).count() == nation.count() + 5
+    files = t.files().collect()
+    assert all(r.file_format == "PARQUET" for r in files)
+    assert sum(r.record_count for r in files) == nation.count() + 5
+    # per-column bounds surfaced like Getting Started.ipynb:367
+    assert any("n_nationkey" in r.lower_bounds for r in files)
+
+
+def test_compaction_and_expiry(cat, spark):
+    df = spark.range(0, 10000).withColumn("v", F.rand(seed=7))
+    t = cat.create_table("default.maint", df.repartition(16))
+    assert t.files().count() == 16
+    t.compact(target_size_bytes=10 * 1024 * 1024)
+    assert t.files().count() < 16
+    assert t.read().count() == 10000
+    # expire everything but the head: old snapshots unreadable, files GC'd
+    expired = t.expire_snapshots(retain_last=1,
+                                 older_than_ms=2**62)
+    assert expired  # something was expired
+    with pytest.raises((TableError, FileNotFoundError, Exception)):
+        t.read(version=expired[0])
+    assert t.read().count() == 10000
+    # the 16 pre-compaction files are gone from disk
+    data_files = []
+    for root, _, names in os.walk(os.path.join(t.path, "data")):
+        data_files += [n for n in names if n.endswith(".parquet")]
+    assert len(data_files) == t.files().count()
+
+
+def test_truncate_and_insert_values(cat, nation):
+    t = cat.create_table("default.tv", nation.limit(5))
+    t.truncate()
+    assert t.read().count() == 0
+    t.insert_values((100, "NARNIA", 0))
+    assert t.read().count() == 1
+    assert t.read().first()["n_name"] == "NARNIA"
+
+
+def test_sql_router(cat, nation):
+    cat.create_database("nyc")
+    cat.create_table("nyc.taxis", nation)
+    assert cat.sql("SELECT count(*) AS c FROM nyc.taxis").first()["c"] == \
+        nation.count()
+    cat.sql("UPDATE nyc.taxis SET n_name = 'XANADU' WHERE n_nationkey = 0")
+    assert cat.sql(
+        "SELECT n_name FROM nyc.taxis WHERE n_nationkey = 0"
+    ).first()["n_name"] == "XANADU"
+    cat.sql("DELETE FROM nyc.taxis WHERE n_nationkey >= 20")
+    assert cat.sql("SELECT count(*) AS c FROM nyc.taxis").first()["c"] == \
+        nation.where("n_nationkey < 20").count()
+    snaps = cat.sql("SELECT * FROM nyc.taxis.snapshots")
+    assert snaps.count() == 3  # create + update + delete
+    cat.sql("INSERT INTO nyc.taxis VALUES (55, 'ATLANTIS', 1)")
+    assert cat.sql(
+        "SELECT n_name FROM nyc.taxis WHERE n_nationkey = 55"
+    ).first()["n_name"] == "ATLANTIS"
+    desc = cat.sql("DESCRIBE EXTENDED nyc.taxis")
+    assert "n_name" in [r.col_name for r in desc.collect()]
+    cat.sql("DROP TABLE nyc.taxis")
+    with pytest.raises(TableError):
+        cat.table("nyc.taxis")
