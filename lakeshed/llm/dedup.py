@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from lakeshed.llm.text import normalize, tokens
+from lakeshed.llm.text import ngrams, normalize, tokens
 
 # deterministic universal-hash parameters (fixed seeds → stable results)
 _MERSENNE = (1 << 61) - 1
@@ -56,16 +56,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def shingles(col: Column | str, n: int = 1) -> Column:
-    """Distinct word n-gram set of the normalized text (n=1 → token set)."""
+    """Distinct word n-gram set of the normalized text (n=1 → token set).
+    O(len) shifted-slice zip, not slice-per-index (see text.ngrams)."""
     toks = tokens(col)
     if n == 1:
         return F.array_distinct(toks)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    return F.array_distinct(ngrams(toks, n))
 
 
 def hash_shingles(col: Column) -> Column:
@@ -206,30 +202,37 @@ def ngram_jaccard_pairs_brute(
     )
 
 
-def simhash(col: Column | str, bits: int = 64) -> Column:
-    """SimHash signature: per-token xxhash64, each bit votes ±1, sign of the
-    vote sum per bit position → packed bigint. One projection, no shuffle.
+def simhash_from_hashes(hashed: Column, bits: int = 64) -> Column:
+    """SimHash signature from a column of per-token hashes: each bit votes
+    ±1 across tokens, sign of the vote per position → packed bigint.
 
     The bit loop unrolls in Python (shift amounts must be literals for the
     JVM shift functions); vote for bit i = 2·count(bit set) − n → set iff
-    positive."""
-    toks = F.array_distinct(tokens(col))
-    n = F.size(toks)
+    positive. Feed ALREADY-hashed tokens (:func:`hash_shingles`
+    materialized as its own column) — HOFs evaluate interpreted, so the
+    string hash must not be re-paid per bit."""
+    n = F.size(hashed)
 
     def bit_pred(i: int):
         # NB: must close over i with a 1-arg lambda — pyspark treats a
         # 2-arg lambda as (element, index) and would rebind i to a Column
-        return lambda t: (
-            F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1
-        )
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
 
     sig = F.lit(0).cast("bigint")
     for i in range(bits):
-        set_cnt = F.size(F.filter(toks, bit_pred(i)))
+        set_cnt = F.size(F.filter(hashed, bit_pred(i)))
         sig = sig + F.when(
             set_cnt * 2 > n, F.shiftleft(F.lit(1).cast("bigint"), i)
         ).otherwise(F.lit(0).cast("bigint"))
     return sig
+
+
+def simhash(col: Column | str, bits: int = 64) -> Column:
+    """SimHash of a text column (convenience form — prefer materializing
+    :func:`hash_shingles` first when computing over a whole corpus)."""
+    return simhash_from_hashes(
+        hash_shingles(F.array_distinct(tokens(col))), bits
+    )
 
 
 def simhash_pairs(
@@ -247,10 +250,13 @@ def simhash_pairs(
     verifies candidates."""
     chunks = max_hamming + 1
     step = bits // chunks
-    sig = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
-    ).select(
-        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig")
+    sig = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            hash_shingles(F.array_distinct(tokens(text_col))).alias("hs"),
+        )
+        .select("id", simhash_from_hashes(F.col("hs"), bits).alias("sig"))
     )
     banded = sig.select(
         "id", "sig",

@@ -33,6 +33,16 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_d(a: Column, b: Column) -> Column:
+    """Dot of two already-double arrays — use when the vector column is
+    cast/materialized once and reused across many plane products (HOFs are
+    interpreted; a per-element cast per plane doubles the work)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -96,20 +106,35 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42
     ]
 
 
-def _signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign pattern of the vector against each hyperplane, packed into a
-    bigint bucket id."""
-    bits = []
-    for i, p in enumerate(planes):
-        pl = F.array(*[F.lit(x) for x in p])
-        bits.append(
-            F.when(_dot(vec, pl) >= 0,
-                   F.shiftleft(F.lit(1).cast("bigint"), i))
-            .otherwise(F.lit(0).cast("bigint"))
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+def _all_plane_dots(vec_d: Column, pt: Column, dim: int,
+                    n_planes: int) -> Column:
+    """All plane·vector products in ONE array pass.
+
+    acc[j] += pt[i][j] · v[i] folded over the dimension index — a single
+    interpreted ``aggregate`` with one zip per dimension, instead of one
+    aggregate (and one array alloc) per plane. ``pt`` is the transposed
+    plane matrix as an ATTRIBUTE (broadcast one-row frame), NOT a literal:
+    an 8k-node literal tree makes every Catalyst rule pass crawl — plan
+    analysis, not execution, was the measured bottleneck. (Fully unrolled
+    arithmetic was also tried: OOMs janino codegen.)"""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        F.array_repeat(F.lit(0.0), n_planes),
+        lambda acc, i: F.zip_with(
+            acc,
+            F.element_at(pt, i),
+            lambda a, c: a + c * F.element_at(vec_d, i),
+        ),
+    )
+
+
+def _pack_bucket(dots: Column, offset: int, bits: int) -> Column:
+    """Sign bits of dots[offset..offset+bits) packed into a bigint."""
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        out = out + F.when(
+            dots[offset + i] >= 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+        ).otherwise(F.lit(0).cast("bigint"))
     return out
 
 
@@ -126,16 +151,36 @@ def lsh_index(
     bucket, id). Persist/bucketBy this by (table, bucket) in production —
     probes then touch single buckets."""
     planes = _hyperplanes(dim, bits, tables, seed)
+    flat = [p for tbl in planes for p in tbl]
+    n_planes = len(flat)
+    # transposed plane matrix as DATA (one broadcast row), not expression
+    transposed = [[float(flat[j][i]) for j in range(n_planes)]
+                  for i in range(dim)]
+    pt_df = df.sparkSession.createDataFrame(
+        [(transposed,)], "pt array<array<double>>"
+    )
+    base = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).crossJoin(F.broadcast(pt_df)).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        # cast to double ONCE; the dot pass reuses it
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+        F.col("pt"),
+    ).select(
+        "id", "v",
+        _all_plane_dots(F.col("vd"), F.col("pt"), dim, n_planes)
+        .alias("dots"),
+    )
     entries = F.array(*[
         F.struct(
             F.lit(t).alias("tbl"),
-            _signature(F.col(vec_col), planes[t]).alias("bucket"),
+            _pack_bucket(F.col("dots"), t * bits, bits).alias("bucket"),
         )
         for t in range(tables)
     ])
-    return df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        F.explode(entries).alias("e"),
+    return base.select(
+        "id", "v", F.explode(entries).alias("e")
     ).select("id", "v", "e.tbl", "e.bucket")
 
 

@@ -91,6 +91,19 @@ def language_score(col: Column | str,
     return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 4)
 
 
+def ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as an O(len) zip of shifted slices (a slice inside a
+    per-index ``transform`` would be O(len²) — interpreted HOFs make that
+    visible fast). Documents shorter than n yield one partial gram
+    (concat_ws skips the null padding), matching the DuckDB oracles."""
+    cnt = F.greatest(F.size(toks) - n + 1, F.lit(1))
+    parts = [F.slice(toks, i + 1, cnt) for i in range(n)]
+    grams = parts[-1]
+    for p in reversed(parts[:-1]):
+        grams = F.zip_with(p, grams, lambda a, b: F.concat_ws(" ", a, b))
+    return grams
+
+
 def fingerprint(col: Column | str, ngram: int = 3) -> Column:
     """Deterministic document fingerprint: minimum md5 over word ``ngram``
     shingles of the normalized text (a 1-perm MinHash — stable under small
@@ -98,10 +111,7 @@ def fingerprint(col: Column | str, ngram: int = 3) -> Column:
     text for docs shorter than ``ngram`` tokens."""
     toks = tokens(col)
     n = F.size(toks)
-    shingle_hashes = F.transform(
-        F.sequence(F.lit(0), n - ngram),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, ngram))),
-    )
+    shingle_hashes = F.transform(ngrams(toks, ngram), lambda g: F.md5(g))
     return F.when(n >= ngram, F.array_min(shingle_hashes)).otherwise(
         F.md5(normalize(col))
     )
