@@ -192,6 +192,28 @@ class Catalog:
         if m:
             self.table(m.group(1)).cherrypick_snapshot(int(m.group(2)))
             return None
+        m = re.match(r"call \w*\.?rewrite_data_files\('([\w.]+)'\)", low)
+        if m:
+            # D18 (Table Maintenance...ipynb:119)
+            self.table(m.group(1)).compact()
+            return None
+        m = re.match(r"call \w*\.?rewrite_manifests\('([\w.]+)'\)", low)
+        if m:
+            # D19 (Table Maintenance...ipynb:189)
+            self.table(m.group(1)).rewrite_manifests()
+            return None
+        m = re.match(
+            r"call \w*\.?expire_snapshots\('([\w.]+)'\s*,\s*(\d+)"
+            r"(?:\s*,\s*(\d+))?\)", low
+        )
+        if m:
+            # D17 (Integrated Audits...ipynb:575): (table, older_than_ms
+            # [, retain_last])
+            self.table(m.group(1)).expire_snapshots(
+                older_than_ms=int(m.group(2)),
+                retain_last=int(m.group(3) or 1),
+            )
+            return None
         m = re.match(
             r"alter table ([\w.]+) create branch (?:if not exists )?(\w+)", low
         )

@@ -16,6 +16,7 @@ SURVEY §2 coverage is cited per query (S/P/A/O/J/D/W ids).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -430,6 +431,33 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
+    )
+
+
+@qdef(
+    "json_scan_inference",
+    """
+    SELECT lang, count(*) AS doc_cnt, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+    """,
+    "S2", "A2",
+)
+def json_scan_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — JSON scan with schema inference (WAP...ipynb:94): round-trip a
+    slice of documents through JSON (written once per temp dir) and read it
+    back with ``inferSchema`` — the film-permits ingestion shape. The
+    aggregate proves inferred types survive (n_chars comes back numeric)."""
+    import tempfile
+
+    from lakeshed.io import read_json
+
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    path = os.path.join(tempfile.mkdtemp(prefix="lakeshed-json-"), "docs")
+    docs.select("doc_id", "lang", "n_chars").write.mode("overwrite").json(path)
+    j = read_json(spark, path, multiline=False)
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("doc_cnt"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
     )
 
 

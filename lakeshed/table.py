@@ -244,9 +244,12 @@ class LakeTable:
             ) from None
 
     def _versions(self) -> list[int]:
+        # NB: exclude checkpoint files — "00000020.checkpoint.json" would
+        # otherwise double-count version 20
         return sorted(
             int(os.path.basename(p).split(".")[0])
             for p in glob.glob(os.path.join(self.log_dir, "[0-9]*.json"))
+            if os.path.basename(p).count(".") == 1
         )
 
     def _refs(self) -> dict[str, int]:
@@ -268,15 +271,46 @@ class LakeTable:
             raise TableError(f"unknown branch {branch!r} for table {self.path}")
         return refs[branch]
 
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:08d}.checkpoint.json")
+
     def _chain(self, version: int) -> list[Commit]:
-        """Commit chain root→version (driver-side metadata walk, O(commits))."""
+        """Commit chain root→version — a driver-side metadata walk that
+        stops early at the newest checkpoint (Delta-style): a checkpoint
+        file holds the FULL live file set at its version, so state
+        reconstruction is O(commits since checkpoint), not O(all commits).
+        At 100 TB with millions of commits this is the difference between
+        milliseconds and minutes of driver time per read."""
         out: list[Commit] = []
         v: int | None = version
         while v is not None:
+            cp = self._checkpoint_path(v)
+            if os.path.exists(cp):
+                with open(cp) as fh:
+                    out.append(Commit.from_json(json.load(fh)))
+                break
             c = self._read_commit(v)
             out.append(c)
             v = c.parent
         return list(reversed(out))
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Materialize the full live state at ``version`` next to its
+        commit (the commit file itself is untouched — history, rollback and
+        time travel still work; the checkpoint is pure acceleration)."""
+        c, live = self._state(version)
+        snap = Commit(
+            version=c.version, parent=None, branch=c.branch,
+            operation=c.operation, timestamp_ms=c.timestamp_ms,
+            schema_version=c.schema_version, schemas=c.schemas,
+            partition_spec=c.partition_spec, add=live, remove=[],
+            properties=c.properties,
+            summary={**c.summary, "checkpoint": True},
+        )
+        tmp = self._checkpoint_path(version) + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(snap.to_json(), fh)
+        os.replace(tmp, self._checkpoint_path(version))
 
     def _state(self, version: int) -> tuple[Commit, list[AddFile]]:
         """Live file set at ``version``: replay add/remove along the chain."""
@@ -351,6 +385,10 @@ class LakeTable:
             ) from e
         refs[branch] = version
         self._write_refs(refs)
+        # periodic checkpoint (Delta writes one every 10 commits) keeps the
+        # chain walk bounded without any user action
+        if version > 0 and version % 20 == 0:
+            self._write_checkpoint(version)
         return commit
 
     # ------------------------------------------------------------ data write
@@ -965,6 +1003,16 @@ class LakeTable:
             summary={"rewritten-bytes": total, "target-files": n},
         )
 
+    def rewrite_manifests(self) -> int:
+        """D19 — ``CALL rewrite_manifests`` (Table Maintenance...ipynb:189):
+        compact the table's metadata by checkpointing the current head, so
+        later reads replay O(1) log files instead of the whole chain. Data
+        files untouched; history preserved. Returns the checkpointed
+        version."""
+        head = self.head()
+        self._write_checkpoint(head)
+        return head
+
     def expire_snapshots(self, *, older_than_ms: int | None = None,
                          retain_last: int = 1) -> list[int]:
         """D17 — ``expire_snapshots`` (Table Maintenance...ipynb:157):
@@ -1017,6 +1065,9 @@ class LakeTable:
                     if os.path.exists(p):
                         os.remove(p)
             os.remove(self._commit_path(v))
+            cp = self._checkpoint_path(v)
+            if os.path.exists(cp):
+                os.remove(cp)
         return expired
 
     # ------------------------------------------------------ metadata tables

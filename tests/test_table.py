@@ -197,6 +197,29 @@ def test_compaction_and_expiry(cat, spark):
     assert len(data_files) == t.files().count()
 
 
+def test_rewrite_manifests_checkpoint(cat, nation):
+    """D19 — checkpointing bounds the log walk: after rewrite_manifests the
+    chain reconstruction reads O(1) files, and reads/time-travel/rollback
+    still behave identically."""
+    t = cat.create_table("default.ckpt", nation)
+    for _ in range(5):
+        t.append(nation.limit(2))
+    v_mid = t.head()
+    cp_version = t.rewrite_manifests()
+    assert cp_version == v_mid
+    assert os.path.exists(t._checkpoint_path(cp_version))
+    n_before = t.read().count()
+    t.append(nation.limit(3))
+    # chain from the new head stops at the checkpoint
+    chain = t._chain(t.head())
+    assert len(chain) == 2 and chain[0].version == cp_version
+    assert t.read().count() == n_before + 3
+    # history below the checkpoint is still reachable (commit files intact)
+    assert t.read(version=0).count() == nation.count()
+    t.rollback_to_snapshot(v_mid)
+    assert t.read().count() == n_before
+
+
 def test_truncate_and_insert_values(cat, nation):
     t = cat.create_table("default.tv", nation.limit(5))
     t.truncate()
@@ -226,6 +249,9 @@ def test_sql_router(cat, nation):
     ).first()["n_name"] == "ATLANTIS"
     desc = cat.sql("DESCRIBE EXTENDED nyc.taxis")
     assert "n_name" in [r.col_name for r in desc.collect()]
+    cat.sql("CALL system.rewrite_data_files('nyc.taxis')")
+    cat.sql("CALL system.rewrite_manifests('nyc.taxis')")
+    assert cat.table("nyc.taxis").files().count() >= 1
     cat.sql("DROP TABLE nyc.taxis")
     with pytest.raises(TableError):
         cat.table("nyc.taxis")
