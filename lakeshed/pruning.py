@@ -1,0 +1,218 @@
+"""Manifest-style file pruning — evaluate predicates against per-file stats.
+
+The reference surfaces this twice: PyIceberg's client-side scan planning
+(``tbl.scan(row_filter=GreaterThanOrEqual(...))`` plans only matching data
+files, ``PyIceberg - Getting Started.ipynb:151,168``) and Iceberg's
+manifest evaluation over per-column ``lower_bounds``/``upper_bounds``/
+``null_value_counts`` (``Iceberg - Getting Started.ipynb:367``, SURVEY §4
+"file skipping"). The commit log records the same stats at write time, so
+the engine can drop whole files from the scan BEFORE Spark opens them —
+at 100 TB this is the difference between touching 3 files and 30 000.
+
+Semantics are conservative: a file is pruned only when its stats PROVE no
+row can match. Anything unprovable (unparsed predicate shapes, missing
+stats, OR branches) keeps the file; the full predicate always re-applies
+as a residual filter in the Spark plan (S13), so pruning can never change
+results — only skip I/O.
+
+The predicate mini-grammar (comparisons of a column vs a literal, combined
+with AND/OR/parens) mirrors what Iceberg's manifest evaluator can use;
+everything else falls through to "keep".
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any, Union
+
+
+@dataclass
+class Comparison:
+    col: str
+    op: str  # = != < <= > >=
+    value: Any  # float for numerics, str otherwise
+
+
+@dataclass
+class BoolOp:
+    kind: str  # and | or
+    left: "Node"
+    right: "Node"
+
+
+@dataclass
+class Unknown:
+    """A clause pruning cannot reason about — always evaluates to MAYBE."""
+
+
+Node = Union[Comparison, BoolOp, Unknown]
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() | (?P<rparen>\)) |
+        (?P<and>(?i:AND)\b) | (?P<or>(?i:OR)\b) |
+        (?P<op><=|>=|!=|<>|=|<|>) |
+        (?P<str>'(?:[^']|'')*') |
+        (?P<num>-?\d+(?:\.\d+)?(?:[eE]-?\d+)?) |
+        (?P<ident>`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(s: str) -> list[tuple[str, str]] | None:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m:
+            if s[pos:].strip():
+                return None  # unrecognized input → no pruning
+            break
+        pos = m.end()
+        for kind, val in m.groupdict().items():
+            if val is not None:
+                out.append((kind, val))
+                break
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse_or(self) -> Node:
+        left = self.parse_and()
+        while self.peek() and self.peek()[0] == "or":
+            self.take()
+            left = BoolOp("or", left, self.parse_and())
+        return left
+
+    def parse_and(self) -> Node:
+        left = self.parse_atom()
+        while self.peek() and self.peek()[0] == "and":
+            self.take()
+            left = BoolOp("and", left, self.parse_atom())
+        return left
+
+    def parse_atom(self) -> Node:
+        t = self.peek()
+        if t is None:
+            return Unknown()
+        if t[0] == "lparen":
+            self.take()
+            inner = self.parse_or()
+            if self.peek() and self.peek()[0] == "rparen":
+                self.take()
+                return inner
+            return Unknown()
+        if t[0] == "ident":
+            ident = self.take()[1].strip("`")
+            op_t = self.peek()
+            if op_t is None or op_t[0] != "op":
+                return Unknown()
+            op = self.take()[1]
+            if op == "<>":
+                op = "!="
+            val_t = self.peek()
+            if val_t is None or val_t[0] not in ("num", "str"):
+                return Unknown()
+            kind, raw = self.take()
+            value: Any = (
+                float(raw) if kind == "num"
+                else raw[1:-1].replace("''", "'")
+            )
+            return Comparison(ident, op, value)
+        # anything else (functions, IS NULL, IN, ...) → unknown clause
+        self.take()
+        return Unknown()
+
+
+def parse_predicate(sql: str) -> Node:
+    toks = _tokenize(sql)
+    if toks is None or not toks:
+        return Unknown()
+    p = _Parser(toks)
+    node = p.parse_or()
+    if p.i != len(p.toks):
+        return Unknown()
+    return node
+
+
+def _coerce(stat: str, value: Any) -> tuple[Any, Any] | None:
+    """Bring a stringified stat and a literal to a comparable domain.
+    Numeric if both parse as numbers (stringified numbers compare WRONG
+    lexicographically: '9' > '10'); else string vs string."""
+    if isinstance(value, float):
+        try:
+            return float(stat), value
+        except ValueError:
+            return None
+    return stat, str(value)
+
+
+def _cmp_maybe_match(op: str, lo: str | None, hi: str | None,
+                     value: Any) -> bool:
+    """Can ANY row in [lo, hi] satisfy ``col op value``? Missing bound →
+    unbounded on that side → maybe."""
+    if op in ("=",):
+        if lo is not None:
+            c = _coerce(lo, value)
+            if c is not None and c[0] > c[1]:
+                return False
+        if hi is not None:
+            c = _coerce(hi, value)
+            if c is not None and c[0] < c[1]:
+                return False
+        return True
+    if op in ("<", "<="):
+        if lo is None:
+            return True
+        c = _coerce(lo, value)
+        if c is None:
+            return True
+        return c[0] < c[1] if op == "<" else c[0] <= c[1]
+    if op in (">", ">="):
+        if hi is None:
+            return True
+        c = _coerce(hi, value)
+        if c is None:
+            return True
+        return c[0] > c[1] if op == ">" else c[0] >= c[1]
+    # != can only be refuted when lo == hi == value (single-valued file)
+    if op == "!=":
+        if lo is not None and hi is not None and lo == hi:
+            c = _coerce(lo, value)
+            if c is not None and c[0] == c[1]:
+                return False
+        return True
+    return True
+
+
+def file_may_match(node: Node, lower: dict[str, str], upper: dict[str, str],
+                   partition_values: dict[str, str]) -> bool:
+    """Conservative manifest evaluation: False ⇒ provably zero matching
+    rows in the file. Partition-dir values act as exact single-value
+    bounds for their column."""
+    if isinstance(node, Unknown):
+        return True
+    if isinstance(node, BoolOp):
+        l = file_may_match(node.left, lower, upper, partition_values)
+        r = file_may_match(node.right, lower, upper, partition_values)
+        return (l and r) if node.kind == "and" else (l or r)
+    assert isinstance(node, Comparison)
+    if node.col in partition_values:
+        pv = partition_values[node.col]
+        return _cmp_maybe_match(node.op, pv, pv, node.value)
+    return _cmp_maybe_match(
+        node.op, lower.get(node.col), upper.get(node.col), node.value
+    )

@@ -635,23 +635,27 @@ class LakeTable:
         return self._scan(version)
 
     def _scan(self, version: int, with_file_path: bool = False) -> DataFrame:
-        """Live-file scan at ``version``; optionally carries a ``__file``
-        column captured from ``_metadata.file_path`` INSIDE each file-group
-        scan (the hidden column does not survive a union, so DML planning
-        must grab it before groups merge)."""
         commit, live = self._state(version)
+        return self._read_adds(commit, live, with_file_path)
+
+    def _read_adds(self, commit: Commit, adds: list[AddFile],
+                   with_file_path: bool = False) -> DataFrame:
+        """Scan a specific file list under ``commit``'s schema; optionally
+        carries a ``__file`` column captured from ``_metadata.file_path``
+        INSIDE each file-group scan (the hidden column does not survive a
+        union, so DML planning must grab it before groups merge)."""
         cur_fields = commit.schemas[str(commit.schema_version)]
-        if not live:
+        if not adds:
             ddl = _ddl(cur_fields)
             if with_file_path:
                 ddl += ", `__file` string"
             return self.spark.createDataFrame([], schema=ddl)
         groups: dict[tuple[str, int], list[AddFile]] = {}
-        for a in live:
+        for a in adds:
             groups.setdefault((a.base, a.schema_version), []).append(a)
         parts: list[DataFrame] = []
-        for (base, sv), adds in sorted(groups.items()):
-            paths = [os.path.join(self.path, a.path) for a in adds]
+        for (base, sv), grp in sorted(groups.items()):
+            paths = [os.path.join(self.path, a.path) for a in grp]
             df = (
                 self.spark.read.option(
                     "basePath", os.path.join(self.path, base)
@@ -665,6 +669,59 @@ class LakeTable:
             )
             parts.append(adapted)
         return reduce(DataFrame.unionByName, parts)
+
+    # ----------------------------------------------------- pruned scanning
+
+    @staticmethod
+    def _partition_values(path: str) -> dict[str, str]:
+        out = {}
+        for seg in path.split(os.sep):
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                out[k] = v
+        return out
+
+    def plan_files(self, where: str | None = None,
+                   version: int | None = None) -> list[AddFile]:
+        """S14 — manual scan planning (``table.newScan().filter(...)
+        .planTasks()``, Iceberg - An Introduction...ipynb:273): the live
+        files a predicate can touch, after manifest-style stats pruning
+        (lower/upper bounds + partition-dir values from the commit log)."""
+        from lakeshed.pruning import file_may_match, parse_predicate
+
+        commit, live = self._state(
+            self.head() if version is None else version
+        )
+        if where is None:
+            return live
+        node = parse_predicate(where)
+        return [
+            a for a in live
+            if file_may_match(node, a.lower_bounds, a.upper_bounds,
+                              self._partition_values(a.path))
+        ]
+
+    def scan(self, where: str | None = None,
+             columns: Iterable[str] | None = None,
+             version: int | None = None) -> DataFrame:
+        """S12 — pruned scan: the PyIceberg client path
+        (``tbl.scan(row_filter=...)`` plans only matching files,
+        PyIceberg...ipynb:151,168) rebuilt on the commit log's stats.
+
+        Files whose min/max bounds prove zero matching rows never reach
+        the Spark plan (no footer read, no task). The predicate always
+        re-applies as a residual filter (S13), so results are identical to
+        ``read().where(...)`` — only I/O differs. At 100 TB this prunes at
+        METADATA cost, before Spark's own partition/row-group pruning."""
+        v = self.head() if version is None else version
+        commit, _ = self._state(v)
+        kept = self.plan_files(where, version=v)
+        df = self._read_adds(commit, kept)
+        if where is not None:
+            df = df.where(F.expr(where))
+        if columns is not None:
+            df = df.select(*columns)
+        return df
 
     def to_df(self) -> DataFrame:
         return self.read()
@@ -704,16 +761,30 @@ class LakeTable:
     # ------------------------------------------------------------- row DML
 
     def _match_files(self, cond: Column, live: list[AddFile],
-                     commit: Commit) -> set[str]:
+                     commit: Commit, where_str: str | None = None) -> set[str]:
         """Relative paths of live files containing ≥1 row matching ``cond``.
 
-        Distributed: a pruned scan + filter + distinct on the hidden
-        ``_metadata.file_path`` column — the only thing collected is the
-        (metadata-scale) file-name list. This is the copy-on-write planning
-        step of Iceberg/Delta DML."""
+        Two-stage copy-on-write planning, like Iceberg/Delta DML: (1)
+        manifest-style stats pruning drops files the predicate provably
+        misses (metadata-only, when the predicate arrived as SQL text);
+        (2) a distributed scan + filter + distinct on the hidden
+        ``_metadata.file_path`` column finds the true hit set — the only
+        thing collected is the (metadata-scale) file-name list."""
         if not live:
             return set()
-        df = self._scan(self.head(), with_file_path=True)
+        candidates = live
+        if where_str is not None:
+            from lakeshed.pruning import file_may_match, parse_predicate
+
+            node = parse_predicate(where_str)
+            candidates = [
+                a for a in live
+                if file_may_match(node, a.lower_bounds, a.upper_bounds,
+                                  self._partition_values(a.path))
+            ]
+            if not candidates:
+                return set()
+        df = self._read_adds(commit, candidates, with_file_path=True)
         matched = (
             df.where(cond)
             .select("__file")
@@ -748,7 +819,10 @@ class LakeTable:
             raise TableError(
                 f"UPDATE references unknown column(s) {sorted(unknown)}"
             )
-        hit = self._match_files(cond, live, head_commit)
+        hit = self._match_files(
+            cond, live, head_commit,
+            where_str=where if isinstance(where, str) else None,
+        )
         if not hit:
             return self._commit("update", [], [], summary={"updated-files": 0})
         hit_adds = [a for a in live if a.path in hit]
@@ -775,7 +849,10 @@ class LakeTable:
         without the matching rows."""
         cond = F.expr(where) if isinstance(where, str) else where
         head_commit, live = self._state(self.head())
-        hit = self._match_files(cond, live, head_commit)
+        hit = self._match_files(
+            cond, live, head_commit,
+            where_str=where if isinstance(where, str) else None,
+        )
         if not hit:
             return self._commit("delete", [], [], summary={"deleted-files": 0})
         hit_adds = [a for a in live if a.path in hit]
@@ -790,17 +867,7 @@ class LakeTable:
                             summary={"deleted-files": len(hit)})
 
     def _read_files(self, adds: list[AddFile], commit: Commit) -> DataFrame:
-        cur = commit.schemas[str(commit.schema_version)]
-        groups: dict[tuple[str, int], list[AddFile]] = {}
-        for a in adds:
-            groups.setdefault((a.base, a.schema_version), []).append(a)
-        parts = []
-        for (base, sv), grp in sorted(groups.items()):
-            df = self.spark.read.option(
-                "basePath", os.path.join(self.path, base)
-            ).parquet(*[os.path.join(self.path, a.path) for a in grp])
-            parts.append(self._adapt(df, commit.schemas[str(sv)], cur))
-        return reduce(DataFrame.unionByName, parts)
+        return self._read_adds(commit, adds)
 
     def merge(
         self,

@@ -161,6 +161,33 @@ def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @qdef(
+    "table_pruned_scan",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice >= 400000
+    """,
+    "S12", "S13", "S14",
+)
+def table_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/S14 — manifest-style pruned scan: range-cluster orders by
+    o_totalprice into 8 files, then scan with a bounds predicate — the
+    commit log's per-file min/max prove most files can't match, so they
+    never reach the Spark plan (the PyIceberg client-scan path,
+    PyIceberg...ipynb:151,168). Residual filter keeps results exact."""
+    orders = load_star(spark, sf_dir, "orders")["orders"]
+    t = _cat(spark).create_table(
+        "default.orders_pruned",
+        orders.repartitionByRange(8, "o_totalprice"),
+    )
+    planned = t.plan_files("o_totalprice >= 400000")
+    assert len(planned) < len(t.plan_files()), "stats pruning had no effect"
+    return t.scan(
+        "o_totalprice >= 400000", columns=("o_orderkey", "o_totalprice")
+    )
+
+
+@qdef(
     "table_wap_publish",
     """
     SELECT count(*) AS cnt FROM region

@@ -1,0 +1,136 @@
+"""Stats-based file pruning (S12/S14 + SURVEY §4 file skipping) and
+partitioned tables (D2 partitioned create, partitions() metadata)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeshed.catalog import Catalog
+from lakeshed.pruning import file_may_match, parse_predicate
+
+SF = os.environ.get("LAKESHED_TEST_SF", "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------- unit level
+
+
+@pytest.mark.parametrize(
+    "pred,lo,hi,expect",
+    [
+        ("x = 5", "10", "20", False),
+        ("x = 15", "10", "20", True),
+        ("x < 5", "10", "20", False),
+        ("x <= 10", "10", "20", True),
+        ("x > 20", "10", "20", False),
+        ("x >= 20", "10", "20", True),
+        # stringified numbers must compare numerically: lexically '9'>'10'
+        ("x = 9", "9", "10", True),
+        ("x > 99", "100", "200", True),
+        # conjunction prunes if either side refutes; disjunction needs both
+        ("x < 5 AND y = 1", "10", "20", False),
+        ("x < 5 OR x > 15", "10", "20", True),
+        ("(x < 5 OR x > 25) AND x = 30", "10", "20", False),
+        # unknown shapes keep the file
+        ("x IS NULL", "10", "20", True),
+        ("upper(x) = 'A'", "10", "20", True),
+    ],
+)
+def test_file_may_match(pred, lo, hi, expect):
+    node = parse_predicate(pred)
+    assert file_may_match(node, {"x": lo}, {"x": hi}, {}) is expect
+
+
+def test_partition_value_acts_as_exact_bound():
+    node = parse_predicate("p = 'b'")
+    assert file_may_match(node, {}, {}, {"p": "a"}) is False
+    assert file_may_match(node, {}, {}, {"p": "b"}) is True
+
+
+def test_string_bounds():
+    node = parse_predicate("name >= 'M'")
+    assert file_may_match(node, {"name": "AAA"}, {"name": "LZZ"}, {}) is False
+    assert file_may_match(node, {"name": "AAA"}, {"name": "ZOO"}, {}) is True
+
+
+# ------------------------------------------------------------- table level
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "wh"))
+
+
+def test_scan_prunes_files_same_rows(cat, spark):
+    """Range-partitioned writes give disjoint per-file key ranges; a point
+    predicate must plan a strict subset of files and return exactly the
+    rows read().where() returns."""
+    df = (
+        spark.range(0, 10000)
+        .withColumn("k", F.col("id"))
+        .repartitionByRange(8, "k")
+    )
+    t = cat.create_table("default.pruned", df)
+    all_files = t.plan_files()
+    assert len(all_files) == 8
+    hit = t.plan_files("k >= 9000")
+    assert 0 < len(hit) < len(all_files)
+    got = t.scan("k >= 9000").count()
+    want = t.read().where("k >= 9000").count()
+    assert got == want == 1000
+    # impossible predicate → zero files planned, empty result, same schema
+    assert t.plan_files("k < 0") == []
+    empty = t.scan("k < 0")
+    assert empty.count() == 0 and empty.columns == t.read().columns
+
+
+def test_scan_residual_filter_correctness(cat, spark):
+    """Pruning must never change results — predicates it can't reason
+    about (modulo) fall through to the residual filter."""
+    df = spark.range(0, 1000).withColumn("k", F.col("id"))
+    t = cat.create_table("default.resid", df.repartition(4))
+    got = {r.id for r in t.scan("k % 97 = 0").collect()}
+    want = {r.id for r in t.read().where("k % 97 = 0").collect()}
+    assert got == want and got
+
+
+def test_partitioned_create_and_pruning(cat, spark):
+    """D2 — PARTITIONED BY: partition dirs materialize, partitions()
+    metadata rolls up, and both the engine's planner and Spark's
+    PartitionFilters prune on the partition column."""
+    df = spark.createDataFrame(
+        [(i, ["red", "green", "blue"][i % 3], float(i)) for i in range(300)],
+        "id bigint, color string, v double",
+    )
+    t = cat.create_table("default.part", df, partition_by=("color",))
+    parts = {r.partition: r.record_count for r in t.partitions().collect()}
+    assert len(parts) == 3 and sum(parts.values()) == 300
+    # engine-level pruning from partition-dir values
+    hit = t.plan_files("color = 'red'")
+    assert all("color=red" in a.path for a in hit)
+    assert len(hit) < len(t.plan_files())
+    assert t.scan("color = 'red'").count() == 100
+    # appends respect the live partition spec
+    t.append(spark.createDataFrame([(999, "red", 9.9)],
+                                   "id bigint, color string, v double"))
+    assert t.scan("color = 'red'").count() == 101
+    # partition column survives the read with correct type
+    assert dict(t.read().dtypes)["color"] == "string"
+
+
+def test_update_only_rewrites_matching_partition(cat, spark):
+    """Copy-on-write DML + partitioning: an UPDATE keyed to one partition
+    must leave other partitions' files untouched on disk."""
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(100)],
+        "id bigint, p string, v double",
+    )
+    t = cat.create_table("default.cow", df, partition_by=("p",))
+    before = {a.path for a in t.plan_files("p = 'b'")}
+    t.update({"v": "v + 1000"}, where="p = 'a'")
+    after = {a.path for a in t.plan_files("p = 'b'")}
+    assert before == after  # b-partition files carried over by reference
+    assert t.read().where("p = 'b' AND v >= 1000").count() == 0
+    assert t.read().where("p = 'a' AND v >= 1000").count() == 50
