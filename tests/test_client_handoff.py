@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 SF = os.environ.get("LAKESHED_TEST_SF", "/root/testdata/sf0.001")
@@ -42,6 +43,34 @@ def test_to_local_iterator(spark):
     seen = {r["n_name"] for r in df.toLocalIterator()}
     assert seen == {r["n_name"] for r in df.collect()}
     assert len(seen) > 0
+
+
+def test_sql_cell_magic(spark, tmp_path):
+    """C5 — the %%sql magic routes cells through Catalog.sql with --limit
+    and --var (spark/ipython/startup/00-prettytables.py:56-81 behavior)."""
+    pytest.importorskip("IPython")
+    from IPython.core.interactiveshell import InteractiveShell
+
+    from lakeshed.catalog import Catalog
+    from lakeshed.magic import register_magics
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_database("nyc")
+    cat.create_table(
+        "nyc.n", spark.read.parquet(os.path.join(SF, "nation.parquet"))
+    )
+    shell = InteractiveShell.instance()
+    register_magics(cat)
+    pdf = shell.run_cell_magic(
+        "sql", "--limit 3 --var out",
+        "SELECT n_nationkey FROM nyc.n ORDER BY n_nationkey",
+    )
+    assert len(pdf) == 3 and list(pdf["n_nationkey"]) == [0, 1, 2]
+    assert shell.user_ns["out"].count() > 3  # full frame captured
+    assert shell.run_cell_magic(
+        "sql", "", "DELETE FROM nyc.n WHERE n_nationkey >= 20"
+    ) is None
+    assert cat.table("nyc.n").read().count() == 20
 
 
 def test_broadcast_join_plan_shape(spark):
