@@ -71,27 +71,33 @@ def hash_shingles(col: Column) -> Column:
     return F.transform(col, lambda s: F.xxhash64(s))
 
 
-def minhash_signature(hashed: Column, num_hashes: int = 128,
-                      seed: int = 42) -> Column:
+def minhash_signature(hashed: Column, params: Column) -> Column:
     """k-permutation MinHash over a column of already-hashed shingles
     (see :func:`hash_shingles`): h_i = min((a_i·h + b_i) mod M).
 
-    All JVM higher-order functions — no Python, no shuffle. HOFs evaluate
-    interpreted (not codegen'd), so work is O(|set|·k) interpreted ops per
-    row: keep k modest and partition count high (minhash_lsh_pairs
-    repartitions before this projection)."""
-    a, b = _hash_params(num_hashes, seed)
+    ``params`` is an array<struct<a,b>> ATTRIBUTE (broadcast one-row
+    frame, :func:`minhash_params_df`) rather than a literal — large
+    constant trees make every Catalyst rule pass crawl. All JVM
+    higher-order functions — no Python, no shuffle; HOFs evaluate
+    interpreted, so keep k modest and partition count high."""
     return F.transform(
-        F.array(*[
-            F.struct(F.lit(a[i]).alias("a"), F.lit(b[i]).alias("b"))
-            for i in range(num_hashes)
-        ]),
+        params,
         lambda p: F.array_min(
             F.transform(
                 hashed,
                 lambda h: F.pmod(p["a"] * h + p["b"], F.lit(_MERSENNE)),
             )
         ),
+    )
+
+
+def minhash_params_df(spark, num_hashes: int = 128, seed: int = 42):
+    """One-row frame carrying the (a_i, b_i) permutation parameters —
+    crossJoin(broadcast(...)) it onto the corpus before signing."""
+    a, b = _hash_params(num_hashes, seed)
+    return spark.createDataFrame(
+        [([{"a": a[i], "b": b[i]} for i in range(num_hashes)],)],
+        "__mh_params array<struct<a bigint, b bigint>>",
     )
 
 
@@ -133,9 +139,15 @@ def minhash_lsh_pairs(
         .where(F.size("sh") > 0)
         .repartition(spark.sparkContext.defaultParallelism, "id")
     )
-    sigs = base.withColumn("hs", hash_shingles(F.col("sh"))).select(
-        "id", "sh",
-        minhash_signature(F.col("hs"), num_hashes, seed).alias("sig"),
+    sigs = (
+        base.crossJoin(
+            F.broadcast(minhash_params_df(spark, num_hashes, seed))
+        )
+        .withColumn("hs", hash_shingles(F.col("sh")))
+        .select(
+            "id", "sh",
+            minhash_signature(F.col("hs"), F.col("__mh_params")).alias("sig"),
+        )
     )
     banded = sigs.select(
         "id",
