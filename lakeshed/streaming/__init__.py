@@ -13,4 +13,5 @@ from lakeshed.streaming.changelog import (  # noqa: F401
     parse_changelog,
     rate_changelog_source,
     socket_lines,
+    windowed_rollup,
 )

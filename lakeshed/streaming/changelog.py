@@ -145,6 +145,29 @@ def changelog_upsert(
     return writer.start()
 
 
+def windowed_rollup(events: DataFrame, *, ts_col: str = "timestamp",
+                    key_col: str = "event", window: str = "1 hour",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Clickstream tumbling-window analytics — the datagen's declared
+    purpose (datagen/datagen.py:28-51) in streaming form: watermarked
+    event-time window + per-kind counts. Late rows beyond the watermark
+    drop; state is bounded by (windows in flight × keys). Works on batch
+    frames too (the watermark is a no-op there), so the batch oracle is
+    the same expression."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            key_col,
+            "cnt",
+        )
+    )
+
+
 def diff_versions(table: LakeTable, v_from: int, v_to: int | None = None
                   ) -> DataFrame:
     """W7 — CDC read-back: row-level diff between two snapshots with a

@@ -384,6 +384,25 @@ class LakeTable:
             raise CommitConflictError(
                 f"version {version} already committed under {self.log_dir}"
             ) from e
+        # lost-update guard: another writer may have committed a SIBLING
+        # (same branch, same parent) under a lower version number between
+        # our head resolution and our exclusive create — publishing ours
+        # would silently discard theirs. Earlier version wins; we abort.
+        for v2 in self._versions():
+            if v2 == version or (parent is not None and v2 <= parent):
+                continue
+            if v2 > version:
+                continue  # later sibling loses to us, not us to it
+            try:
+                c2 = self._read_commit(v2)
+            except (TableError, json.JSONDecodeError, KeyError):
+                continue
+            if c2.branch == branch and c2.parent == parent:
+                os.remove(self._commit_path(version))
+                raise CommitConflictError(
+                    f"concurrent commit {v2} (branch {branch!r}, parent "
+                    f"{parent}) won the race; re-resolve and retry"
+                )
         refs[branch] = version
         self._write_refs(refs)
         # periodic checkpoint (Delta writes one every 10 commits) keeps the

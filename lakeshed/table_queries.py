@@ -188,6 +188,33 @@ def table_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @qdef(
+    "table_snapshot_summary_map",
+    """
+    SELECT 'create' AS operation, count(*) AS added FROM nation
+    UNION ALL
+    SELECT 'append' AS operation, count(*) AS added FROM region
+    """,
+    "P8", "S7",
+)
+def table_snapshot_summary_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 in its REAL reference shape — a MapType subscript on the
+    snapshots metadata table (``summary['wap.id']``, Integrated
+    Audits...ipynb:280): create + append, then read each commit's
+    ``summary['added-records']`` back out of the metadata relation."""
+    t_ = load_star(spark, sf_dir, "nation", "region")
+    t = _cat(spark).create_table("default.summap", t_["nation"])
+    t.append(t_["region"].select(
+        F.col("r_regionkey").alias("n_nationkey"),
+        F.col("r_name").alias("n_name"),
+        F.col("r_regionkey").alias("n_regionkey"),
+    ))
+    return t.snapshots().select(
+        "operation",
+        F.col("summary")["added-records"].cast("bigint").alias("added"),
+    )
+
+
+@qdef(
     "table_wap_publish",
     """
     SELECT count(*) AS cnt FROM region

@@ -108,6 +108,70 @@ def test_checkpoint_no_reprocessing(spark, tmp_path):
     assert table.head() == head_before
 
 
+def test_windowed_rollup_stream_equals_batch(spark, tmp_path):
+    """T/watermark — the streaming windowed rollup over a bounded file
+    source (availableNow, complete mode) must equal the same expression
+    evaluated in batch."""
+    from lakeshed.fixtures import clickstream
+    from lakeshed.streaming import windowed_rollup
+
+    ev = clickstream(spark, rows=500)
+    src = str(tmp_path / "ev")
+    ev.write.mode("overwrite").parquet(src)
+
+    batch = {
+        (r.window_start, r.event, r.cnt)
+        for r in windowed_rollup(
+            spark.read.parquet(src), window="5 minutes"
+        ).collect()
+    }
+    stream = windowed_rollup(
+        spark.readStream.schema(ev.schema).parquet(src), window="5 minutes"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("roll_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event, r.cnt)
+        for r in spark.sql("SELECT * FROM roll_sink").collect()
+    }
+    assert got == batch and batch
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    """Optimistic concurrency: a racing writer that lands the next log
+    version first forces CommitConflictError on the loser."""
+    import pytest
+
+    from lakeshed.table import CommitConflictError, TableError
+
+    import json
+
+    cat = Catalog(spark, str(tmp_path / "whc"))
+    t = cat.create_table(
+        "default.race", spark.createDataFrame([(1, "a")], "k int, v string")
+    )
+    # simulate the race: a sibling commit (same branch, same parent) lands
+    # under the next version number before our append publishes
+    head = t.head()
+    with open(t._commit_path(head)) as fh:
+        sibling = json.load(fh)
+    sibling["version"] = head + 1
+    sibling["parent"] = head
+    with open(t._commit_path(head + 1), "x") as fh:
+        json.dump(sibling, fh)
+    with pytest.raises((CommitConflictError, TableError)):
+        t.append(spark.createDataFrame([(2, "b")], "k int, v string"))
+    # the loser's commit file must not linger
+    assert max(t._versions()) == head + 1
+
+
 def test_diff_versions_cdc(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh2"))
     t = cat.create_table(
