@@ -178,7 +178,13 @@ class Catalog:
             # SQL INSERT is positional (W2: df.write.insertInto,
             # Table Maintenance...ipynb:77) — rename to target schema
             df = df.toDF(*[f.name for f in t.schema_fields()])
-            t.append(df, branch=self.write_branch())
+            # D14 — spark.wap.id pin + write.wap.enabled stages the write
+            # (Integrated Audits...ipynb:191,461)
+            wap_id = self._conf.get("spark.wap.id")
+            if wap_id and t.properties().get("write.wap.enabled") == "true":
+                t.append(df, wap_id=wap_id)
+            else:
+                t.append(df, branch=self.write_branch())
             return None
         m = re.match(
             r"call \w*\.?rollback_to_snapshot\('([\w.]+)'\s*,\s*(\d+)\)", low
@@ -259,6 +265,22 @@ class Catalog:
             for tbl in self.tables(db):
                 base = f"{db}.{tbl}"
                 t = self.table(base)
+                # D20/S6 — time travel: FROM t VERSION AS OF <id|'branch'>
+                # (WAP...ipynb:272 uses a branch name; Iceberg also takes
+                # snapshot ids)
+                for m in re.finditer(
+                    rf"{re.escape(base)}\s+version\s+as\s+of\s+"
+                    r"(\d+|'(\w+)')", s, re.IGNORECASE,
+                ):
+                    if m.group(2):
+                        pinned = t.read(branch=m.group(2))
+                        tag = m.group(2)
+                    else:
+                        pinned = t.read(version=int(m.group(1)))
+                        tag = m.group(1)
+                    view = f"__lakeshed_{db}_{tbl}_v_{tag}"
+                    pinned.createOrReplaceTempView(view)
+                    s = s.replace(m.group(0), view)
                 for meta in _META_TABLES:
                     dotted = f"{base}.{meta}"
                     if re.search(re.escape(dotted), s, re.IGNORECASE):

@@ -339,6 +339,7 @@ class LakeTable:
         partition_spec: list[str] | None = None,
         properties: dict[str, str] | None = None,
         summary: dict[str, Any] | None = None,
+        update_ref: bool = True,
     ) -> Commit:
         os.makedirs(self.log_dir, exist_ok=True)
         refs = self._refs()
@@ -403,8 +404,9 @@ class LakeTable:
                     f"concurrent commit {v2} (branch {branch!r}, parent "
                     f"{parent}) won the race; re-resolve and retry"
                 )
-        refs[branch] = version
-        self._write_refs(refs)
+        if update_ref:
+            refs[branch] = version
+            self._write_refs(refs)
         # periodic checkpoint (Delta writes one every 10 commits) keeps the
         # chain walk bounded without any user action
         if version > 0 and version % 20 == 0:
@@ -785,16 +787,32 @@ class LakeTable:
 
     # ---------------------------------------------------------------- writes
 
-    def append(self, df: DataFrame, *, branch: str = MAIN) -> Commit:
+    def append(self, df: DataFrame, *, branch: str = MAIN,
+               wap_id: str | None = None) -> Commit:
         """W2 — append write (``mode("append").saveAsTable``,
         PyIceberg...ipynb:120 / ``writeTo(...).append()``,
-        Berlin Buzzwords.ipynb:119)."""
+        Berlin Buzzwords.ipynb:119).
+
+        With ``wap_id`` (D14 — the ``spark.wap.id`` pin, Integrated
+        Audits...ipynb:191): the commit is STAGED — written to the log,
+        tagged ``summary['wap.id']``, but no ref moves, so readers never
+        see it until ``cherrypick_snapshot`` publishes it (D16)."""
         head_commit = self._read_commit(self.head(branch))
         fields = head_commit.schemas[str(head_commit.schema_version)]
         aligned = df.select(*[F.col(f"`{f.name}`").cast(f.type) for f in fields])
         adds = self._write_files(
             aligned, head_commit.partition_spec, head_commit.schema_version
         )
+        if wap_id is not None:
+            # staged commits chain on their own wap-<id> ref (first one
+            # forks from the target branch); main never moves, and the
+            # sibling-conflict guard sees distinct parents per stage
+            wb = f"wap-{wap_id}"
+            parent = self._refs().get(wb, self.head(branch))
+            return self._commit(
+                "append", adds, [], branch=wb, parent=parent,
+                summary={"wap.id": wap_id},
+            )
         return self._commit("append", adds, [], branch=branch)
 
     def overwrite(self, df: DataFrame, *, branch: str = MAIN) -> Commit:

@@ -162,6 +162,73 @@ def test_wap_branch_stage_audit_publish(cat, nation):
     assert "etl_job_42" not in t.branches()
 
 
+def test_wap_id_staged_commit_flow(cat, nation, spark):
+    """Integrated Audits Demo end-to-end (ipynb:140→191→280→394): pin
+    spark.wap.id + write.wap.enabled → INSERT stages invisibly → find the
+    staged snapshot by summary['wap.id'] → audit → cherry-pick publish."""
+    from pyspark.sql import functions as F
+
+    cat.create_database("nyc")
+    t = cat.create_table("nyc.permits", nation)
+    n0 = t.read().count()
+    t.set_properties(**{"write.wap.enabled": "true"})
+    cat.set_conf("spark.wap.id", "audit-7x")
+    cat.sql("INSERT INTO nyc.permits VALUES (77, 'STAGED', 7)")
+    # staged write is invisible on main
+    assert t.read().count() == n0
+    # locate the staged snapshot via the summary map (ipynb:280)
+    staged = (
+        t.snapshots()
+        .where(F.col("summary")["wap.id"] == "audit-7x")
+        .first()
+    )
+    assert staged is not None
+    # audit passes → publish (ipynb:394)
+    cat.sql(f"CALL system.cherrypick_snapshot('nyc.permits', {staged.snapshot_id})")
+    assert t.read().count() == n0 + 1
+    cat.set_conf("spark.wap.id", None)
+    cat.sql("INSERT INTO nyc.permits VALUES (78, 'DIRECT', 7)")
+    assert t.read().count() == n0 + 2  # unpinned writes go straight in
+
+
+def test_version_as_of_sql(cat, nation):
+    """D20 — SQL time travel over version ids and branch names
+    (WAP...ipynb:272)."""
+    cat.create_database("d")
+    t = cat.create_table("d.t", nation)
+    v0 = t.head()
+    t.delete("n_nationkey >= 10")
+    assert cat.sql(
+        f"SELECT count(*) AS c FROM d.t VERSION AS OF {v0}"
+    ).first()["c"] == nation.count()
+    assert cat.sql("SELECT count(*) AS c FROM d.t").first()["c"] == \
+        nation.where("n_nationkey < 10").count()
+    t.create_branch("audit", at=v0)
+    assert cat.sql(
+        "SELECT count(*) AS c FROM d.t VERSION AS OF 'audit'"
+    ).first()["c"] == nation.count()
+
+
+def test_partition_evolution(cat, spark):
+    """D12 — ADD/DROP PARTITION FIELD affects future writes only; old
+    file groups keep their layout and reads union across specs
+    (Getting Started.ipynb:323, Berlin Buzzwords.ipynb:267)."""
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(40)],
+        "id bigint, p string, v double",
+    )
+    t = cat.create_table("default.pevo", df)  # unpartitioned at first
+    assert not any("p=" in a.path for a in t.plan_files())
+    t.add_partition_field("p")
+    t.append(df)
+    new_files = [a for a in t.plan_files() if "p=" in a.path]
+    assert new_files and len(new_files) < len(t.plan_files())
+    assert t.read().count() == 80
+    t.drop_partition_field("p")
+    t.append(df.limit(5))
+    assert t.read().count() == 85
+
+
 def test_time_travel_and_metadata_tables(cat, nation):
     t = cat.create_table("default.tt", nation)
     v0 = t.head()
