@@ -100,3 +100,65 @@ def test_exact_dedup_keeps_min_id(spark):
     )
     out = {r.doc_id: r.dup_count for r in dedup.exact_dedup(df).collect()}
     assert out == {1: 2, 3: 1}
+
+
+def test_arrow_kernels_match_hof_paths(spark):
+    """The Arrow/numpy signature kernels are exact integer math and must be
+    bit-for-bit equal to the interpreted-HOF implementations they replace."""
+    docs = _docs(spark).limit(40)
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        dedup.hash_shingles(dedup.shingles("text", 3)).alias("hs"),
+    ).where(F.size("hs") > 0)
+
+    hof_sig = {
+        r.id: tuple(r.sig)
+        for r in base.crossJoin(
+            F.broadcast(dedup.minhash_params_df(spark, 32))
+        ).select(
+            "id",
+            dedup.minhash_signature(F.col("hs"), F.col("__mh_params"))
+            .alias("sig"),
+        ).collect()
+    }
+    arrow_sig = {
+        r.id: tuple(r.sig)
+        for r in base.select(
+            "id", dedup.minhash_signature_arrow(32)(F.col("hs")).alias("sig")
+        ).collect()
+    }
+    assert hof_sig == arrow_sig
+
+    hof_sim = {
+        r.id: r.sig
+        for r in base.select(
+            "id", dedup.simhash_from_hashes(F.col("hs")).alias("sig")
+        ).collect()
+    }
+    arrow_sim = {
+        r.id: r.sig
+        for r in base.select(
+            "id", dedup.simhash_arrow()(F.col("hs")).alias("sig")
+        ).collect()
+    }
+    assert hof_sim == arrow_sim
+
+
+def test_lsh_index_arrow_matches_hof_buckets(spark):
+    """Arrow matmul plane-dots produce the same (table, bucket) entries as
+    the HOF fold for the fixture vectors (no dots near the sign boundary)."""
+    emb = _emb(spark).limit(50)
+    dim = len(emb.select("embedding").first()[0])
+    a = sorted(
+        (r.id, r.tbl, r.bucket)
+        for r in similarity.lsh_index(
+            emb, dim, bits=4, tables=4, use_arrow=True
+        ).collect()
+    )
+    b = sorted(
+        (r.id, r.tbl, r.bucket)
+        for r in similarity.lsh_index(
+            emb, dim, bits=4, tables=4, use_arrow=False
+        ).collect()
+    )
+    assert a == b
