@@ -504,6 +504,7 @@ def _load_extensions() -> None:
     driver only pays for this when enumerating queries.
     """
     import lakeshed.llm.queries  # noqa: F401
+    import lakeshed.streaming.queries  # noqa: F401
     import lakeshed.table_queries  # noqa: F401
 
 

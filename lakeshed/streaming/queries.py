@@ -1,0 +1,185 @@
+"""Streaming CORRECTNESS queries — the Flink surface through the gate.
+
+Each entry runs a REAL Structured Streaming query (availableNow trigger,
+checkpointed) whose final state is deterministic and SQL-expressible, so
+the driver's DuckDB oracle can hash-compare it like any batch query:
+
+- ``stream_changelog_upsert`` — the IcebergStream.java pipeline end to end:
+  text-file source (socket stand-in) → arity filter → parse → foreachBatch
+  MERGE with equality-delete semantics (IcebergStream.java:87-122).
+- ``stream_windowed_rollup`` — watermarked tumbling-window aggregation over
+  a file stream; at rest equals the batch hourly rollup.
+- ``stream_cdc_diff`` — W7 changelog read-back: row diff between snapshots
+  after UPDATE/DELETE (toChangelogStream, PaimonStream.java:97-100).
+
+Determinism notes: the changelog encodes its arrival sequence in the
+payload (``p<event_id>``) and is written as ONE text file, so one
+availableNow batch sees a total order and last-wins-per-key replay equals
+the oracle's window; the rollup runs in complete mode so the single batch
+retains every window.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakeshed.catalog import Catalog
+from lakeshed.io import load_star
+from lakeshed.queries import qdef
+from lakeshed.streaming.changelog import (
+    changelog_upsert,
+    diff_versions,
+    parse_changelog,
+    windowed_rollup,
+)
+
+
+@qdef(
+    "stream_changelog_upsert",
+    """
+    WITH tgt AS (
+      SELECT user_id, 'p' || CAST(event_id AS VARCHAR) AS hash FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id <= 1500
+      ) WHERE rn = 1
+    ), src AS (
+      SELECT user_id, 'p' || CAST(event_id AS VARCHAR) AS hash,
+             CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'I' END AS op
+      FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id > 1500 AND event_id <= 3000
+      ) WHERE rn = 1
+    )
+    SELECT CAST(coalesce(s.user_id, t.user_id) AS INTEGER) AS block_number,
+           coalesce(s.hash, t.hash) AS hash
+    FROM tgt t FULL JOIN src s ON t.user_id = s.user_id
+    WHERE coalesce(s.op, 'keep') <> 'D'
+    """,
+    "S8", "T1", "T2", "T3", "W5", "W6", "P9", "P10",
+)
+def stream_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Flink changelog pipeline as Structured Streaming: bounded
+    text source (same line protocol as the socket source,
+    IcebergStream.java:87-98) → malformed-line filter → parse →
+    checkpointed foreachBatch MERGE (equality delete, :116-120) → final
+    table state. Malformed lines are injected and must be dropped."""
+    ev = load_star(spark, sf_dir, "events")["events"]
+    tmp = tempfile.mkdtemp(prefix="lakeshed-stream-")
+    lines_dir = os.path.join(tmp, "in")
+
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    tgt = (
+        ev.where(F.col("event_id") <= 1500)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("user_id").cast("int").alias("block_number"),
+            F.concat(F.lit("p"), F.col("event_id")).alias("hash"),
+        )
+    )
+    t = Catalog(spark, os.path.join(tmp, "wh")).create_table(
+        "default.stream_state", tgt
+    )
+
+    lines = (
+        ev.where((F.col("event_id") > 1500) & (F.col("event_id") <= 3000))
+        .select(
+            F.concat_ws(
+                ",",
+                F.when(F.col("event_id") % 7 == 0, "D").otherwise("I"),
+                F.col("user_id").cast("string"),
+                F.concat(F.lit("p"), F.col("event_id")),
+            ).alias("value")
+        )
+    )
+    bad = spark.createDataFrame(
+        [("garbage",), ("I,only-two",), ("Z,9,not-a-kind",), ("I,NaN,px",)],
+        "value string",
+    )
+    # ONE file → one availableNow batch → total __seq order (module note)
+    lines.unionAll(bad).coalesce(1).write.mode("overwrite").text(lines_dir)
+
+    stream = spark.readStream.format("text").load(lines_dir)
+    parsed = parse_changelog(stream).withColumn(
+        "__seq", F.regexp_extract("hash", r"p(\d+)", 1).cast("long")
+    )
+    q = changelog_upsert(
+        parsed, t,
+        checkpoint=os.path.join(tmp, "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    return t.read().select("block_number", "hash")
+
+
+@qdef(
+    "stream_windowed_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+    "T1", "T2", "S10",
+)
+def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rollup over a parquet file STREAM
+    (availableNow, complete mode into a memory sink) — must equal the
+    batch hourly rollup at rest. The streaming runtime (state store,
+    watermark bookkeeping, micro-batch commit) is what's under test."""
+    ev = load_star(spark, sf_dir, "events")["events"]
+    tmp = tempfile.mkdtemp(prefix="lakeshed-swr-")
+    src_dir = os.path.join(tmp, "src")
+    ev.select("ts", "event_type").write.mode("overwrite").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .parquet(src_dir)
+    )
+    rolled = windowed_rollup(
+        stream, ts_col="ts", key_col="event_type", window="1 hour"
+    )
+    name = "swr_" + uuid.uuid4().hex[:12]
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@qdef(
+    "stream_cdc_diff",
+    """
+    SELECT 'delete' AS _change_type, n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey IN (2, 4)
+    UNION ALL
+    SELECT 'insert' AS _change_type, n_nationkey, n_name || '!', n_regionkey
+    FROM nation WHERE n_regionkey = 2
+    """,
+    "W7", "T3",
+)
+def stream_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 — CDC read-back: UPDATE emits its delete+insert pair, DELETE its
+    delete rows (ChangelogMode.all() encoding, PaimonStream.java:86).
+    Unchanged rows in rewritten files cancel out in the diff."""
+    nation = load_star(spark, sf_dir, "nation")["nation"].select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="lakeshed-cdc-")
+    t = Catalog(spark, tmp).create_table("default.nation_cdc", nation)
+    t.update({"n_name": "concat(n_name, '!')"}, where="n_regionkey = 2")
+    t.delete("n_regionkey = 4")
+    return diff_versions(t, 0)

@@ -240,3 +240,37 @@ def table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:  # pragma: no cover - audit passes only if fixture changes
         t.fast_forward("etl_stage")
     return t.read().agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@qdef(
+    "table_maintenance_compact",
+    """
+    SELECT o_orderstatus, count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "D17", "D18", "D19", "W2",
+)
+def table_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D17/D18/D19 — four small appends → rewrite_data_files compaction →
+    rewrite_manifests → expire_snapshots(retain_last=1)
+    (Table Maintenance...ipynb:119,157,189). The data must survive the
+    whole maintenance cycle byte-identical; the file-count drop and
+    old-version unreadability are asserted in tests/test_table.py."""
+    orders = load_star(spark, sf_dir, "orders")["orders"]
+    t = _cat(spark).create_table(
+        "default.orders_maint", orders.where(F.col("o_orderkey") % 4 == 0)
+    )
+    for i in (1, 2, 3):
+        t.append(orders.where(F.col("o_orderkey") % 4 == i))
+    t.compact()
+    t.rewrite_manifests()
+    t.expire_snapshots(retain_last=1)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
