@@ -479,7 +479,10 @@ class LakeTable:
                     null_counts=nulls,
                 )
             )
-        return adds
+        # zero-row parts (a delete that emptied a file, an all-D merge
+        # batch) never enter the commit; the stray empty file is unreferenced
+        # and harmless. Saves callers a pre-write emptiness pass.
+        return [a for a in adds if a.rows > 0]
 
     # ----------------------------------------------------------------- DDL
 
@@ -932,11 +935,8 @@ class LakeTable:
             return self._commit("delete", [], [], summary={"deleted-files": 0})
         hit_adds = [a for a in live if a.path in hit]
         kept = self._read_files(hit_adds, head_commit).where(~cond)
-        adds = (
-            self._write_files(
-                kept, head_commit.partition_spec, head_commit.schema_version
-            )
-            if kept.limit(1).count() > 0 else []
+        adds = self._write_files(
+            kept, head_commit.partition_spec, head_commit.schema_version
         )
         return self._commit("delete", adds, sorted(hit),
                             summary={"deleted-files": len(hit)})
@@ -988,8 +988,47 @@ class LakeTable:
         src = src.cache()
 
         hit: set[str] = set()
+        candidates = live
         if live:
-            target = self._scan(self.head(), with_file_path=True)
+            # stats-prune candidate files by the source's key range before
+            # the semi-join: one tiny agg over the cached micro-batch, then
+            # manifest math. At 100 TB the semi-join then scans only files
+            # whose key bounds overlap the batch — clustered/partitioned
+            # keys touch a sliver of the table instead of all of it.
+            from lakeshed.pruning import BoolOp, Comparison, file_may_match
+
+            brow = src.agg(*[
+                f for k in keys
+                for f in (F.min(F.col(k)).alias(f"__lo_{k}"),
+                          F.max(F.col(k)).alias(f"__hi_{k}"))
+            ]).first()
+            node = None
+            if brow[f"__lo_{keys[0]}"] is None:  # empty source batch
+                candidates = []
+            else:
+                for k in keys:
+                    for op, v in ((">=", brow[f"__lo_{k}"]),
+                                  ("<=", brow[f"__hi_{k}"])):
+                        if isinstance(v, bool) or not isinstance(
+                            v, (int, float, str)
+                        ):
+                            continue  # timestamps etc.: skip, stay MAYBE
+                        if isinstance(v, int):
+                            if abs(v) > 2**53:  # float-lossy: stay MAYBE
+                                continue
+                            v = float(v)
+                        c = Comparison(k, op, v)
+                        node = c if node is None else BoolOp("and", node, c)
+                if node is not None:
+                    candidates = [
+                        a for a in live
+                        if file_may_match(node, a.lower_bounds,
+                                          a.upper_bounds,
+                                          self._partition_values(a.path))
+                    ]
+        if candidates:
+            target = self._read_adds(head_commit, candidates,
+                                     with_file_path=True)
             key_cond = reduce(
                 lambda a, b: a & b,
                 [target[k] == src[k] for k in keys],
@@ -1049,9 +1088,21 @@ class LakeTable:
             )
 
         if when_not_matched_insert is not None:
-            existing_keys = self.read().select(*keys)
+            # any target key equal to a source key lives in a HIT file (the
+            # semi-join put it there), so the anti-join only needs keys from
+            # hit files — NOT a full-table scan. At 100 TB this is the
+            # difference between reading the touched slice and reading
+            # everything.
+            if hit_adds:
+                existing_keys = self._read_files(
+                    hit_adds, head_commit
+                ).select(*keys)
+                unmatched = src.alias("s").join(existing_keys, keys,
+                                                "left_anti")
+            else:
+                unmatched = src.alias("s")
             inserts = (
-                src.alias("s").join(existing_keys, keys, "left_anti")
+                unmatched
                 .where(insert_pred & ~delete_cond)
                 .select(*[
                     F.col(f"`{c}`").cast(
@@ -1064,10 +1115,9 @@ class LakeTable:
 
         if rewritten_parts:
             out = reduce(DataFrame.unionByName, rewritten_parts)
-            if out.limit(1).count() > 0:
-                adds = self._write_files(
-                    out, head_commit.partition_spec, head_commit.schema_version
-                )
+            adds = self._write_files(
+                out, head_commit.partition_spec, head_commit.schema_version
+            )
         src.unpersist()
         return self._commit(
             "merge", adds, sorted(hit),

@@ -322,3 +322,50 @@ def test_sql_router(cat, nation):
     cat.sql("DROP TABLE nyc.taxis")
     with pytest.raises(TableError):
         cat.table("nyc.taxis")
+
+
+def test_merge_prunes_candidates_and_inserts_outside_range(cat, spark):
+    """Merge stats-pruning: disjoint-range files, a source touching one
+    range plus a brand-new key beyond every range. Only the overlapped
+    file may be rewritten; the out-of-range key must still insert (the
+    anti-join runs against hit files only)."""
+    def chunk(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"v{i}") for i in range(lo, hi)], "k int, payload string"
+        ).coalesce(1)
+
+    t = cat.create_table("default.pruned_merge", chunk(0, 10))
+    t.append(chunk(100, 110))
+    t.append(chunk(200, 210))
+    files_before = {f.path for f in t._state(t.head())[1]}
+
+    src = spark.createDataFrame(
+        [(105, "upd", "I"), (106, "gone", "D"), (999, "new", "I")],
+        "k int, payload string, op string",
+    )
+    c = t.merge(
+        src, on="k",
+        when_matched_update={"payload": "s.payload"},
+        when_matched_delete="s.op = 'D'",
+        when_not_matched_insert="op <> 'D'",
+        source_order="k",
+    )
+    # only the 100..109 file overlaps [105, 999] AND holds matches
+    assert c.summary["matched-files"] == 1
+    assert all(r in files_before for r in c.remove)
+    state = {r.k: r.payload for r in t.read().collect()}
+    assert state[105] == "upd" and 106 not in state and state[999] == "new"
+    assert state[0] == "v0" and state[205] == "v205"
+    assert t.read().count() == 30 - 1 + 1
+
+    # empty source batch -> clean no-op commit
+    c2 = t.merge(
+        spark.createDataFrame([], "k int, payload string, op string"),
+        on="k",
+        when_matched_update={"payload": "s.payload"},
+        when_matched_delete="s.op = 'D'",
+        when_not_matched_insert="op <> 'D'",
+        source_order="k",
+    )
+    assert c2.summary["matched-files"] == 0
+    assert t.read().count() == 30
