@@ -224,6 +224,101 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @qdef(
+    "llm_embedding_neardup_lsh",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4)
+               AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4)
+          >= 0.45
+    """,
+    "LLM-dedup-embedding-lsh",
+)
+def llm_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via hyperplane-LSH bucketing + exact re-score —
+    all-pairs never formed; the oracle IS the brute force (precision is
+    exact by construction; banding recall at the fixture's similarities is
+    1-ε with the seeded planes, verified equal).
+
+    Runs on a bounded deterministic slice (vec_id < 500) because the
+    fixture's pair similarities cap at cos≈0.6: at θ≈63° the per-plane
+    collision contrast is 0.65-vs-0.5, so near-perfect recall costs
+    ~all-pairs REGARDLESS of (bits, tables) — banding pays off when
+    near-dups are tight (cos ≥ 0.9 ⇒ 0.86-vs-0.5 contrast), which is the
+    real 100 TB dedup regime (see :func:`ann_pairs_lsh`). The gate checks
+    the bucketing machinery; the parameters scale with corpus tightness,
+    not corpus size."""
+    emb = load_star(spark, sf_dir, "embeddings")["embeddings"].where(
+        F.col("vec_id") < 500
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return similarity.ann_pairs_lsh(emb, dim, threshold=0.45)
+
+
+@qdef(
+    "llm_corpus_pipeline",
+    f"""
+    WITH survivors AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+    ), feat AS (
+      SELECT d.lang,
+             len({_TOKS}) AS n_tokens,
+             length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
+               * 1.0 / greatest(length(d.text), 1) AS alpha_ratio,
+             len(list_filter({_TOKS}, t -> t IN
+                 ('the','a','an','and','of','to','in','is','it','that')))
+               * 1.0 / greatest(len({_TOKS}), 1) AS en_score,
+             array_length(regexp_extract_all(d.text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe
+      FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+    )
+    SELECT lang,
+           count(*)                         AS docs,
+           CAST(sum(bpe) AS BIGINT)         AS bpe_tokens,
+           round(avg(alpha_ratio), 4)       AS avg_alpha
+    FROM feat
+    WHERE n_tokens >= 5 AND alpha_ratio >= 0.5 AND en_score >= 0.05
+    GROUP BY lang
+    """,
+    "LLM-pipeline-e2e",
+)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end to end: exact dedup → quality gates
+    (token floor, alpha ratio, stopword language signal) → per-language
+    corpus stats. One dedup shuffle + one broadcast-able semi-join + one
+    agg shuffle; every gate is a JVM-side projection — the shape that
+    holds at 100 TB."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    survivors = dedup.exact_dedup(docs).select("doc_id")
+    toks = text.tokens("text")
+    kept = (
+        docs.join(survivors, "doc_id", "left_semi")
+        .select(
+            "lang",
+            F.size(toks).alias("n_tokens"),
+            (F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+             / F.greatest(F.length("text"), F.lit(1))).alias("alpha_ratio"),
+            text.language_score("text").alias("en_score"),
+            text.bpe_token_count("text").alias("bpe"),
+        )
+        .where(
+            (F.col("n_tokens") >= 5)
+            & (F.col("alpha_ratio") >= 0.5)
+            & (F.col("en_score") >= 0.05)
+        )
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+        F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha"),
+    )
+
+
+@qdef(
     "llm_multimodal_features",
     """
     SELECT doc_id,

@@ -162,3 +162,20 @@ def test_lsh_index_arrow_matches_hof_buckets(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_ann_pairs_lsh_equals_brute_force(spark):
+    """LSH-bucketed embedding near-dup must equal all-pairs truth on the
+    fixture (seeded planes; banding recall 1-eps at the 0.45 threshold)."""
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    brute = {
+        (r.id_a, r.id_b, r.cos)
+        for r in similarity.cosine_pairs_brute(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.cos)
+        for r in similarity.ann_pairs_lsh(emb, dim, threshold=0.45).collect()
+    }
+    assert lsh == brute
+    assert brute, "fixture should contain correlated embedding pairs"
