@@ -83,3 +83,66 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id bigint, payload binary, meta struct<mime:string, byte_len:int>"
+
+
+def resize_payloads(df: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """'Resize' kernel — the image-thumbnail shape: payload in, smaller
+    payload + refreshed metadata out, 1:1 rows, Arrow-batched.
+
+    The codec being stubbed, resize = deterministic stride downsample of
+    the byte stream to ``target_bytes`` (a real kernel would be
+    PIL resize / ffmpeg scale). Payloads already small pass through."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def shrink(p: bytes) -> bytes:
+                if len(p) <= target_bytes:
+                    return p
+                step = len(p) / target_bytes
+                return bytes(p[int(i * step)] for i in range(target_bytes))
+
+            out = pdf["payload"].map(shrink)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "meta": [
+                        {"mime": m["mime"], "byte_len": len(p)}
+                        for m, p in zip(pdf["meta"], out)
+                    ],
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 64,
+                  every_nth: int = 4) -> DataFrame:
+    """Frame-sampling kernel — the video shape: one row in, 0..n frame
+    rows out (``mapInPandas`` is the explode-capable Python boundary).
+
+    The payload is treated as a concatenation of fixed-size frames
+    (codec stub); every ``every_nth`` complete frame is emitted. Rows
+    with fewer than one complete frame produce nothing. A real kernel
+    would be ffmpeg keyframe extraction with the same batch shape."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(p) // frame_bytes
+                for i in range(0, n_frames, every_nth):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(p[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.mapInPandas(kernel, schema=FRAME_SCHEMA)

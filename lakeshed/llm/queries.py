@@ -338,3 +338,28 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.attach_binary_payload(docs)
     )
     return feats.select("doc_id", "mime", "n_bytes")
+
+
+@qdef(
+    "llm_frame_sample",
+    """
+    SELECT doc_id,
+           CAST(ceil((octet_length(encode(text)) // 64) / 4.0) AS BIGINT)
+               AS n_frames
+    FROM documents
+    WHERE octet_length(encode(text)) // 64 >= 1
+    """,
+    "LLM-multimodal-frames",
+)
+def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped frame sampling: binary payload → one row per sampled
+    frame (mapInPandas 1:N) → per-doc frame counts. The oracle derives the
+    expected count arithmetically from the payload length — the kernel's
+    batch plumbing is what's under test."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    frames = multimodal.sample_frames(
+        multimodal.attach_binary_payload(docs), frame_bytes=64, every_nth=4
+    )
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )

@@ -179,3 +179,30 @@ def test_ann_pairs_lsh_equals_brute_force(spark):
     }
     assert lsh == brute
     assert brute, "fixture should contain correlated embedding pairs"
+
+
+def test_resize_and_frame_sample_kernels(spark):
+    """Resize: 1:1 rows, payloads capped at target, short ones unchanged,
+    metadata refreshed. Frame-sample: deterministic 1:N explode."""
+    docs = _docs(spark).limit(30)
+    binary = multimodal.attach_binary_payload(docs)
+    before = {r.doc_id: r.meta.byte_len for r in binary.collect()}
+
+    resized = multimodal.resize_payloads(binary, target_bytes=100)
+    rows = resized.collect()
+    assert len(rows) == len(before)
+    for r in rows:
+        assert len(r.payload) == r.meta.byte_len <= 100
+        if before[r.doc_id] <= 100:
+            assert r.meta.byte_len == before[r.doc_id]
+
+    frames = multimodal.sample_frames(binary, frame_bytes=64, every_nth=4)
+    got = frames.collect()
+    for r in got:
+        assert len(r.frame) == 64 and r.frame_idx % 4 == 0
+    expect = {
+        d: -(-(n // 64) // 4) for d, n in before.items() if n // 64 >= 1
+    }
+    from collections import Counter
+    counts = Counter(r.doc_id for r in got)
+    assert dict(counts) == expect
