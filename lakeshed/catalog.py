@@ -81,6 +81,14 @@ class Catalog:
             raise TableError(f"no such table {name!r} in {self.warehouse}")
         return t
 
+    def load(self, name: str, *, snapshot_id: int | None = None,
+             branch: str | None = None) -> DataFrame:
+        """S4/S5/S6 — the format-option read shape:
+        ``spark.read.format("iceberg").option("snapshot-id", id)
+        .option("branch", b).load("nyc.permits")``
+        (Integrated Audits...ipynb:104,314; WAP...ipynb:436)."""
+        return self.table(name).read(version=snapshot_id, branch=branch)
+
     def _exists(self, name: str) -> bool:
         try:
             return LakeTable(self.spark, self._path(name)).exists()
