@@ -470,16 +470,26 @@ def json_scan_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
            split_part(n_name, 'A', 1)                      AS name_head,
            abs(n_nationkey - 12)                           AS key_dist,
            CAST(n_nationkey AS DOUBLE) / 4.0               AS key_quarter,
-           length(n_name)                                  AS name_len
+           length(n_name)                                  AS name_len,
+           sha256(n_name)                                  AS name_sha256,
+           [n_nationkey, n_regionkey][2]                   AS arr_second,
+           CAST(to_json(struct_pack(k := n_nationkey,
+                                    n := n_name)) AS VARCHAR) AS as_json,
+           n_nationkey / (n_nationkey % 3)                 AS div_maybe_null
     FROM nation
     """,
     "P10", "§2.7",
 )
 def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 scalar functions in one projection: split+index
-    (IcebergStream.java:91), cast (:96), hashing (FakerSource.java:59 uses
-    sha256; md5 here for oracle parity), abs (PyIceberg...ipynb:230),
-    division-as-expression (Getting Started.ipynb:204)."""
+    (IcebergStream.java:91), cast (:96), md5/sha256 hashing
+    (FakerSource.java:59), abs (PyIceberg...ipynb:230), array constructor
+    + subscript (Iceberg - An Introduction...ipynb:174), JSON serialize
+    (datagen.py:55), and division-as-expression with the reference's
+    null-on-/0 ANSI-off semantics (Getting Started.ipynb:204,259).
+    current_timestamp/uuid are §2.7's nondeterministic pair — exercised by
+    the table layer (commit timestamps, write ids), unverifiable by a
+    value oracle."""
     n = load_star(spark, sf_dir, "nation")["nation"]
     return n.select(
         "n_nationkey",
@@ -489,6 +499,16 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("n_nationkey") - 12).alias("key_dist"),
         (F.col("n_nationkey").cast("double") / 4.0).alias("key_quarter"),
         F.length("n_name").alias("name_len"),
+        F.sha2(F.col("n_name").cast("binary"), 256).alias("name_sha256"),
+        F.element_at(
+            F.array(F.col("n_nationkey"), F.col("n_regionkey")), 2
+        ).alias("arr_second"),
+        F.to_json(
+            F.struct(F.col("n_nationkey").alias("k"),
+                     F.col("n_name").alias("n"))
+        ).alias("as_json"),
+        (F.col("n_nationkey") / (F.col("n_nationkey") % 3))
+        .alias("div_maybe_null"),
     )
 
 

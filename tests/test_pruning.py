@@ -134,3 +134,62 @@ def test_update_only_rewrites_matching_partition(cat, spark):
     assert before == after  # b-partition files carried over by reference
     assert t.read().where("p = 'b' AND v >= 1000").count() == 0
     assert t.read().where("p = 'a' AND v >= 1000").count() == 50
+
+# --------------------------------------------------- property: conservative
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_OPS = ["=", "!=", "<", "<=", ">", ">="]
+
+
+def _leaf():
+    return st.tuples(
+        st.just("leaf"), st.sampled_from(_OPS), st.integers(-30, 30)
+    )
+
+
+_pred_tree = st.recursive(
+    _leaf(),
+    lambda kids: st.tuples(
+        st.sampled_from(["AND", "OR"]), kids, kids
+    ),
+    max_leaves=5,
+)
+
+
+def _to_sql(node) -> str:
+    if node[0] == "leaf":
+        return f"x {node[1]} {node[2]}"
+    return f"({_to_sql(node[1])}) {node[0]} ({_to_sql(node[2])})"
+
+
+def _eval(node, x: int) -> bool:
+    if node[0] == "leaf":
+        op, lit = node[1], node[2]
+        return {
+            "=": x == lit, "!=": x != lit, "<": x < lit,
+            "<=": x <= lit, ">": x > lit, ">=": x >= lit,
+        }[op]
+    l, r = _eval(node[1], x), _eval(node[2], x)
+    return (l and r) if node[0] == "AND" else (l or r)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    vals=st.lists(st.integers(-40, 40), min_size=1, max_size=8),
+    tree=_pred_tree,
+)
+def test_pruning_is_conservative(vals, tree):
+    """file_may_match may keep too much but must NEVER prune a file that
+    contains a matching row — the safety property every DML planner
+    (update/delete/merge candidate selection) depends on."""
+    sql = _to_sql(tree)
+    node = parse_predicate(sql)
+    keeps = file_may_match(
+        node, {"x": str(min(vals))}, {"x": str(max(vals))}, {}
+    )
+    has_match = any(_eval(tree, v) for v in vals)
+    if has_match:
+        assert keeps, f"pruned a matching file: {sql} over {sorted(vals)}"
