@@ -192,8 +192,11 @@ def _file_stats(abs_path: str) -> tuple[int, int, dict, dict, dict]:
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abs_path).metadata
-    lower: dict[str, str] = {}
-    upper: dict[str, str] = {}
+    # merge across row groups in the NATIVE type — stringified ints order
+    # lexicographically ('10' < '9') and would corrupt multi-row-group
+    # bounds; stringify only once merged.
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
     nulls: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         for ci in range(md.num_columns):
@@ -203,13 +206,14 @@ def _file_stats(abs_path: str) -> tuple[int, int, dict, dict, dict]:
             if st is None:
                 continue
             if st.has_min_max:
-                mn, mx = str(st.min), str(st.max)
-                if name not in lower or mn < lower[name]:
-                    lower[name] = mn
-                if name not in upper or mx > upper[name]:
-                    upper[name] = mx
+                if name not in mins or st.min < mins[name]:
+                    mins[name] = st.min
+                if name not in maxs or st.max > maxs[name]:
+                    maxs[name] = st.max
             if st.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
+    lower = {k: str(v) for k, v in mins.items()}
+    upper = {k: str(v) for k, v in maxs.items()}
     return md.num_rows, os.path.getsize(abs_path), lower, upper, nulls
 
 
@@ -463,10 +467,17 @@ class LakeTable:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(base_abs)
         adds: list[AddFile] = []
-        for abs_p in sorted(
+        paths = sorted(
             glob.glob(os.path.join(base_abs, "**", "*.parquet"), recursive=True)
-        ):
-            rows, nbytes, lo, hi, nulls = _file_stats(abs_p)
+        )
+        # footer reads are I/O-bound and GIL-free in pyarrow — a thread
+        # pool keeps a many-file commit's stats pass off the critical path
+        # (on a real cluster write tasks would report these instead).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, max(len(paths), 1))) as ex:
+            all_stats = list(ex.map(_file_stats, paths))
+        for abs_p, (rows, nbytes, lo, hi, nulls) in zip(paths, all_stats):
             adds.append(
                 AddFile(
                     path=os.path.relpath(abs_p, self.path),

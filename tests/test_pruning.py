@@ -193,3 +193,20 @@ def test_pruning_is_conservative(vals, tree):
     has_match = any(_eval(tree, v) for v in vals)
     if has_match:
         assert keeps, f"pruned a matching file: {sql} over {sorted(vals)}"
+
+
+def test_file_stats_multi_row_group_native_bounds(tmp_path):
+    """Bounds must merge across row groups in the native type: with string
+    merging, RG mins (9, 10) record lower='10' and upper='9' — both wrong —
+    and pruning then drops files that contain matches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakeshed.table import _file_stats
+
+    p = str(tmp_path / "two_rg.parquet")
+    pq.write_table(pa.table({"x": [9, 9, 10, 10]}), p, row_group_size=2)
+    _, _, lo, hi, _ = _file_stats(p)
+    assert lo["x"] == "9" and hi["x"] == "10"
+    node = parse_predicate("x = 9")
+    assert file_may_match(node, lo, hi, {})
