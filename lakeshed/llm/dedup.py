@@ -214,20 +214,21 @@ def minhash_lsh_pairs(
                 .alias("sig"),
             )
         )
+    # band key = xxhash64 of the signature slice — hashed directly as an
+    # array (no stringify); a 64-bit collision only adds a candidate pair,
+    # which the exact-Jaccard verify filters, so correctness is unaffected.
     banded = sigs.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ",", F.slice(F.col("sig"), bi * rows + 1, rows)
-                        )
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), bi * rows + 1, rows)
                     ).alias("bsig"),
-                ),
-            )
+                )
+                for bi in range(bands)
+            ])
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bsig")
     cand = (
