@@ -73,6 +73,18 @@ def hash_shingles(col: Column) -> Column:
     return F.transform(col, lambda s: F.xxhash64(s))
 
 
+def hash_shingles_md5(col: Column) -> Column:
+    """60-bit hash from the md5 hex prefix — slower than xxhash64 but
+    byte-identical to DuckDB's ``CAST('0x' || substr(md5(t),1,15) AS
+    BIGINT)``, which makes signature ops SQL-oracle-checkable."""
+    return F.transform(
+        col,
+        lambda s: F.conv(
+            F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
+        ).cast("bigint"),
+    )
+
+
 def minhash_signature(hashed: Column, params: Column) -> Column:
     """k-permutation MinHash over a column of already-hashed shingles
     (see :func:`hash_shingles`): h_i = min((a_i·h + b_i) mod M).
@@ -320,8 +332,14 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 64,
     use_arrow: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance ``max_hamming``.
+
+    ``hash_fn="md5"`` (with ``bits<=60``) derives token hashes from the
+    md5 hex prefix instead of xxhash64 — slower, but reproducible in
+    DuckDB SQL, which is what lets the CORRECTNESS oracle check the whole
+    signature pipeline value-for-value.
 
     Pigeonhole banding: split the signature into ``max_hamming+1`` chunks —
     any pair within distance h agrees on ≥1 chunk, so the self-join runs on
@@ -333,14 +351,18 @@ def simhash_pairs(
         simhash_arrow(bits) if use_arrow
         else lambda c: simhash_from_hashes(c, bits)
     )
+    hasher = hash_shingles_md5 if hash_fn == "md5" else hash_shingles
     sig = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
         .select(
             F.col(id_col).alias("id"),
-            hash_shingles(F.array_distinct(tokens(text_col))).alias("hs"),
+            hasher(F.array_distinct(tokens(text_col))).alias("hs"),
         )
         .select("id", sig_expr(F.col("hs")).alias("sig"))
     )
+    mask = (1 << step) - 1
+    if mask >= 1 << 63:
+        mask -= 1 << 64  # two's-complement: a full-width chunk (h=0) masks -1
     banded = sig.select(
         "id", "sig",
         F.explode(
@@ -348,7 +370,7 @@ def simhash_pairs(
                 F.struct(
                     F.lit(i).alias("chunk"),
                     F.shiftright(F.col("sig"), i * step)
-                    .bitwiseAND(F.lit((1 << step) - 1)).alias("cval"),
+                    .bitwiseAND(F.lit(mask)).alias("cval"),
                 )
                 for i in range(chunks)
             ])

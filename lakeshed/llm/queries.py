@@ -143,13 +143,51 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef("llm_simhash_neardup", None, "LLM-dedup-simhash")
+@qdef(
+    "llm_simhash_neardup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS ts FROM documents
+    ), tok AS (
+      SELECT doc_id, len(ts) AS n, unnest(ts) AS t FROM toks
+    ), th AS (
+      SELECT doc_id, n,
+             CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ), bits AS (
+      SELECT doc_id, b.bit, any_value(n) AS n,
+             sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE 0 END)
+                 AS set_cnt
+      FROM th, (SELECT unnest(generate_series(0, 59)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ), sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN set_cnt * 2 > n
+                           THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                  AS BIGINT) AS sig
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+    "LLM-dedup-simhash",
+)
 def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3, pigeonhole-banded self-join).
-    No SQL oracle (bit-vote signatures aren't reasonably expressible in
-    DuckDB SQL); determinism is covered by unit tests instead."""
+    """SimHash near-dup pairs (Hamming ≤ 3, pigeonhole-banded self-join),
+    hash-checked against a full SQL replay: token hashes come from the md5
+    hex prefix (byte-identical in Spark and DuckDB), the oracle recomputes
+    the 60-bit bit-vote signatures and brute-forces pairs, the Spark side
+    bands — so candidate generation AND signatures are both value-checked.
+    The xxhash64 variant (faster; not SQL-expressible) stays the library
+    default."""
     docs = load_star(spark, sf_dir, "documents")["documents"]
-    return dedup.simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+    return dedup.simhash_pairs(
+        docs, max_hamming=3, bits=60, hash_fn="md5"
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
