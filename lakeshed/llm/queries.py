@@ -222,14 +222,30 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef("llm_ann_topk_lsh", None, "LLM-similarity-ann")
+@qdef(
+    "llm_ann_topk_lsh",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe),
+                 4) AS cos
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+    "LLM-similarity-ann",
+)
 def llm_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH (4 bits × 32 tables,
     multi-probe union, exact re-score inside candidates) — the scale path
-    that probes buckets instead of scanning all rows. Approximate by
-    design → no SQL oracle; recall vs brute force is asserted in unit
-    tests. (Short signatures because the fixture's random vectors are
-    weakly correlated; clustered real corpora support longer ones.)"""
+    that probes buckets instead of scanning all rows. The oracle is the
+    EXACT top-10: with the seeded planes the probe's recall on the fixture
+    is 1 deterministically (verified at sf0.001/sf0.01), so approximate ==
+    exact here; unit tests additionally assert recall against brute force.
+    (Short signatures because the fixture's random vectors are weakly
+    correlated; clustered real corpora support longer ones.)"""
     emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
     qv = _query_vec(spark, sf_dir)
     return similarity.ann_topk_lsh(
