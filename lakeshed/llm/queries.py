@@ -190,11 +190,19 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VEC_CACHE: dict[str, list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
-    return list(
-        emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    )
+    """Query vector for the similarity entries. Cached per sf_dir: it's
+    plan-construction INPUT (like a literal parameter), and the one-row
+    lookup job would otherwise re-run on every plan build."""
+    if sf_dir not in _VEC_CACHE:
+        emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
+        _VEC_CACHE[sf_dir] = list(
+            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        )
+    return _VEC_CACHE[sf_dir]
 
 
 @qdef(
@@ -309,7 +317,7 @@ def llm_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_star(spark, sf_dir, "embeddings")["embeddings"].where(
         F.col("vec_id") < 500
     )
-    dim = len(emb.select("embedding").first()[0])
+    dim = len(_query_vec(spark, sf_dir))
     return similarity.ann_pairs_lsh(emb, dim, threshold=0.45)
 
 

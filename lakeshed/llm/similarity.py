@@ -162,6 +162,30 @@ def _plane_dots_arrow(flat_planes: list[list[float]]):
     return kernel
 
 
+def _bucket_arrow(flat_planes: list[list[float]], bits: int, tables: int):
+    """Arrow-batched signature kernel: matmul the plane matrix AND pack the
+    per-table sign bits in numpy, returning one ``array<bigint>`` of length
+    ``tables`` per row. Bucket values are bit-for-bit what
+    :func:`_pack_bucket` computes over :func:`_plane_dots_arrow` output
+    (same float64 dots, same ``>= 0`` test) — but the Spark plan shrinks
+    from ``tables × bits`` unrolled when-trees (thousands of py4j calls to
+    BUILD, a wide tree for every Catalyst pass to WALK) to a single UDF +
+    posexplode."""
+    pt = np.asarray(flat_planes, dtype=np.float64).T  # (dim, tables*bits)
+    weights = (1 << np.arange(bits, dtype=np.int64))  # bit i → 2^i
+
+    @F.pandas_udf("array<bigint>")
+    def kernel(vs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if len(mat) == 0:
+            return pd.Series([], dtype=object)
+        signs = (mat @ pt >= 0).astype(np.int64)
+        buckets = signs.reshape(len(mat), tables, bits) @ weights
+        return pd.Series(list(buckets))
+
+    return kernel
+
+
 def _pack_bucket(dots: Column, offset: int, bits: int) -> Column:
     """Sign bits of dots[offset..offset+bits) packed into a bigint."""
     out = F.lit(0).cast("bigint")
@@ -190,11 +214,17 @@ def lsh_index(
     n_planes = len(flat)
     part = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     if use_arrow:
-        kernel = _plane_dots_arrow(flat)
-        base = part.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            kernel(F.col(vec_col)).alias("dots"),
+        kernel = _bucket_arrow(flat, bits, tables)
+        return (
+            part.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                kernel(F.col(vec_col)).alias("buckets"),
+            )
+            .select(
+                "id", "v",
+                F.posexplode("buckets").alias("tbl", "bucket"),
+            )
         )
     else:
         # transposed plane matrix as DATA (one broadcast row), not expression
@@ -303,7 +333,9 @@ def ann_topk_lsh(
     dim = len(query_vec)
     planes = _hyperplanes(dim, bits, tables, seed)
     idx = lsh_index(df, dim, bits, tables, id_col, vec_col, seed)
-    # query signatures computed driver-side (tiny)
+    # query signatures computed driver-side (tiny), probed via a broadcast
+    # semi-join — a `tables`-term OR predicate would be a wide tree for
+    # every optimizer pass and can't hash-match buckets.
     qsigs = []
     for t in range(tables):
         sig = 0
@@ -311,12 +343,12 @@ def ann_topk_lsh(
             if sum(a * b for a, b in zip(query_vec, p)) >= 0:
                 sig |= 1 << i
         qsigs.append((t, sig))
-    probe = F.lit(False)
-    for t, sig in qsigs:
-        probe = probe | ((F.col("tbl") == t) & (F.col("bucket") == sig))
+    probe_df = df.sparkSession.createDataFrame(
+        qsigs, "tbl int, bucket bigint"
+    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        idx.where(probe)
+        idx.join(F.broadcast(probe_df), ["tbl", "bucket"], "left_semi")
         .select("id", "v")
         .distinct()
         .select(
