@@ -15,3 +15,8 @@ from lakeshed.streaming.changelog import (  # noqa: F401
     socket_lines,
     windowed_rollup,
 )
+from lakeshed.streaming.stateful import (  # noqa: F401
+    sessionize_batch,
+    sessionize_stream,
+    with_flush_sentinels,
+)

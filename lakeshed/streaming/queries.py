@@ -37,6 +37,10 @@ from lakeshed.streaming.changelog import (
     parse_changelog,
     windowed_rollup,
 )
+from lakeshed.streaming.stateful import (
+    sessionize_stream,
+    with_flush_sentinels,
+)
 
 
 @qdef(
@@ -152,6 +156,61 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolled.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@qdef(
+    "stream_sessionization",
+    """
+    WITH d AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT CAST(user_id AS INTEGER) AS user_id,
+           date_trunc('second', min(ts)) AS session_start,
+           date_trunc('second', max(ts)) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    "T1", "T2", "applyInPandasWithState",
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator through the gate: 12-hour-gap sessionization
+    via ``applyInPandasWithState`` (one open session per user in state),
+    run as a real streaming query (availableNow, checkpointed, memory
+    sink). Per-user flush sentinels close every real session inside the
+    bounded run, so the at-rest result equals the batch lag/cumsum oracle
+    row-for-row — the oracle replays session assignment in pure SQL."""
+    ev = load_star(spark, sf_dir, "events")["events"]
+    tmp = tempfile.mkdtemp(prefix="lakeshed-sess-")
+    src_dir = os.path.join(tmp, "src")
+    with_flush_sentinels(ev).coalesce(1).write.mode("overwrite").parquet(
+        src_dir
+    )
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .parquet(src_dir)
+    )
+    sessions = sessionize_stream(stream, gap_minutes=720)
+    name = "sess_" + uuid.uuid4().hex[:12]
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
         .trigger(availableNow=True)
         .start()

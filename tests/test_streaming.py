@@ -192,3 +192,78 @@ def test_diff_versions_cdc(spark, tmp_path):
         ("insert", 2, "b2"),
         ("insert", 3, "c"),
     }
+
+
+def test_sessionize_stream_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps the open session across micro-batches:
+    two time-ordered files at maxFilesPerTrigger=1 must produce the same
+    sessions as the batch lag/cumsum twin over the union."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lakeshed.streaming import sessionize_batch, sessionize_stream
+
+    rows1 = [  # user 1: one session spanning the batch boundary
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),
+        (2, "2024-01-01 01:00:00"),
+    ]
+    rows2 = [
+        (1, "2024-01-01 00:20:00"),   # continues user 1's open session
+        (1, "2024-01-01 09:20:00"),   # > 8h gap → new session
+        (2, "2024-01-02 12:00:00"),   # new session for user 2
+        (1, "2100-01-01 00:00:00"),   # flush sentinels
+        (2, "2100-01-01 00:00:00"),
+    ]
+    src = tmp_path / "sess-src"
+    src.mkdir()
+
+    def write_file(rows, name, mtime):
+        df = spark.createDataFrame(rows, "user_id bigint, ts string")
+        df = df.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        part = str(tmp_path / ("stage-" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(part)
+        data = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        dst = str(src / name)
+        os.rename(os.path.join(part, data), dst)
+        os.utime(dst, (mtime, mtime))  # FileStreamSource orders by mtime
+
+    now = time.time()
+    write_file(rows1, "a.parquet", now - 100)
+    write_file(rows2, "b.parquet", now)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=480)
+        .writeStream.format("memory")
+        .queryName("sess_xbatch")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # >1 micro-batch actually ran (cross-batch state was exercised)
+    assert len(q.recentProgress) > 1
+
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.table("sess_xbatch").collect()
+    }
+    all_rows = spark.createDataFrame(
+        rows1 + rows2, "user_id bigint, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    want = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in sessionize_batch(all_rows, gap_minutes=480)
+        .where(F.col("session_start") < "2099-01-01")  # drop sentinel rows
+        .collect()
+    }
+    assert got == want
+    # the spanning session was stitched: user 1's first session has 3 events
+    assert (1, "2024-01-01 00:00:00", "2024-01-01 00:20:00", 3) in got
