@@ -110,7 +110,10 @@ def stream_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value string",
     )
     # ONE file → one availableNow batch → total __seq order (module note)
-    lines.unionAll(bad).coalesce(1).write.mode("overwrite").text(lines_dir)
+    # repartition (shuffle) rather than coalesce: coalesce(1) would pull
+    # the whole upstream events scan onto one task; the shuffle moves
+    # only the ~1.5k projected lines
+    lines.unionAll(bad).repartition(1).write.mode("overwrite").text(lines_dir)
 
     stream = spark.readStream.format("text").load(lines_dir)
     parsed = parse_changelog(stream).withColumn(
@@ -197,7 +200,7 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_star(spark, sf_dir, "events")["events"]
     tmp = tempfile.mkdtemp(prefix="lakeshed-sess-")
     src_dir = os.path.join(tmp, "src")
-    with_flush_sentinels(ev).coalesce(1).write.mode("overwrite").parquet(
+    with_flush_sentinels(ev).repartition(1).write.mode("overwrite").parquet(
         src_dir
     )
 
