@@ -526,6 +526,7 @@ def _load_extensions() -> None:
     import lakeshed.llm.queries  # noqa: F401
     import lakeshed.streaming.queries  # noqa: F401
     import lakeshed.table_queries  # noqa: F401
+    import lakeshed.temporal_queries  # noqa: F401
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

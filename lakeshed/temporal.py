@@ -1,0 +1,138 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Neither appears in the reference surface (SURVEY §2.4: its analytics are
+single-table), but both are staples of the event/time-series workloads the
+clickstream fixture models, and the brief's extension mandate names them
+as the canonical "operator Spark lacks" cases. Each follows the decision
+ladder: composition of DataFrame ops where semantics allow (range join →
+bin-explode equi-join), `applyInPandas` where they don't (as-of join →
+per-key ordered merge, which Catalyst cannot express without a
+window-over-union contortion that shuffles twice).
+
+Scale design:
+
+- :func:`asof_join` — cogrouped ``applyInPandas``: ONE shuffle of each
+  side on the key, then per-key `pd.merge_asof` (two sorted pointers,
+  O(n+m) per key) inside Arrow batches. No global sort, no broadcast of
+  either side; skew bounded by the largest single key's history.
+- :func:`range_join` — the bin trick: intervals explode to the time bins
+  they cover, points compute their bin, the join is a plain hash
+  equi-join on (bin [, key]) with the BETWEEN as residual filter — never
+  a cross join / BroadcastNestedLoop (which is what naive inequality
+  joins compile to). Bin width trades explode factor against bucket
+  selectivity: pick ≈ median interval length, so each interval lands in
+  ~2 bins. Each (point, interval) pair meets exactly once because a
+  point owns exactly one bin — no post-join dedup.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, IntegerType, ShortType, StructField, StructType
+
+_INTEGRAL = (LongType, IntegerType, ShortType)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    direction: str = "backward",
+) -> DataFrame:
+    """Left as-of join: for every left row, attach the right row of the
+    same ``by`` key whose ``on`` value is the closest at-or-before
+    (``backward``, inclusive — matches DuckDB ``ASOF JOIN ... ON l.ts >=
+    r.ts``), at-or-after (``forward``), or nearest.
+
+    Right value columns must not collide with left column names. Rows
+    with no match carry nulls (left-join semantics). Right side should be
+    unique per (by, on) — dedupe upstream, or the last row in sort order
+    wins (pandas ``merge_asof`` semantics).
+    """
+    # re-alias right so its attributes get fresh ids: when both inputs
+    # derive from the same source (self-cogroup), shared attribute ids
+    # make Catalyst prune right columns it deems duplicates of left's
+    right = right.select(*[F.col(c).alias(c) for c in right.columns])
+    rvals = [f for f in right.schema.fields if f.name not in (on, by)]
+    clash = {f.name for f in rvals} & set(left.columns)
+    if clash:
+        raise ValueError(f"right value columns collide with left: {clash}")
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [StructField(f.name, f.dataType, True) for f in rvals]
+    )
+    lcols = list(left.columns)
+    rnames = [f.name for f in rvals]
+    int_cols = [f.name for f in rvals if isinstance(f.dataType, _INTEGRAL)]
+
+    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:  # right-only key: contributes nothing (left join)
+            out = lpdf.copy()
+            for c in rnames:
+                out[c] = pd.Series(dtype="object")
+            return out[lcols + rnames]
+        lsort = lpdf.sort_values(on, kind="mergesort")
+        if rpdf.empty:
+            out = lsort.copy()
+            for c in rnames:
+                out[c] = None
+        else:
+            rsort = rpdf.sort_values(on, kind="mergesort")[[on] + rnames]
+            out = pd.merge_asof(lsort, rsort, on=on, direction=direction)
+        for c in int_cols:  # nullable ints survive the Arrow crossing
+            out[c] = out[c].astype("Int64")
+        return out[lcols + rnames]
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(fn, out_schema)
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 3600,
+    key: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join as a hash equi-join on time bins.
+
+    ``points`` rows join every ``intervals`` row whose
+    ``[start_col, end_col]`` (inclusive) contains ``point_ts`` (and whose
+    ``key`` matches, when given). Column names must be disjoint across the
+    two inputs apart from ``key``."""
+    shared = (set(points.columns) & set(intervals.columns)) - {key}
+    if shared:
+        raise ValueError(f"ambiguous columns across inputs: {shared}")
+    bin_us = bin_seconds * 1_000_000
+    p = points.withColumn(
+        "__bin", F.floor(F.unix_micros(F.col(point_ts)) / bin_us)
+    ).alias("p")
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / bin_us),
+                F.floor(F.unix_micros(F.col(end_col)) / bin_us),
+            )
+        ),
+    ).alias("i")
+    cond = (
+        (F.col("p.__bin") == F.col("i.__bin"))
+        & (F.col(f"p.{point_ts}") >= F.col(f"i.{start_col}"))
+        & (F.col(f"p.{point_ts}") <= F.col(f"i.{end_col}"))
+    )
+    if key is not None:
+        cond = cond & (F.col(f"p.{key}") == F.col(f"i.{key}"))
+    out_cols = [F.col(f"p.{c}") for c in points.columns] + [
+        F.col(f"i.{c}") for c in intervals.columns if c != key
+    ]
+    return p.join(i, cond, how).select(*out_cols)

@@ -1,0 +1,100 @@
+"""Temporal-join operator tests (asof_join / range_join semantics)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lakeshed.temporal import asof_join, range_join
+
+
+def _ts(spark, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    for name, typ in [(f.name, f.dataType.simpleString())
+                      for f in df.schema.fields]:
+        if name.startswith("t"):
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df
+
+
+@pytest.fixture()
+def frames(spark):
+    left = _ts(spark, [
+        (1, 10, "2024-01-01 00:00:05"),
+        (2, 10, "2024-01-01 00:01:00"),
+        (3, 10, "2024-01-01 00:00:10"),   # exact match with right ts
+        (4, 11, "2024-01-01 00:00:30"),   # key with no right rows
+    ], "event_id bigint, user_id bigint, ts string")
+    right = _ts(spark, [
+        (10, "2024-01-01 00:00:10", 100),
+        (10, "2024-01-01 00:00:50", 101),
+        (12, "2024-01-01 00:00:00", 200),  # right-only key
+    ], "user_id bigint, ts string, purchase_id bigint")
+    return left, right
+
+
+def test_asof_backward_inclusive(spark, frames):
+    left, right = frames
+    got = {r.event_id: r.purchase_id
+           for r in asof_join(left, right).collect()}
+    assert got == {
+        1: None,   # before any purchase
+        2: 101,    # latest at-or-before 00:01:00
+        3: 100,    # exact timestamp matches (inclusive)
+        4: None,   # user 11 has no purchases
+    }
+
+
+def test_asof_forward(spark, frames):
+    left, right = frames
+    got = {r.event_id: r.purchase_id
+           for r in asof_join(left, right, direction="forward").collect()}
+    assert got == {1: 100, 2: None, 3: 100, 4: None}
+
+
+def test_asof_rejects_column_clash(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("purchase_id", "event_id"))
+
+
+def test_range_join_inclusive_bounds_and_key(spark):
+    pts = _ts(spark, [
+        (1, 10, "2024-01-01 01:00:00"),   # == w_start (inclusive)
+        (2, 10, "2024-01-01 02:00:00"),   # == w_end (inclusive)
+        (3, 10, "2024-01-01 02:00:01"),   # just outside
+        (4, 11, "2024-01-01 01:30:00"),   # inside but wrong key
+    ], "pid bigint, user_id bigint, tp string")
+    iv = _ts(spark, [
+        (7, 10, "2024-01-01 01:00:00", "2024-01-01 02:00:00"),
+    ], "wid bigint, user_id bigint, t_start string, t_end string")
+    got = sorted(
+        r.pid for r in range_join(
+            pts, iv, point_ts="tp", start_col="t_start", end_col="t_end",
+            bin_seconds=600, key="user_id",
+        ).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The bin trick must compile to an equi-join — a naive inequality
+    join would be BroadcastNestedLoop/Cartesian, which dies at scale."""
+    pts = _ts(spark, [(1, "2024-01-01 01:00:00")], "pid bigint, tp string")
+    iv = _ts(spark, [(7, "2024-01-01 00:30:00", "2024-01-01 03:00:00")],
+             "wid bigint, t_start string, t_end string")
+    df = range_join(pts, iv, point_ts="tp", start_col="t_start",
+                    end_col="t_end", bin_seconds=3600)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # multi-bin interval still yields exactly one match per pair
+    assert [r.pid for r in df.collect()] == [1]
