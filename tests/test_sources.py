@@ -121,3 +121,14 @@ def test_socket_source_end_to_end(spark, tmp_path):
     assert {(r.type, r.block_number, r.hash) for r in got} == {
         ("I", 1, "aaa"), ("I", 2, "bbb"), ("D", 1, "aaa")
     }
+
+def test_kafka_call_shapes_are_gated(spark):
+    """S9/W9 — no broker or spark-sql-kafka jar ships in this container;
+    the helpers must build the stock reader plan and fail with the
+    standard missing-data-source error at start, not something cryptic."""
+    import pytest
+
+    from lakeshed.streaming.kafka import kafka_stream_source
+
+    with pytest.raises(Exception, match="(?i)kafka"):
+        kafka_stream_source(spark, "localhost:9092", "clickstream")
