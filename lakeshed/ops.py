@@ -90,3 +90,25 @@ def top_k(df: DataFrame, order_by: Column | str, k: int) -> DataFrame:
     (per-partition heap + driver merge of k rows) — no full sort at scale."""
     col = F.col(order_by) if isinstance(order_by, str) else order_by
     return df.orderBy(col.desc()).limit(k)
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: str,
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-mitigating equi-join: scatter each left row into one of
+    ``salt`` sub-buckets of its key and replicate the right side once per
+    bucket, so a hot key's rows spread over ``salt`` tasks instead of
+    hammering one.
+
+    Semantically identical to ``left.join(right, on, how)`` for any salt
+    assignment. Use when ONE side is explosively skewed and the other is
+    modest (the replicated side grows ×salt); for balanced skew prefer
+    AQE's skew-join split (on by default in session.py), which salts at
+    runtime only the partitions that overflow.
+    """
+    sl = left.withColumn(
+        "__salt", F.floor(F.rand(seed=7) * salt).cast("int")
+    )
+    sr = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return sl.join(sr, [on, "__salt"], how).drop("__salt")
