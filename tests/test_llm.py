@@ -206,3 +206,33 @@ def test_resize_and_frame_sample_kernels(spark):
     from collections import Counter
     counts = Counter(r.doc_id for r in got)
     assert dict(counts) == expect
+
+
+def test_ivf_topk_recall_and_scan_fraction(spark):
+    """IVF probe: scans ~nprobe/n_lists of the corpus; recall vs the exact
+    top-10 stays useful even on the uniform-random fixture (the worst case
+    for any clustering index — real embedding corpora cluster and push
+    recall toward 1)."""
+    from lakeshed.io import load_star
+    from lakeshed.llm import similarity
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_star(spark, sf, "embeddings")["embeddings"]
+    qv = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    corpus = emb.where(F.col("vec_id") != 0)
+
+    exact = [r.vec_id for r in
+             similarity.cosine_topk(corpus, qv, k=10).collect()]
+    approx = [r.vec_id for r in
+              similarity.ivf_topk(corpus, qv, k=10,
+                                  n_lists=16, nprobe=12).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8
+
+    idx, cents = similarity.ivf_index(corpus, k=16)
+    assert len(cents) == 16
+    sizes = idx.groupBy("list").count().collect()
+    assert len(sizes) >= 12  # centroids actually partition the corpus
+    # assignment is deterministic across runs (seeded centroid choice)
+    again, _ = similarity.ivf_index(corpus, k=16)
+    assert idx.subtract(again).count() == 0
