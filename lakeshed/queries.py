@@ -541,3 +541,79 @@ def oracles() -> dict[str, str]:
         for name, q in REGISTRY.items()
         if q.oracle is not None
     }
+
+
+@qdef(
+    "rollup_order_totals",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "A2+",
+)
+def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (status → status+priority → grand
+    total) — one shuffle; Catalyst expands the grouping sets map-side.
+    min/max instead of floating sums keeps the oracle compare exact."""
+    orders = load_star(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@qdef(
+    "window_rank_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           lag(o_orderkey) OVER w AS prev_order,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate,
+                          o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS orders_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "O+",
+)
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/offset/frame window functions per customer order history —
+    one shuffle on the partition key serves all three (same window spec);
+    the unique o_orderkey tiebreak makes every output deterministic."""
+    orders = load_star(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.count(F.lit(1)).over(wf).alias("orders_so_far"),
+    )
+
+
+@qdef(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "J+",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS shape): customers with at least one order —
+    the probe side streams, no fan-out on duplicate order keys."""
+    t = load_star(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(
+            t["orders"],
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_semi",
+        )
+        .select("c_custkey", "c_name")
+    )
