@@ -5,9 +5,9 @@ single-table), but both are staples of the event/time-series workloads the
 clickstream fixture models, and the brief's extension mandate names them
 as the canonical "operator Spark lacks" cases. Each follows the decision
 ladder: composition of DataFrame ops where semantics allow (range join →
-bin-explode equi-join), `applyInPandas` where they don't (as-of join →
-per-key ordered merge, which Catalyst cannot express without a
-window-over-union contortion that shuffles twice).
+bin-explode equi-join; backward as-of → :func:`asof_join_union`'s
+union+window form, one shuffle, pure JVM), `applyInPandas` where they
+don't (forward/nearest/tolerance as-of → per-key ordered merge).
 
 Scale design:
 
@@ -28,7 +28,7 @@ Scale design:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, IntegerType, ShortType, StructField, StructType
 
@@ -91,6 +91,50 @@ def asof_join(
         .cogroup(right.groupBy(by))
         .applyInPandas(fn, out_schema)
     )
+
+
+def asof_join_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+) -> DataFrame:
+    """Backward-inclusive as-of join in PURE Catalyst: union both sides,
+    one window pass per key carrying the right values forward
+    (``last_value(..., ignorenulls)``), keep the left rows.
+
+    ONE shuffle total (the window partition) and fully JVM-side — per the
+    build ladder this is the preferred form when the semantics fit;
+    :func:`asof_join` (cogrouped merge_asof) remains for forward/nearest
+    and tolerance variants pandas expresses directly. Equal timestamps:
+    the right row sorts before the left row, so an exact-ts match is
+    visible (inclusive, same as DuckDB ASOF and merge_asof)."""
+    rvals = [f.name for f in right.schema.fields if f.name not in (on, by)]
+    clash = set(rvals) & set(left.columns)
+    if clash:
+        raise ValueError(f"right value columns collide with left: {clash}")
+    lcols = list(left.columns)
+    l2 = left.withColumn("__is_left", F.lit(1))
+    for c in rvals:
+        l2 = l2.withColumn(c, F.lit(None))
+    r2 = right.withColumn("__is_left", F.lit(0))
+    for c in lcols:
+        if c not in (on, by) and c not in r2.columns:
+            r2 = r2.withColumn(c, F.lit(None))
+    u = l2.select(*lcols, *rvals, "__is_left").unionByName(
+        r2.select(*lcols, *rvals, "__is_left")
+    )
+    # right rows (0) sort before left rows (1) at equal ts → inclusive
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u.select(
+        *lcols, "__is_left",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rvals],
+    )
+    return out.where(F.col("__is_left") == 1).select(*lcols, *rvals)
 
 
 def range_join(

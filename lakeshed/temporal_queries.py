@@ -82,3 +82,34 @@ def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("window_id").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+@qdef(
+    "temporal_asof_join_sql",
+    """
+    WITH p AS (
+      SELECT user_id, ts, max(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, p.purchase_id
+    FROM events e ASOF LEFT JOIN p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    "asof-join-catalyst",
+)
+def temporal_asof_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics as ``temporal_asof_join`` through the
+    pure-Catalyst union+window form (one shuffle, no Python) — both
+    variants hash-match the same DuckDB ASOF oracle."""
+    from lakeshed.temporal import asof_join_union
+
+    ev = load_star(spark, sf_dir, "events")["events"]
+    left = ev.select("event_id", "user_id", "ts")
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return asof_join_union(left, right, on="ts", by="user_id").select(
+        "event_id", "user_id", "purchase_id"
+    )

@@ -98,3 +98,17 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
     # multi-bin interval still yields exactly one match per pair
     assert [r.pid for r in df.collect()] == [1]
+
+
+def test_asof_union_matches_pandas_variant(spark, frames):
+    from lakeshed.temporal import asof_join_union
+
+    left, right = frames
+    pandas_out = sorted(
+        (r.event_id, r.purchase_id) for r in asof_join(left, right).collect()
+    )
+    catalyst_out = sorted(
+        (r.event_id, r.purchase_id)
+        for r in asof_join_union(left, right).collect()
+    )
+    assert pandas_out == catalyst_out
