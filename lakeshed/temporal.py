@@ -180,3 +180,35 @@ def range_join(
         F.col(f"i.{c}") for c in intervals.columns if c != key
     ]
     return p.join(i, cond, how).select(*out_cols)
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    grains: tuple[str, ...] = ("hour", "day"),
+    aggs: list | None = None,
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: the same keyed aggregation at
+    several time granularities in ONE pass — GROUPING SETS expands the
+    grain combinations map-side, so the corpus is scanned and shuffled
+    once instead of once per grain. Each output row carries one non-null
+    ``bucket_<grain>`` column (the others are null, standard grouping-sets
+    encoding). At scale this materialization IS the rollup table you'd
+    refresh incrementally per partition."""
+    aggs = aggs or [F.count(F.lit(1)).alias("cnt")]
+    proj = df.select(
+        *[
+            F.date_trunc(g, F.col(ts_col)).alias(f"bucket_{g}")
+            for g in grains
+        ],
+        *key_cols,
+    )
+    sets = [
+        [F.col(f"bucket_{g}"), *[F.col(k) for k in key_cols]]
+        for g in grains
+    ]
+    gcols = [F.col(f"bucket_{g}") for g in grains] + [
+        F.col(k) for k in key_cols
+    ]
+    return proj.groupingSets(sets, *gcols).agg(*aggs)

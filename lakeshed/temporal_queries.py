@@ -113,3 +113,25 @@ def temporal_asof_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_union(left, right, on="ts", by="user_id").select(
         "event_id", "user_id", "purchase_id"
     )
+
+
+@qdef(
+    "multi_grain_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS bucket_hour,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+           event_type, count(*) AS cnt
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('hour', ts), event_type),
+                            (date_trunc('day', ts), event_type))
+    """,
+    "hypertable-rollup",
+)
+def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour+day event rollups in one GROUPING SETS pass (single scan and
+    shuffle for every grain) — the hypertable continuous-aggregate shape."""
+    from lakeshed.temporal import time_rollup
+
+    ev = load_star(spark, sf_dir, "events")["events"]
+    return time_rollup(ev, ts_col="ts", key_cols=("event_type",),
+                       grains=("hour", "day"))
