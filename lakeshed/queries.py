@@ -617,3 +617,25 @@ def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "c_name")
     )
+
+
+@qdef(
+    "count_distinct_by_segment",
+    """
+    SELECT c_mktsegment,
+           count(DISTINCT c_nationkey) AS nations,
+           count(*) AS customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+    "A4+",
+)
+def count_distinct_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped DISTINCT aggregation (two-phase expand + agg under
+    Catalyst). The approximate twin — approx_count_distinct's HLL++ sketch,
+    mergeable across partitions, the 100 TB default for NDV — is accuracy-
+    tested in tests/test_plans.py; the gate checks the exact form."""
+    cust = load_star(spark, sf_dir, "customer")["customer"]
+    return cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("nations"),
+        F.count(F.lit(1)).alias("customers"),
+    )

@@ -171,3 +171,27 @@ def test_salted_join_matches_plain_join(spark):
         sorted(map(tuple, salted.collect()))
     plan = _plan(salted_join(orders, customer, on="o_custkey", salt=8))
     assert "__salt" in plan  # the composite join key carries the salt
+
+
+def test_sketch_aggregates_within_error_bounds(spark):
+    """The sketch forms that replace exact aggregation at 100 TB:
+    approx_count_distinct (HLL++, mergeable, one pass, no expand) and
+    approx_percentile (Greenwald-Khanna). Bounds asserted against exact."""
+    from lakeshed.io import load_star
+
+    orders = load_star(spark, SF, "orders")["orders"]
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_ndv"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_ndv"),
+        F.expr(
+            "approx_percentile(o_totalprice, 0.5, 10000)"
+        ).alias("approx_med"),
+        F.median("o_totalprice").alias("exact_med"),
+    ).first()
+    assert abs(row.approx_ndv - row.exact_ndv) <= 0.05 * row.exact_ndv
+    assert abs(row.approx_med - row.exact_med) <= 0.02 * row.exact_med
+    # the approx plan avoids the distinct expand: single agg, no Expand node
+    plan = _plan(
+        orders.agg(F.approx_count_distinct("o_custkey"))
+    )
+    assert "Expand" not in plan
