@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -143,6 +144,56 @@ def minhash_signature_arrow(num_hashes: int = 128, seed: int = 42):
     return kernel
 
 
+# odd 64-bit mixing constant (golden-ratio prime, xxhash's PRIME64_1 kin)
+_GRAM_PRIME = np.uint64(0x9E3779B185EBCA87)
+
+
+def minhash_packed_arrow(num_hashes: int = 128, seed: int = 42, n: int = 3):
+    """Arrow kernel: per-token hashes → (distinct hashed n-gram set,
+    MinHash signature) in ONE pass, no string n-grams ever built.
+
+    The interpreted-HOF 3-gram construction (slice + zip_with + concat_ws)
+    was the measured floor of the LSH pipeline (~1.3 s for 5 k docs at
+    sf0.1, recomputed per join leg). Here the JVM only hashes TOKENS
+    (one cheap xxhash64 per element); consecutive token hashes are folded
+    into n-gram hashes numerically ((g·P) ⊕ h, vectorized over all
+    positions), deduped with np.unique, and min-hashed in the same numpy
+    grid. Exact-Jaccard verification then runs on the hashed sets, which
+    are bijective with the string n-gram sets up to 2⁻⁶⁴ collisions —
+    the parity test compares against the string-shingle path end to end.
+
+    Short docs (< n tokens) fold only the tokens present — same "one
+    partial gram" semantics as :func:`lakeshed.llm.text.ngrams`.
+    """
+    a, b = _hash_params(num_hashes, seed)
+    av = np.asarray(a, dtype=np.int64)[:, None]
+    bv = np.asarray(b, dtype=np.int64)[:, None]
+
+    @F.pandas_udf("sh array<bigint>, sig array<bigint>")
+    def kernel(hs: pd.Series) -> pd.DataFrame:
+        sh_out: list = []
+        sig_out: list = []
+        with np.errstate(over="ignore"):
+            for arr in hs:
+                m = len(arr)
+                if m == 0:
+                    sh_out.append(None)
+                    sig_out.append(None)
+                    continue
+                h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+                cnt = max(m - n + 1, 1)
+                g = np.zeros(cnt, dtype=np.uint64)
+                for j in range(min(n, m)):
+                    g = (g * _GRAM_PRIME) ^ h[j : j + cnt]
+                sh = np.unique(g).astype(np.int64)
+                sig = ((av * sh[None, :] + bv) % _MERSENNE).min(axis=1)
+                sh_out.append(sh)
+                sig_out.append(sig)
+        return pd.DataFrame({"sh": sh_out, "sig": sig_out})
+
+    return kernel
+
+
 def simhash_arrow(bits: int = 64):
     """Arrow-batched numpy SimHash kernel over already-hashed tokens.
 
@@ -185,36 +236,71 @@ def minhash_lsh_pairs(
     shingle: int = 1,
     seed: int = 42,
     use_arrow: bool = True,
+    packed: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact Jaccard ≥ threshold) via
     banded MinHash-LSH candidate generation + exact verification.
 
-    Plan: repartition (single-file corpora otherwise serialize the
-    signature math onto one core) → hash shingles once → project k
-    signatures → explode b bands per doc (×b row blow-up of (id, 16-byte
-    band hash) only — not the text) → self-join on the band key (shuffle
-    join; bucket-local) → distinct candidate pairs → join back the shingle
-    sets → exact-Jaccard filter. Matches
-    ``MinHashLSH.approxSimilarityJoin``'s shape (SURVEY §7.2 step 7) with
-    the banding explicit. Default (b=32, r=4): P(candidate)=1-(1-J⁴)³²
-    ≈ 0.9998 at J=0.7, ≈1-1e-30 at J=0.97.
+    Plan (packed, the default): repartition (single-file corpora otherwise
+    serialize the signature math onto one core) → xxhash64 each TOKEN
+    (JVM) → one Arrow kernel folds token hashes into hashed n-gram sets +
+    MinHash signatures (:func:`minhash_packed_arrow`) → persist that
+    narrow (id, sh, sig) frame so the band self-join and both verify legs
+    reuse it instead of recomputing the pipeline per leg → explode b bands
+    per doc (×b row blow-up of (id, 8-byte band hash) only — not the
+    text) → self-join on the band key (shuffle join; bucket-local) →
+    distinct candidate pairs → join back the hashed-shingle sets →
+    exact-Jaccard filter. Matches ``MinHashLSH.approxSimilarityJoin``'s
+    shape (SURVEY §7.2 step 7) with the banding explicit. Default (b=32,
+    r=4): P(candidate)=1-(1-J⁴)³² ≈ 0.9998 at J=0.7, ≈1-1e-30 at J=0.97.
+
+    ``packed=False`` restores the string-shingle pipeline (shingles built
+    JVM-side, Jaccard over string sets) — the parity baseline.
     """
     rows = num_hashes // bands
     spark = df.sparkSession
-    base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            shingles(text_col, shingle).alias("sh"),
+    if packed:
+        kernel = minhash_packed_arrow(num_hashes, seed, shingle)
+        base = (
+            df.select(
+                F.col(id_col).alias("id"), tokens(text_col).alias("tk")
+            )
+            .where(F.size("tk") > 0)
+            .repartition(spark.sparkContext.defaultParallelism, "id")
+            .select(
+                "id",
+                kernel(F.transform("tk", lambda t: F.xxhash64(t))).alias("p"),
+            )
+            .select("id", F.col("p.sh").alias("sh"), F.col("p.sig").alias("sig"))
+            .where(F.col("sh").isNotNull())
+            # one compute, four consumers (2 band legs + 2 verify legs);
+            # narrow frame (~k+|set| bigints per doc). At 100 TB this is
+            # the signature table you'd materialize to storage instead.
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .where(F.size("sh") > 0)
-        .repartition(spark.sparkContext.defaultParallelism, "id")
-    )
-    if use_arrow:
+        sigs = base
+    elif use_arrow:
+        base = (
+            df.select(
+                F.col(id_col).alias("id"),
+                shingles(text_col, shingle).alias("sh"),
+            )
+            .where(F.size("sh") > 0)
+            .repartition(spark.sparkContext.defaultParallelism, "id")
+        )
         kernel = minhash_signature_arrow(num_hashes, seed)
         sigs = base.withColumn("hs", hash_shingles(F.col("sh"))).select(
             "id", "sh", kernel(F.col("hs")).alias("sig")
         )
     else:
+        base = (
+            df.select(
+                F.col(id_col).alias("id"),
+                shingles(text_col, shingle).alias("sh"),
+            )
+            .where(F.size("sh") > 0)
+            .repartition(spark.sparkContext.defaultParallelism, "id")
+        )
         sigs = (
             base.crossJoin(
                 F.broadcast(minhash_params_df(spark, num_hashes, seed))
@@ -359,6 +445,9 @@ def simhash_pairs(
             hasher(F.array_distinct(tokens(text_col))).alias("hs"),
         )
         .select("id", sig_expr(F.col("hs")).alias("sig"))
+        # both legs of the pigeonhole self-join read this; persisting the
+        # (id, sig) pair frame halves the signature computation.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mask = (1 << step) - 1
     if mask >= 1 << 63:
