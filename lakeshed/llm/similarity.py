@@ -22,6 +22,7 @@ import random
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -281,7 +282,14 @@ def ann_pairs_lsh(
     At cos≈0.45 the contrast is 0.65-vs-0.5 and NO (bits, tables) choice
     is much cheaper than all-pairs; use :func:`cosine_pairs_brute` (or
     raise the threshold) there. Defaults suit small/loose corpora."""
-    idx = lsh_index(df, dim, bits, tables, id_col, vec_col, seed)
+    # prune the vector column before the self-join and persist: both legs
+    # then reuse one run of the signature kernel over (id, tbl, bucket)
+    # triples instead of re-bucketing the corpus per leg.
+    idx = (
+        lsh_index(df, dim, bits, tables, id_col, vec_col, seed)
+        .select("id", "tbl", "bucket")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cand = (
         idx.alias("l")
         .join(

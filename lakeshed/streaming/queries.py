@@ -42,6 +42,21 @@ from lakeshed.streaming.stateful import (
     with_flush_sentinels,
 )
 
+# Fixture inputs are plan-construction SETUP (deterministic projections of
+# the sf tables), not the streaming operator under test — write each once
+# per sf_dir and reuse, like queries._VEC_CACHE. Checkpoints, target
+# tables, and the streaming queries themselves stay fresh per call.
+_FIXTURE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _fixture_dir(kind: str, sf_dir: str, write) -> str:
+    key = (kind, sf_dir)
+    if key not in _FIXTURE_CACHE:
+        path = tempfile.mkdtemp(prefix=f"lakeshed-fx-{kind}-")
+        write(path)
+        _FIXTURE_CACHE[key] = path
+    return _FIXTURE_CACHE[key]
+
 
 @qdef(
     "stream_changelog_upsert",
@@ -78,7 +93,6 @@ def stream_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     table state. Malformed lines are injected and must be dropped."""
     ev = load_star(spark, sf_dir, "events")["events"]
     tmp = tempfile.mkdtemp(prefix="lakeshed-stream-")
-    lines_dir = os.path.join(tmp, "in")
 
     w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
     tgt = (
@@ -94,26 +108,29 @@ def stream_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "default.stream_state", tgt
     )
 
-    lines = (
-        ev.where((F.col("event_id") > 1500) & (F.col("event_id") <= 3000))
-        .select(
-            F.concat_ws(
-                ",",
-                F.when(F.col("event_id") % 7 == 0, "D").otherwise("I"),
-                F.col("user_id").cast("string"),
-                F.concat(F.lit("p"), F.col("event_id")),
-            ).alias("value")
+    def _write_lines(path: str) -> None:
+        lines = (
+            ev.where((F.col("event_id") > 1500) & (F.col("event_id") <= 3000))
+            .select(
+                F.concat_ws(
+                    ",",
+                    F.when(F.col("event_id") % 7 == 0, "D").otherwise("I"),
+                    F.col("user_id").cast("string"),
+                    F.concat(F.lit("p"), F.col("event_id")),
+                ).alias("value")
+            )
         )
-    )
-    bad = spark.createDataFrame(
-        [("garbage",), ("I,only-two",), ("Z,9,not-a-kind",), ("I,NaN,px",)],
-        "value string",
-    )
-    # ONE file → one availableNow batch → total __seq order (module note)
-    # repartition (shuffle) rather than coalesce: coalesce(1) would pull
-    # the whole upstream events scan onto one task; the shuffle moves
-    # only the ~1.5k projected lines
-    lines.unionAll(bad).repartition(1).write.mode("overwrite").text(lines_dir)
+        bad = spark.createDataFrame(
+            [("garbage",), ("I,only-two",), ("Z,9,not-a-kind",), ("I,NaN,px",)],
+            "value string",
+        )
+        # ONE file → one availableNow batch → total __seq order (module
+        # note); repartition (shuffle) rather than coalesce: coalesce(1)
+        # would pull the whole upstream events scan onto one task; the
+        # shuffle moves only the ~1.5k projected lines
+        lines.unionAll(bad).repartition(1).write.mode("overwrite").text(path)
+
+    lines_dir = _fixture_dir("changelog", sf_dir, _write_lines)
 
     stream = spark.readStream.format("text").load(lines_dir)
     parsed = parse_changelog(stream).withColumn(
