@@ -57,10 +57,13 @@ def load_star(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFr
     for name in use:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if name == "events":
-            # nanosAsLong is pinned once in session defaults (session.py) —
-            # it is consulted at *action* time, so a per-read set/restore
-            # would break lazy execution. Here we only normalize the bigint
-            # nanos to µs timestamps (matching DuckDB's µs TIMESTAMP).
+            # Must hold on a VANILLA session (the correctness harness builds
+            # its own SparkSession without lakeshed defaults), so set the
+            # runtime conf here, not only in session.py builder defaults.
+            # nanosAsLong is SQLConf-runtime-settable and consulted at
+            # action time; it is intentionally NOT restored — a restore
+            # would break the lazy frames returned from here.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
             if dict(df.dtypes).get("ts") == "bigint":
                 # integer div: ts is ~1.7e18, float division loses precision

@@ -340,7 +340,7 @@ def map_subscript_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_star(spark, sf_dir, "events")["events"]
     return (
         ev.select(
-            F.get_json_object("props", "$.k").cast("int").alias("k")
+            F.get_json_object("props", "$.k").try_cast("int").alias("k")
         )
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -376,8 +376,8 @@ def parse_changelog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         lines.where(F.size(parts) == 3)
         .select(
             parts.getItem(0).alias("op"),
-            parts.getItem(1).cast("bigint").alias("key"),
-            parts.getItem(2).cast("bigint").alias("seq"),
+            parts.getItem(1).try_cast("bigint").alias("key"),
+            parts.getItem(2).try_cast("bigint").alias("seq"),
         )
     )
 
@@ -507,7 +507,10 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("n_nationkey").alias("k"),
                      F.col("n_name").alias("n"))
         ).alias("as_json"),
-        (F.col("n_nationkey") / (F.col("n_nationkey") % 3))
+        # try_divide: null-on-zero under BOTH ANSI modes — the harness runs
+        # an ANSI-on session (Spark 4 default), plain `/` would throw
+        # DIVIDE_BY_ZERO there. Matches the DuckDB oracle's x/0->NULL.
+        F.try_divide(F.col("n_nationkey"), F.col("n_nationkey") % 3)
         .alias("div_maybe_null"),
     )
 

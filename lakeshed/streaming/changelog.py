@@ -79,7 +79,10 @@ def parse_changelog(lines: DataFrame) -> DataFrame:
         lines.where(F.size(parts) == 3)
         .select(
             parts.getItem(0).alias("type"),
-            parts.getItem(1).cast("int").alias("block_number"),
+            # try_cast: malformed keys ("I,NaN,px") must become NULL and be
+            # dropped by the filter below under BOTH ANSI modes — plain cast
+            # throws CAST_INVALID_INPUT on the driver's ANSI-on session.
+            parts.getItem(1).try_cast("int").alias("block_number"),
             parts.getItem(2).alias("hash"),
             F.current_timestamp().alias("ts"),
         )

@@ -134,7 +134,7 @@ def stream_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = spark.readStream.format("text").load(lines_dir)
     parsed = parse_changelog(stream).withColumn(
-        "__seq", F.regexp_extract("hash", r"p(\d+)", 1).cast("long")
+        "__seq", F.regexp_extract("hash", r"p(\d+)", 1).try_cast("long")
     )
     q = changelog_upsert(
         parsed, t,
