@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import re
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -82,12 +83,16 @@ class Catalog:
         return t
 
     def load(self, name: str, *, snapshot_id: int | None = None,
-             branch: str | None = None) -> DataFrame:
+             branch: str | None = None,
+             as_of_ms: int | None = None) -> DataFrame:
         """S4/S5/S6 — the format-option read shape:
         ``spark.read.format("iceberg").option("snapshot-id", id)
         .option("branch", b).load("nyc.permits")``
-        (Integrated Audits...ipynb:104,314; WAP...ipynb:436)."""
-        return self.table(name).read(version=snapshot_id, branch=branch)
+        (Integrated Audits...ipynb:104,314; WAP...ipynb:436);
+        ``as_of_ms`` is the ``as-of-timestamp`` option (TIMESTAMP AS OF)."""
+        return self.table(name).read(
+            version=snapshot_id, branch=branch, as_of_ms=as_of_ms
+        )
 
     def _exists(self, name: str) -> bool:
         try:
@@ -363,6 +368,24 @@ class Catalog:
                         pinned = t.read(version=int(m.group(1)))
                         tag = m.group(1)
                     view = f"__lakeshed_{db}_{tbl}_v_{tag}"
+                    pinned.createOrReplaceTempView(view)
+                    s = s.replace(m.group(0), view)
+                # timestamp-pinned travel: FROM t TIMESTAMP AS OF
+                # <epoch-ms | 'ISO datetime'> — resolved against the commit
+                # log's timestamp_ms (Iceberg SQL surface)
+                for m in re.finditer(
+                    rf"{re.escape(base)}\s+timestamp\s+as\s+of\s+"
+                    r"(?:(\d+)|'([^']+)')", s, re.IGNORECASE,
+                ):
+                    if m.group(1):
+                        ts_ms = int(m.group(1))
+                    else:
+                        dt = datetime.fromisoformat(m.group(2))
+                        if dt.tzinfo is None:
+                            dt = dt.replace(tzinfo=timezone.utc)
+                        ts_ms = round(dt.timestamp() * 1000)
+                    pinned = t.read(as_of_ms=ts_ms)
+                    view = f"__lakeshed_{db}_{tbl}_ts_{ts_ms}"
                     pinned.createOrReplaceTempView(view)
                     s = s.replace(m.group(0), view)
                 for meta in _META_TABLES:

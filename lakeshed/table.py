@@ -698,17 +698,45 @@ class LakeTable:
         cols.extend(F.col(f"`{c}`") for c in extra_cols)
         return df.select(*cols)
 
-    def read(self, version: int | None = None, branch: str | None = None
-             ) -> DataFrame:
+    def committed_at_ms(self, version: int | None = None) -> int:
+        """Wall-clock commit time of ``version`` (default: head) — the
+        value ``TIMESTAMP AS OF`` resolves against."""
+        if version is None:
+            version = self.head()
+        return self._read_commit(version).timestamp_ms
+
+    def snapshot_as_of(self, ts_ms: int, branch: str = MAIN) -> int:
+        """Resolve a wall-clock timestamp to a snapshot version: the newest
+        ancestor of ``branch``'s head with ``timestamp_ms <= ts_ms`` —
+        Iceberg's ``TIMESTAMP AS OF`` resolution against the commit log.
+        Walks raw commits (not the checkpoint-truncated chain) so history
+        older than the latest checkpoint stays resolvable."""
+        v: int | None = self.head(branch)
+        while v is not None:
+            c = self._read_commit(v)
+            if c.timestamp_ms <= ts_ms:
+                return v
+            v = c.parent
+        raise TableError(
+            f"no snapshot at or before timestamp {ts_ms} on {branch!r}"
+        )
+
+    def read(self, version: int | None = None, branch: str | None = None,
+             as_of_ms: int | None = None) -> DataFrame:
         """Current-snapshot scan, or S5 snapshot-pinned time travel
         (``.option("snapshot-id", ...)``, Integrated Audits...ipynb:314) /
-        S6 branch-pinned scan (WAP...ipynb:436).
+        S6 branch-pinned scan (WAP...ipynb:436) / timestamp-pinned travel
+        (``TIMESTAMP AS OF``, resolved via :meth:`snapshot_as_of`).
 
         Reads exactly the live file list from the log (no directory listing
         — at 100 TB, listing is the scan killer); file groups written under
         older schema versions are adapted per-group then unioned.
         """
-        if version is None:
+        if as_of_ms is not None:
+            if version is not None:
+                raise TableError("pass either version or as_of_ms, not both")
+            version = self.snapshot_as_of(as_of_ms, branch or MAIN)
+        elif version is None:
             version = self.head(branch or MAIN)
         elif branch is not None:
             raise TableError("pass either version or branch, not both")

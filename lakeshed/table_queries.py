@@ -138,6 +138,33 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @qdef(
+    "table_time_travel_ts",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "S5", "D15",
+)
+def table_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel — a wall-clock timestamp resolved
+    against the commit log's ``timestamp_ms`` (Iceberg SQL surface;
+    snapshot-id form is ``table_time_travel``): create (v0) → delete half
+    (v1) → SQL read pinned at v0's commit time == original. The clock is
+    spun past v0's millisecond before mutating so the two commits can't
+    share a timestamp (resolution is ms-granular)."""
+    import time
+
+    nation = load_star(spark, sf_dir, "nation")["nation"]
+    cat = _cat(spark)
+    t = cat.create_table("default.nation_ts", nation)
+    ts0 = t.committed_at_ms()
+    while int(time.time() * 1000) <= ts0:
+        time.sleep(0.002)
+    t.delete("n_nationkey % 2 = 0")
+    return cat.sql(
+        "SELECT n_nationkey, n_name, n_regionkey "
+        f"FROM default.nation_ts TIMESTAMP AS OF {ts0}"
+    )
+
+
+@qdef(
     "table_schema_evolution",
     """
     SELECT n_nationkey,

@@ -209,6 +209,41 @@ def test_version_as_of_sql(cat, nation):
     ).first()["c"] == nation.count()
 
 
+def test_timestamp_as_of(cat, nation):
+    """TIMESTAMP AS OF — API and SQL forms resolve a wall-clock time
+    against the commit log's timestamp_ms (newest commit at-or-before)."""
+    import time
+
+    cat.create_database("d")
+    t = cat.create_table("d.ts", nation)
+    ts0 = t.committed_at_ms()
+    while int(time.time() * 1000) <= ts0:
+        time.sleep(0.002)
+    t.delete("n_nationkey >= 10")
+    ts1 = t.committed_at_ms()
+    # API form: pinned at v0's time → original; at v1's time → post-delete
+    assert t.read(as_of_ms=ts0).count() == nation.count()
+    assert t.read(as_of_ms=ts1).count() == \
+        nation.where("n_nationkey < 10").count()
+    assert t.snapshot_as_of(ts1 + 10_000) == t.head()
+    with pytest.raises(TableError):
+        t.snapshot_as_of(ts0 - 10_000)
+    with pytest.raises(TableError):
+        t.read(version=t.head(), as_of_ms=ts1)
+    # SQL form: epoch-ms literal and quoted ISO datetime (UTC)
+    assert cat.sql(
+        f"SELECT count(*) AS c FROM d.ts TIMESTAMP AS OF {ts0}"
+    ).first()["c"] == nation.count()
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(ts0 / 1000, tz=timezone.utc).isoformat()
+    assert cat.sql(
+        f"SELECT count(*) AS c FROM d.ts TIMESTAMP AS OF '{iso}'"
+    ).first()["c"] == nation.count()
+    # format-option shape
+    assert cat.load("d.ts", as_of_ms=ts0).count() == nation.count()
+
+
 def test_partition_evolution(cat, spark):
     """D12 — ADD/DROP PARTITION FIELD affects future writes only; old
     file groups keep their layout and reads union across specs
