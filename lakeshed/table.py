@@ -1101,8 +1101,14 @@ class LakeTable:
         )
 
         rewritten_parts: list[DataFrame] = []
+        # One persisted frame serves both the rewrite join and the insert
+        # anti-join below — the touched slice is scanned from parquet once,
+        # not twice (it is exactly the COW rewrite set, so it's about to be
+        # fully materialized anyway).
+        tgt_hits: DataFrame | None = None
         if hit_adds:
-            tgt = self._read_files(hit_adds, head_commit)
+            tgt_hits = self._read_files(hit_adds, head_commit).persist()
+            tgt = tgt_hits
             joined = tgt.alias("t").join(
                 src.alias("s"),
                 reduce(lambda a, b: a & b,
@@ -1140,9 +1146,7 @@ class LakeTable:
             # difference between reading the touched slice and reading
             # everything.
             if hit_adds:
-                existing_keys = self._read_files(
-                    hit_adds, head_commit
-                ).select(*keys)
+                existing_keys = tgt_hits.select(*keys)
                 unmatched = src.alias("s").join(existing_keys, keys,
                                                 "left_anti")
             else:
@@ -1165,6 +1169,8 @@ class LakeTable:
                 out, head_commit.partition_spec, head_commit.schema_version
             )
         src.unpersist()
+        if tgt_hits is not None:
+            tgt_hits.unpersist()
         return self._commit(
             "merge", adds, sorted(hit),
             summary={"matched-files": len(hit)},
