@@ -123,21 +123,32 @@ def asof_join_union(
     :func:`asof_join` (cogrouped merge_asof) remains for forward/nearest
     and tolerance variants pandas expresses directly. Equal timestamps:
     the right row sorts before the left row, so an exact-ts match is
-    visible (inclusive, same as DuckDB ASOF and merge_asof)."""
+    visible (inclusive, same as DuckDB ASOF and merge_asof).
+
+    The right value columns are carried as ONE struct so the match is
+    row-atomic: a matched right row whose value column is legitimately
+    NULL stays NULL (the struct itself is non-null), and multiple value
+    columns always come from the same right row — identical to
+    merge_asof, even with NULLs in right values."""
     rvals = [f.name for f in right.schema.fields if f.name not in (on, by)]
     clash = set(rvals) & set(left.columns)
     if clash:
         raise ValueError(f"right value columns collide with left: {clash}")
+    rv_type = StructType(
+        [f for f in right.schema.fields if f.name in rvals]
+    )
     lcols = list(left.columns)
-    l2 = left.withColumn("__is_left", F.lit(1))
-    for c in rvals:
-        l2 = l2.withColumn(c, F.lit(None))
-    r2 = right.withColumn("__is_left", F.lit(0))
+    l2 = left.withColumn("__is_left", F.lit(1)).withColumn(
+        "__rv", F.lit(None).cast(rv_type)
+    )
+    r2 = right.withColumn("__is_left", F.lit(0)).withColumn(
+        "__rv", F.struct(*[F.col(c) for c in rvals])
+    )
     for c in lcols:
         if c not in (on, by) and c not in r2.columns:
             r2 = r2.withColumn(c, F.lit(None))
-    u = l2.select(*lcols, *rvals, "__is_left").unionByName(
-        r2.select(*lcols, *rvals, "__is_left")
+    u = l2.select(*lcols, "__rv", "__is_left").unionByName(
+        r2.select(*lcols, "__rv", "__is_left")
     )
     # right rows (0) sort before left rows (1) at equal ts → inclusive
     w = (
@@ -145,9 +156,10 @@ def asof_join_union(
         .orderBy(F.col(on).asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carried = F.last("__rv", ignorenulls=True).over(w)
     out = u.select(
         *lcols, "__is_left",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rvals],
+        *[carried.getField(c).alias(c) for c in rvals],
     )
     return out.where(F.col("__is_left") == 1).select(*lcols, *rvals)
 

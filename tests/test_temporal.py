@@ -112,3 +112,31 @@ def test_asof_union_matches_pandas_variant(spark, frames):
         for r in asof_join_union(left, right).collect()
     )
     assert pandas_out == catalyst_out
+
+
+def test_asof_union_null_right_values_row_atomic(spark):
+    """A matched right row whose value column is legitimately NULL must
+    yield NULL (not resurrect an older non-null value), and multiple value
+    columns must come from the SAME right row — the struct-carry
+    semantics, identical to merge_asof."""
+    from lakeshed.temporal import asof_join_union
+
+    left = _ts(spark, [
+        (1, 10, "2024-01-01 00:00:20"),   # after the NULL-valued right row
+        (2, 10, "2024-01-01 00:00:07"),   # after the first right row only
+    ], "event_id bigint, user_id bigint, ts string")
+    right = spark.createDataFrame([
+        (10, "2024-01-01 00:00:05", 100, "a"),
+        (10, "2024-01-01 00:00:15", None, "b"),  # NULL value, later row
+    ], "user_id bigint, ts string, purchase_id bigint, tag string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.event_id: (r.purchase_id, r.tag)
+           for r in asof_join_union(left, right).collect()}
+    # event 1 matches the later right row: NULL purchase_id stays NULL and
+    # both value columns come from that same row
+    assert got == {1: (None, "b"), 2: (100, "a")}
+    # parity with the cogrouped merge_asof implementation
+    from lakeshed.temporal import asof_join
+    pandas_got = {r.event_id: (r.purchase_id, r.tag)
+                  for r in asof_join(left, right).collect()}
+    assert pandas_got == got
