@@ -44,33 +44,52 @@ def read_json(spark: SparkSession, path: str, multiline: bool = True) -> DataFra
     )
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to session-TZ TIMESTAMP (LTZ).
+
+    The driver's parquet stores naive ``timestamp[us]`` (isAdjustedToUTC=
+    false), which Spark 4 infers as TIMESTAMP_NTZ. The engine standardizes
+    on TIMESTAMP + UTC session (SURVEY §7.3 timestamp semantics): under a
+    UTC session the cast is value-identical, and it keeps the whole
+    temporal surface (``unix_micros``, windows, intervals) on one type.
+    DuckDB's µs TIMESTAMP sees the same values either way.
+    """
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_star(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load driver test tables from ``sf_dir`` as DataFrames keyed by name.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS) which vanilla Spark rejects
-    (PARQUET_TYPE_ILLEGAL); read it via ``nanosAsLong`` and convert to
-    microsecond timestamps — the same truncation DuckDB applies (its
-    TIMESTAMP is µs), so the oracle sees identical values.
+    Timestamp handling must hold on a VANILLA session (the correctness
+    harness builds its own SparkSession without lakeshed defaults):
+
+    - naive ``timestamp[us]`` columns (current testdata) → cast NTZ→LTZ
+      via :func:`_normalize_timestamps`;
+    - legacy TIMESTAMP(NANOS) events (earlier testdata generations) would
+      be rejected outright (PARQUET_TYPE_ILLEGAL), so ``nanosAsLong`` is
+      set at runtime before the read and the resulting bigint is truncated
+      to µs — the same truncation DuckDB applies.
     """
     use = names or STAR_TABLES
     out: dict[str, DataFrame] = {}
     for name in use:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if name == "events":
-            # Must hold on a VANILLA session (the correctness harness builds
-            # its own SparkSession without lakeshed defaults), so set the
-            # runtime conf here, not only in session.py builder defaults.
             # nanosAsLong is SQLConf-runtime-settable and consulted at
             # action time; it is intentionally NOT restored — a restore
-            # would break the lazy frames returned from here.
+            # would break the lazy frames returned from here. With µs
+            # testdata it has no effect.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
             if dict(df.dtypes).get("ts") == "bigint":
                 # integer div: ts is ~1.7e18, float division loses precision
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            out[name] = df
+            out[name] = _normalize_timestamps(df)
         else:
-            out[name] = spark.read.parquet(path)
+            out[name] = _normalize_timestamps(spark.read.parquet(path))
     return out
 
 
