@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lakeshed.session import get_spark
 from lakeshed import queries as q
+from lakeshed.llm import release_persisted
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -47,6 +48,9 @@ def main() -> None:
         # without paying driver-collect transfer — measures the plan itself.
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop this query's tracked signature persists (LSH frames) before
+        # the next one — untimed, keeps storage flat across the run
+        release_persisted()
 
     total = round(sum(timings.values()), 3)
     try:

@@ -16,3 +16,4 @@ Modules:
 """
 
 from lakeshed.llm import dedup, multimodal, similarity, text  # noqa: F401
+from lakeshed.llm._persist import release_persisted  # noqa: F401

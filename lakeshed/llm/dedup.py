@@ -23,10 +23,10 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lakeshed.llm._persist import release_persisted, scoped_persist  # noqa: F401
 from lakeshed.llm.text import ngrams, normalize, tokens
 
 # deterministic universal-hash parameters (fixed seeds → stable results)
@@ -273,11 +273,12 @@ def minhash_lsh_pairs(
             )
             .select("id", F.col("p.sh").alias("sh"), F.col("p.sig").alias("sig"))
             .where(F.col("sh").isNotNull())
-            # one compute, four consumers (2 band legs + 2 verify legs);
-            # narrow frame (~k+|set| bigints per doc). At 100 TB this is
-            # the signature table you'd materialize to storage instead.
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # one compute, four consumers (2 band legs + 2 verify legs);
+        # narrow frame (~k+|set| bigints per doc). At 100 TB this is
+        # the signature table you'd materialize to storage instead
+        # (build_signature_table). Tracked for release_persisted().
+        base = scoped_persist("minhash_lsh_pairs", base)
         sigs = base
     elif use_arrow:
         base = (
@@ -445,10 +446,10 @@ def simhash_pairs(
             hasher(F.array_distinct(tokens(text_col))).alias("hs"),
         )
         .select("id", sig_expr(F.col("hs")).alias("sig"))
-        # both legs of the pigeonhole self-join read this; persisting the
-        # (id, sig) pair frame halves the signature computation.
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # both legs of the pigeonhole self-join read this; persisting the
+    # (id, sig) pair frame halves the signature computation.
+    sig = scoped_persist("simhash_pairs", sig)
     mask = (1 << step) - 1
     if mask >= 1 << 63:
         mask -= 1 << 64  # two's-complement: a full-width chunk (h=0) masks -1

@@ -22,9 +22,10 @@ import random
 
 import numpy as np
 import pandas as pd
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from lakeshed.llm._persist import scoped_persist
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -285,10 +286,10 @@ def ann_pairs_lsh(
     # prune the vector column before the self-join and persist: both legs
     # then reuse one run of the signature kernel over (id, tbl, bucket)
     # triples instead of re-bucketing the corpus per leg.
-    idx = (
+    idx = scoped_persist(
+        "ann_pairs_lsh",
         lsh_index(df, dim, bits, tables, id_col, vec_col, seed)
-        .select("id", "tbl", "bucket")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("id", "tbl", "bucket"),
     )
     cand = (
         idx.alias("l")

@@ -236,3 +236,24 @@ def test_ivf_topk_recall_and_scan_fraction(spark):
     # assignment is deterministic across runs (seeded centroid choice)
     again, _ = similarity.ivf_index(corpus, k=16)
     assert idx.subtract(again).count() == 0
+
+
+def test_release_persisted_drops_tracked_blocks(spark):
+    """The LSH pair functions persist their signature frames and register
+    them for cleanup (round-2 ADVICE: disk blocks outlive memory pressure).
+    release_persisted() must leave zero cached RDDs behind."""
+    from lakeshed.llm import release_persisted
+
+    docs = _docs(spark)
+    dedup.minhash_lsh_pairs(docs, threshold=0.7).count()
+    dedup.simhash_pairs(docs, max_hamming=8).count()
+    jsc = spark.sparkContext._jsc.sc()
+    assert len(jsc.getRDDStorageInfo()) >= 2
+    release_persisted()
+    # unpersist is async (blocking=False); poll briefly
+    import time
+    for _ in range(50):
+        if len(jsc.getRDDStorageInfo()) == 0:
+            break
+        time.sleep(0.1)
+    assert len(jsc.getRDDStorageInfo()) == 0
