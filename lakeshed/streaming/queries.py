@@ -51,7 +51,16 @@ _FIXTURE_CACHE: dict[tuple[str, str], str] = {}
 
 def _fixture_dir(kind: str, sf_dir: str, write) -> str:
     key = (kind, sf_dir)
-    if key not in _FIXTURE_CACHE:
+    cached = _FIXTURE_CACHE.get(key)
+    # re-validate: a tmpdir can be cleaned by the OS (or the sf fixtures
+    # regenerated) mid-process — silently replaying a stale/missing input
+    # would corrupt the gate. Rewrite if the path vanished or is empty.
+    if cached is not None and not (
+        os.path.isdir(cached) and os.listdir(cached)
+    ):
+        _FIXTURE_CACHE.pop(key)
+        cached = None
+    if cached is None:
         path = tempfile.mkdtemp(prefix=f"lakeshed-fx-{kind}-")
         write(path)
         _FIXTURE_CACHE[key] = path

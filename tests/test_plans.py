@@ -59,12 +59,13 @@ def test_groupby_aggregates_partially(spark):
     """A2: partial (map-side) aggregation runs before the exchange, so the
     shuffle carries one row per (partition, group), not per input row."""
     plan = _plan(q.pricing_summary(spark, SF))
-    first_agg = plan.index("HashAggregate")
-    first_exchange = plan.index("Exchange")
-    assert first_agg != -1 and first_exchange != -1
-    # formatted mode lists operators leaf-first; partial agg precedes the
-    # exchange in execution order, so it appears deeper in the tree
     assert plan.count("HashAggregate") >= 2
+    # the formatted tree prints downstream operators first, so the FINAL
+    # aggregate appears above the Exchange and the PARTIAL one below it —
+    # assert that ordering explicitly: Agg ... Exchange ... Agg
+    first_agg = plan.index("HashAggregate")
+    exchange = plan.index("Exchange", first_agg)
+    assert plan.index("HashAggregate", exchange) > exchange
 
 
 def test_exact_dedup_single_shuffle(spark):
