@@ -68,30 +68,35 @@ def rate_changelog_source(spark: SparkSession, rows_per_second: int = 10
     )
 
 
-def parse_changelog(lines: DataFrame) -> DataFrame:
+def parse_changelog(lines: DataFrame, seq: str | None = None) -> DataFrame:
     """P9+P10 — malformed-record filter (arity == 3) + split/cast parse
     (IcebergStream.java:90-98), plus an arrival-sequence column so a key
-    appearing as I-then-D inside one batch nets to delete (SURVEY §7.3:
-    ``monotonically_increasing_id`` captured at parse stands in for the
-    Flink per-record order / Kafka offset)."""
+    appearing as I-then-D inside one batch nets to delete (SURVEY §7.3).
+
+    ``seq`` names an input column that already carries the arrival order
+    (the Kafka per-partition ``offset``) and is passed through as
+    ``__seq``. Without it, batch callers get a
+    ``monotonically_increasing_id`` stamped here; streaming frames can't
+    evaluate that, so ``changelog_upsert`` stamps per micro-batch instead
+    (same contract: arrival order within batch)."""
     parts = F.split(F.col("value"), ",")
+    cols = [
+        parts.getItem(0).alias("type"),
+        # try_cast: malformed keys ("I,NaN,px") must become NULL and be
+        # dropped by the filter below under BOTH ANSI modes — plain cast
+        # throws CAST_INVALID_INPUT on the driver's ANSI-on session.
+        parts.getItem(1).try_cast("int").alias("block_number"),
+        parts.getItem(2).alias("hash"),
+        F.current_timestamp().alias("ts"),
+    ]
+    if seq is not None:
+        cols.append(F.col(seq).alias("__seq"))
     out = (
         lines.where(F.size(parts) == 3)
-        .select(
-            parts.getItem(0).alias("type"),
-            # try_cast: malformed keys ("I,NaN,px") must become NULL and be
-            # dropped by the filter below under BOTH ANSI modes — plain cast
-            # throws CAST_INVALID_INPUT on the driver's ANSI-on session.
-            parts.getItem(1).try_cast("int").alias("block_number"),
-            parts.getItem(2).alias("hash"),
-            F.current_timestamp().alias("ts"),
-        )
+        .select(*cols)
         .where(F.col("block_number").isNotNull() & F.col("type").isin("I", "D"))
     )
-    if not lines.isStreaming:
-        # batch callers get the sequence here; streaming frames can't eval
-        # monotonically_increasing_id — changelog_upsert stamps it per
-        # micro-batch instead (same contract: arrival order within batch).
+    if seq is None and not lines.isStreaming:
         out = out.withColumn("__seq", F.monotonically_increasing_id())
     return out
 

@@ -132,3 +132,69 @@ def test_kafka_call_shapes_are_gated(spark):
 
     with pytest.raises(Exception, match="(?i)kafka"):
         kafka_stream_source(spark, "localhost:9092", "clickstream")
+
+
+def test_kafka_reader_option_contract():
+    """S9 — the option set handed to readStream.format('kafka') is the
+    stock spark-sql-kafka contract (subscribe + bootstrap + offsets)."""
+    from lakeshed.streaming.kafka import kafka_reader_options
+
+    assert kafka_reader_options("broker:9092", "clickstream") == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "clickstream",
+        "startingOffsets": "latest",
+    }
+    assert (
+        kafka_reader_options("b:9092", "t", "earliest")["startingOffsets"]
+        == "earliest"
+    )
+
+
+def test_kafka_changelog_mapping_on_recorded_frame(spark, tmp_path):
+    """S9→W5 without a broker: a recorded frame in the stock kafka source
+    schema drives the exact consume-side mapping — binary value → line
+    parse (malformed dropped), per-partition offset → __seq → MERGE
+    arrival order. The I@offset5-then-D@offset9 key must net to delete
+    even though the D row appears FIRST in the frame."""
+    from datetime import datetime
+
+    from lakeshed.streaming.kafka import KAFKA_RAW_SCHEMA, kafka_changelog
+
+    ts = datetime(2024, 1, 1)
+
+    def rec(key, val, off):
+        return (key.encode(), val.encode(), "clickstream", 0, off, ts, 0)
+
+    raw = spark.createDataFrame(
+        [
+            rec("1", "D,1,h-old", 9),   # arrives later (offset 9) ...
+            rec("1", "I,1,h-new", 5),   # ... than this insert (offset 5)
+            rec("2", "I,2,h-two", 6),
+            rec("3", "garbage", 7),     # arity != 3 → dropped
+            rec("4", "I,NaN,px", 8),    # unparseable key → dropped
+        ],
+        KAFKA_RAW_SCHEMA,
+    )
+    parsed = kafka_changelog(raw)
+    got = {(r.type, r.block_number, r.hash, r["__seq"]) for r in parsed.collect()}
+    assert got == {
+        ("D", 1, "h-old", 9),
+        ("I", 1, "h-new", 5),
+        ("I", 2, "h-two", 6),
+    }
+
+    # feed the same MERGE the streaming sink uses: offset order decides
+    t = Catalog(spark, str(tmp_path / "wh")).create_table(
+        "default.kafka_state",
+        spark.createDataFrame([(1, "h0")], "block_number int, hash string"),
+    )
+    t.merge(
+        parsed.select("type", "block_number", "hash", "__seq"),
+        on="block_number",
+        when_matched_delete="type = 'D'",
+        when_matched_update={"hash": "s.hash"},
+        when_not_matched_insert="type = 'I'",
+        source_order="__seq",
+    )
+    state = {(r.block_number, r.hash) for r in t.read().collect()}
+    assert state == {(2, "h-two")}  # key 1 netted to delete by offset order
