@@ -226,8 +226,109 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
 
 
-def minhash_lsh_pairs(
+def minhash_signatures(
     df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    seed: int = 42,
+    shingle: int = 1,
+) -> DataFrame:
+    """The packed per-doc signature frame ``(id, sh, sig)``: hashed
+    n-gram set + MinHash signature, one Arrow kernel pass (see
+    :func:`minhash_packed_arrow`). This is the unit of work dedup stores
+    and reuses — at 100 TB you materialize it once per document
+    (:func:`build_signature_table`) instead of recomputing per pass."""
+    spark = df.sparkSession
+    kernel = minhash_packed_arrow(num_hashes, seed, shingle)
+    return (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
+        .where(F.size("tk") > 0)
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+        .select(
+            "id",
+            kernel(F.transform("tk", lambda t: F.xxhash64(t))).alias("p"),
+        )
+        .select("id", F.col("p.sh").alias("sh"), F.col("p.sig").alias("sig"))
+        .where(F.col("sh").isNotNull())
+    )
+
+
+# properties stamped on signature tables; reuse validates them so stored
+# signatures are never silently mixed with a different hash family
+_SIG_PROPS = ("num_hashes", "seed", "shingle")
+
+
+def build_signature_table(
+    df: DataFrame,
+    catalog,
+    name: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    seed: int = 42,
+    shingle: int = 1,
+    mode: str = "error",
+):
+    """Materialize the MinHash signature frame to an ACID ``LakeTable`` —
+    the incremental-dedup shape for a growing corpus: signatures are
+    computed once per document and stored; later passes read them back
+    instead of re-hashing the corpus (``minhash_lsh_pairs(...,
+    signatures=table)``). The hash-family parameters are stamped as table
+    properties and validated on every reuse/update."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, seed, shingle)
+    return catalog.create_table(
+        name, sig, mode=mode,
+        properties={
+            "lakeshed.sig.kind": "minhash",
+            "lakeshed.sig.num_hashes": str(num_hashes),
+            "lakeshed.sig.seed": str(seed),
+            "lakeshed.sig.shingle": str(shingle),
+        },
+    )
+
+
+def _check_sig_props(table, num_hashes: int, seed: int, shingle: int) -> None:
+    props = table.properties()
+    want = {"num_hashes": num_hashes, "seed": seed, "shingle": shingle}
+    for k, v in want.items():
+        stored = props.get(f"lakeshed.sig.{k}")
+        if stored is not None and stored != str(v):
+            raise ValueError(
+                f"signature table was built with {k}={stored}, "
+                f"caller asked for {v} — rebuild or match parameters"
+            )
+
+
+def update_signature_table(
+    table,
+    new_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    seed: int = 42,
+    shingle: int = 1,
+):
+    """Incrementally extend a signature table: sign ONLY the documents
+    whose id is not already stored (left-anti join against the stored id
+    column — a narrow scan), then append. Old documents are never
+    re-hashed; the append is one ACID commit."""
+    _check_sig_props(table, num_hashes, seed, shingle)
+    known = table.read().select("id")
+    fresh = new_docs.join(
+        known, new_docs[id_col] == known["id"], "left_anti"
+    )
+    sig = minhash_signatures(
+        fresh, text_col, id_col, num_hashes, seed, shingle
+    )
+    table.append(sig)
+    return table
+
+
+def minhash_lsh_pairs(
+    df: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
@@ -237,9 +338,16 @@ def minhash_lsh_pairs(
     seed: int = 42,
     use_arrow: bool = True,
     packed: bool = True,
+    signatures=None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact Jaccard ≥ threshold) via
     banded MinHash-LSH candidate generation + exact verification.
+
+    ``signatures``: a ``LakeTable`` (or DataFrame) produced by
+    :func:`build_signature_table` — the banding and both verify legs read
+    the STORED (id, sh, sig) frame and the corpus text is never touched,
+    which is how incremental dedup of a growing corpus avoids re-hashing
+    old documents.
 
     Plan (packed, the default): repartition (single-file corpora otherwise
     serialize the signature math onto one core) → xxhash64 each TOKEN
@@ -258,21 +366,18 @@ def minhash_lsh_pairs(
     JVM-side, Jaccard over string sets) — the parity baseline.
     """
     rows = num_hashes // bands
-    spark = df.sparkSession
-    if packed:
-        kernel = minhash_packed_arrow(num_hashes, seed, shingle)
+    if signatures is not None:
+        # stored signature table: no text scan, no persist — the parquet
+        # files ARE the reusable materialization
         base = (
-            df.select(
-                F.col(id_col).alias("id"), tokens(text_col).alias("tk")
-            )
-            .where(F.size("tk") > 0)
-            .repartition(spark.sparkContext.defaultParallelism, "id")
-            .select(
-                "id",
-                kernel(F.transform("tk", lambda t: F.xxhash64(t))).alias("p"),
-            )
-            .select("id", F.col("p.sh").alias("sh"), F.col("p.sig").alias("sig"))
-            .where(F.col("sh").isNotNull())
+            signatures.read() if hasattr(signatures, "read") else signatures
+        )
+        if hasattr(signatures, "properties"):
+            _check_sig_props(signatures, num_hashes, seed, shingle)
+        sigs = base
+    elif packed:
+        base = minhash_signatures(
+            df, text_col, id_col, num_hashes, seed, shingle
         )
         # one compute, four consumers (2 band legs + 2 verify legs);
         # narrow frame (~k+|set| bigints per doc). At 100 TB this is
@@ -281,6 +386,7 @@ def minhash_lsh_pairs(
         base = scoped_persist("minhash_lsh_pairs", base)
         sigs = base
     elif use_arrow:
+        spark = df.sparkSession
         base = (
             df.select(
                 F.col(id_col).alias("id"),
@@ -294,6 +400,7 @@ def minhash_lsh_pairs(
             "id", "sh", kernel(F.col("hs")).alias("sig")
         )
     else:
+        spark = df.sparkSession
         base = (
             df.select(
                 F.col(id_col).alias("id"),
