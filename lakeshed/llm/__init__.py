@@ -15,5 +15,5 @@ Modules:
 - :mod:`lakeshed.llm.queries` — CORRECTNESS registry entries.
 """
 
-from lakeshed.llm import dedup, multimodal, similarity, text  # noqa: F401
+from lakeshed.llm import dedup, multimodal, sampling, similarity, text  # noqa: F401
 from lakeshed.llm._persist import release_persisted  # noqa: F401

@@ -425,3 +425,96 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_frames")
     )
+
+
+# md5-bucket arithmetic shared by the sampling oracles — byte-identical to
+# lakeshed.llm.sampling._hash_bucket (md5 of the utf-8 id string, 15-hex
+# prefix → bigint, mod 1e6)
+_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) "
+    "% 1000000"
+)
+
+
+@qdef(
+    "llm_mixture_sample",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_BUCKET} < CASE lang
+        WHEN 'en' THEN 300000 WHEN 'de' THEN 800000
+        WHEN 'es' THEN 1000000 WHEN 'zh' THEN 0
+        ELSE 100000 END
+    """,
+    "LLM-mixture-sample",
+)
+def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixture weighting: per-language keep-rates decided by a
+    content hash of the id — reproducible across engines and cluster
+    sizes (the oracle replays the exact md5 arithmetic). Shuffle-free
+    narrow filter; the rate CASE is O(strata), not O(corpus)."""
+    from lakeshed.llm import sampling
+
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    return sampling.mixture_sample(
+        docs,
+        {"en": 0.3, "de": 0.8, "es": 1.0, "zh": 0.0},
+        key_col="lang",
+        default_rate=0.1,
+    ).select("doc_id", "lang", "source")
+
+
+@qdef(
+    "llm_hash_rank_sample",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_BUCKET}, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+    "LLM-hash-rank-sample",
+)
+def llm_hash_rank_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reservoir: EXACTLY k docs per language, the k
+    smallest content hashes — unbiased (hash order is uniform) yet stable
+    across runs and partitionings. One window shuffle on the stratum."""
+    from lakeshed.llm import sampling
+
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    return sampling.hash_rank_sample(docs, k=20, by="lang").select(
+        "doc_id", "lang"
+    )
+
+
+@qdef(
+    "llm_token_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(regexp_replace(lower(trim(text)),
+                                             '\\s+', ' ', 'g'), ' '))
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
+           CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2048)
+                AS BIGINT)                                  AS pack_id,
+           CAST((sum(n_tokens) OVER w - n_tokens) % 2048
+                AS BIGINT)                                  AS pack_offset
+    FROM t
+    WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "LLM-token-packing",
+)
+def llm_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: documents laid out per language in id
+    order, each assigned to the 2048-token window where its first token
+    lands, with the in-pack offset — the corpus-assembly step before
+    tokenization. One window shuffle; the cumsum is a single pass."""
+    from lakeshed.llm import sampling
+
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    return sampling.pack_tokens(docs, budget=2048, by="lang")

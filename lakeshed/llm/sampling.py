@@ -1,0 +1,131 @@
+"""Deterministic sampling & corpus-assembly operators for training data.
+
+A training-data pipeline does not use ``rand()`` sampling: runs must be
+reproducible bit-for-bit across engines, retries, and cluster sizes, and
+a document's fate must not depend on partitioning. Everything here keys
+off a content hash of the document id (+ a salt), so:
+
+- the same (id, salt) always makes the same keep/drop decision — adding
+  machines or re-running changes nothing;
+- changing the salt draws an independent sample;
+- the DuckDB oracle can replay the exact arithmetic (md5-prefix →
+  bigint, the same trick the SimHash oracle uses), so these operators
+  are value-checked end to end, not just row-counted.
+
+Scale notes: :func:`deterministic_sample` and :func:`mixture_sample` are
+shuffle-free narrow filters (they stream through the scan);
+:func:`hash_rank_sample` and :func:`pack_tokens` cost one window shuffle
+on the stratum key each. None of them ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakeshed.llm.text import tokens
+
+# 15 hex chars = 60 bits: fits a signed 64-bit lossless on both engines
+_BUCKETS = 1_000_000
+
+
+def _hash_bucket(id_col: Column, salt: str) -> Column:
+    """Uniform bucket in [0, 1e6) from md5(id || salt) — byte-identical to
+    DuckDB's ``CAST('0x' || substr(md5(id || salt), 1, 15) AS BIGINT) %
+    1000000`` (md5 of the utf-8 bytes on both sides)."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(salt)).cast("binary"))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"), F.lit(_BUCKETS)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep ≈``rate`` of rows, decided per-row by content hash — a
+    Bernoulli sample that is reproducible and partitioning-independent
+    (unlike ``df.sample``, whose draw depends on the split layout).
+    Narrow filter: no shuffle, no driver involvement."""
+    return df.where(_hash_bucket(F.col(id_col), salt) < int(rate * _BUCKETS))
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Dataset mixture weighting: each stratum (source, language, domain)
+    is down/up-weighted by its own keep-rate — how corpora are rebalanced
+    before training (e.g. cap web text, keep all books). One narrow
+    filter; the CASE over strata is a tiny expression regardless of
+    corpus size. Strata missing from ``rates`` get ``default_rate``."""
+    rate = F.lit(int(default_rate * _BUCKETS))
+    for k, v in sorted(rates.items()):
+        rate = F.when(
+            F.col(key_col) == F.lit(k), F.lit(int(v * _BUCKETS))
+        ).otherwise(rate)
+    return df.where(_hash_bucket(F.col(id_col), salt) < rate)
+
+
+def hash_rank_sample(
+    df: DataFrame,
+    k: int,
+    by: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY ``k`` rows per stratum (or all, if the stratum is smaller):
+    rank rows inside each stratum by content hash and keep the k
+    smallest — a deterministic reservoir. The hash order is uniform, so
+    the k rows are an unbiased sample, yet stable across runs. One window
+    shuffle on the stratum key; ties broken by id (hash collisions)."""
+    w = Window.partitionBy(by).orderBy(
+        _hash_bucket(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def pack_tokens(
+    df: DataFrame,
+    budget: int,
+    by: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a fixed-size token window (context-window
+    packing): documents are laid out in deterministic ``order_col`` order
+    per stratum, and a document belongs to the pack where its first token
+    lands (``pack_id = floor(start_offset / budget)``) — the contiguous
+    stream-chunking strategy. Emits the in-pack offset so a downstream
+    tokenizer can materialize the windows without re-scanning.
+
+    One window shuffle per stratum; the cumulative sum is a single pass.
+    Documents longer than ``budget`` still get exactly one pack (their
+    start pack) — splitting oversize docs is the tokenizer's job.
+    """
+    n_tok = F.size(tokens(text_col))
+    w = (
+        Window.partitionBy(by)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    start = (cum - n_tok).alias("start_offset")
+    return df.select(
+        F.col(order_col),
+        F.col(by),
+        n_tok.alias("n_tokens"),
+        start,
+        F.floor((cum - n_tok) / budget).alias("pack_id"),
+        F.pmod(cum - n_tok, F.lit(budget)).alias("pack_offset"),
+    )

@@ -301,3 +301,54 @@ def test_signature_table_incremental_dedup(spark, tmp_path):
 
     with pytest.raises(ValueError, match="num_hashes"):
         dedup.update_signature_table(t, docs, num_hashes=64)
+
+
+def test_deterministic_sample_partitioning_independent(spark):
+    """The keep/drop decision must depend only on (id, salt) — identical
+    output at 1 partition and 16, and across invocations (df.sample by
+    contrast draws per-split). Different salts draw differently."""
+    from lakeshed.llm import sampling
+
+    docs = _docs(spark)
+    a = {r.doc_id for r in
+         sampling.deterministic_sample(docs.repartition(1), 0.4).collect()}
+    b = {r.doc_id for r in
+         sampling.deterministic_sample(docs.repartition(16), 0.4).collect()}
+    assert a == b and len(a) > 0
+    # rate lands near 0.4 (binomial, n=500)
+    assert 0.3 < len(a) / docs.count() < 0.5
+    c = {r.doc_id for r in
+         sampling.deterministic_sample(docs, 0.4, salt="v2").collect()}
+    assert c != a
+
+
+def test_hash_rank_sample_exact_k(spark):
+    from lakeshed.llm import sampling
+
+    docs = _docs(spark)
+    sizes = {r.lang: r.n for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = sampling.hash_rank_sample(docs, k=20, by="lang")
+    per = {r.lang: r.n for r in
+           got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {lang: min(20, n) for lang, n in sizes.items()}
+
+
+def test_pack_tokens_window_arithmetic(spark):
+    """Every doc's pack is where its first token lands; offsets are dense
+    and consistent with the per-stratum cumulative sum."""
+    from lakeshed.llm import sampling
+
+    docs = _docs(spark)
+    rows = sampling.pack_tokens(docs, budget=512, by="lang").collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.start_offset == cum
+            assert r.pack_id == cum // 512
+            assert r.pack_offset == cum % 512
+            cum += r.n_tokens
