@@ -38,9 +38,11 @@ _DEFAULT_CONF: dict[str, str] = {
     # Parquet: vectorized reader + pushdown are defaults, pinned explicitly
     # because the engine depends on them (SURVEY §4).
     "spark.sql.parquet.filterPushdown": "true",
-    # The driver's events.parquet stores TIMESTAMP(NANOS), which vanilla
-    # Spark rejects; read nanos as bigint session-wide (io.load_star converts
-    # to µs timestamps). Declared here, once, rather than mutated per call.
+    # Legacy testdata generations stored events.ts as TIMESTAMP(NANOS),
+    # which vanilla Spark rejects; read nanos as bigint (io.load_star
+    # converts to µs). Current testdata is already µs — this conf is then
+    # inert, kept for older fixture sets. io.load_star also sets it at
+    # runtime so gate queries survive on a vanilla (non-lakeshed) session.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.files.maxPartitionBytes": "128MB",

@@ -128,3 +128,18 @@ def test_tail_query_matches_oracle_at_driver_sf(spark, duck_driver_sf, name):
     assert _rows_to_multiset(spark_cols, spark_rows) == _rows_to_multiset(
         duck_cols, duck_rows
     )
+
+
+def test_gated_head_is_exactly_fifty():
+    """The driver records the FIRST 50 registry entries; everything else
+    must be explicitly listed in SELF_VERIFIED_TAIL (and covered by the
+    driver-sf tail test above). A new qdef that lands in the head would
+    silently push an existing gate past the cap — fail here instead."""
+    names = list(QUERIES)
+    from lakeshed.queries import SELF_VERIFIED_TAIL
+
+    assert len(names) - len(SELF_VERIFIED_TAIL) == 50, (
+        f"{len(names)} registered, tail={len(SELF_VERIFIED_TAIL)}: "
+        "add new entries to SELF_VERIFIED_TAIL or rebalance the gated 50"
+    )
+    assert names[50:] == list(SELF_VERIFIED_TAIL)
