@@ -1231,20 +1231,41 @@ class LakeTable:
 
     # ----------------------------------------------------------- maintenance
 
-    def compact(self, target_size_bytes: int = 128 * 1024 * 1024) -> Commit:
+    def compact(self, target_size_bytes: int = 128 * 1024 * 1024,
+                sort_by: str | list[str] | None = None) -> Commit:
         """D18 — ``rewrite_data_files`` (Table Maintenance...ipynb:119):
         rewrite live files into ~target-size files. One distributed
-        read+repartition+write; commit swaps the whole file set."""
+        read+repartition+write; commit swaps the whole file set.
+
+        ``sort_by`` clusters the rewrite (the ``rewrite_data_files(
+        strategy => 'sort')`` / Delta ``OPTIMIZE ZORDER BY`` analog):
+        rows are range-partitioned then sorted within files on the given
+        column(s), so each file covers a narrow value range and the
+        per-file min/max stats prune scans on those columns — the lever
+        that turns a full-corpus scan into a few-file read at 100 TB.
+        ``repartitionByRange`` samples the column to build balanced range
+        bounds (one extra pass over the data, standard for a rewrite)."""
         head_commit, live = self._state(self.head())
         total = sum(a.bytes for a in live)
         n = max(1, -(-total // target_size_bytes))  # ceil
-        df = self.read().repartition(n)
+        if sort_by is not None:
+            cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            df = (
+                self.read()
+                .repartitionByRange(n, *cols)
+                .sortWithinPartitions(*cols)
+            )
+        else:
+            df = self.read().repartition(n)
         adds = self._write_files(
             df, head_commit.partition_spec, head_commit.schema_version
         )
+        summary = {"rewritten-bytes": total, "target-files": n}
+        if sort_by is not None:
+            summary["sort-by"] = ",".join(cols)
         return self._commit(
             "rewrite-data-files", adds, [a.path for a in live],
-            summary={"rewritten-bytes": total, "target-files": n},
+            summary=summary,
         )
 
     def rewrite_manifests(self) -> int:

@@ -447,3 +447,39 @@ def test_sql_ddl_create_props_partition(cat, spark):
     cat.sql("ALTER TABLE nyc.permits ALTER COLUMN issued AFTER id")
     assert [f.name for f in cat.table("nyc.permits").schema_fields()] == \
         ["id", "issued", "borough"]
+
+
+def test_compact_sort_by_clusters_for_pruning(spark, tmp_path):
+    """D18+ — sort-clustered rewrite (the rewrite_data_files(strategy =>
+    'sort') / OPTIMIZE ZORDER analog): after compact(sort_by=col), each
+    file covers a narrow value range, so a point predicate on that column
+    prunes to a small fraction of files; before clustering (value shuffled
+    across every file) the same predicate hits ~all files."""
+    from lakeshed.catalog import Catalog
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 20_000)
+        .select(
+            # decorrelate the cluster key from insertion order
+            F.xxhash64("id").alias("k"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(8)
+    )
+    t = Catalog(spark, str(tmp_path / "wh")).create_table("default.zt", df)
+
+    probe = "k >= 0 AND k < 1000000000000000000"  # ~5% of int64 range
+    before_hit = len(t.plan_files(probe))
+    before_all = len(t.plan_files())
+    assert before_hit == before_all  # shuffled: every file matches
+
+    c = t.compact(target_size_bytes=16 * 1024, sort_by="k")
+    assert c.summary["sort-by"] == "k"
+    after_all = len(t.plan_files())
+    after_hit = len(t.plan_files(probe))
+    assert after_all >= 8
+    assert after_hit <= max(1, after_all // 4)  # range-clustered: few files
+    # contents unchanged by the rewrite
+    assert t.read().count() == 20_000
+    assert t.read().where(probe).count() == df.where(probe).count()
