@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakeshed import ops
-from lakeshed.io import load_star
+from lakeshed.io import load_star, register_star_views
 
 
 @dataclass
@@ -546,6 +546,12 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
     "table_time_travel_ts",  # same output as gated table_time_travel
     "temporal_asof_join_sql",  # same oracle/output as temporal_asof_join
     "llm_embedding_neardup",   # brute twin of gated ..._neardup_lsh
+    # round-4 breadth additions — gated set frozen, verified at sf0.01
+    # by the tail parity test like the rest:
+    "set_ops_except_intersect",
+    "pivot_segment_priority",
+    "percentile_price_by_status",
+    "correlated_scalar_subquery",
 )
 
 
@@ -663,4 +669,114 @@ def count_distinct_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_mktsegment").agg(
         F.countDistinct("c_nationkey").alias("nations"),
         F.count(F.lit(1)).alias("customers"),
+    )
+
+
+@qdef(
+    "set_ops_except_intersect",
+    """
+    WITH hi AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'),
+         lo AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderpriority = '5-LOW')
+    SELECT 'both' AS bucket, count(*) AS cnt
+    FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM lo)
+    UNION ALL
+    SELECT 'urgent_only', count(*)
+    FROM (SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM lo)
+    """,
+    "O+",
+)
+def set_ops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (distinct semantics) — Catalyst
+    plans both as aggregated semi/anti joins, one shuffle each side."""
+    orders = load_star(spark, sf_dir, "orders")["orders"]
+    hi = (orders.where(F.col("o_orderpriority") == "1-URGENT")
+          .select("o_custkey").distinct())
+    lo = (orders.where(F.col("o_orderpriority") == "5-LOW")
+          .select("o_custkey").distinct())
+    both = hi.intersect(lo).agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("both").alias("bucket"), "cnt")
+    only = hi.exceptAll(lo.intersect(hi)).agg(
+        F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("urgent_only").alias("bucket"), "cnt")
+    return both.unionAll(only)
+
+
+@qdef(
+    "pivot_segment_priority",
+    """
+    SELECT c_mktsegment,
+           count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+           count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+           count(*) FILTER (o_orderpriority = '5-LOW')    AS low
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    "A+",
+)
+def pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per (segment × priority), priorities as
+    columns. Explicit value list keeps the plan a single pass (no
+    distinct-values pre-query); the dimension join broadcasts."""
+    t = load_star(spark, sf_dir, "customer", "orders")
+    joined = t["orders"].join(
+        F.broadcast(t["customer"]),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
+        .count()
+        .withColumnsRenamed(
+            {"1-URGENT": "urgent", "3-MEDIUM": "medium", "5-LOW": "low"}
+        )
+    )
+
+
+@qdef(
+    "percentile_price_by_status",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "A+",
+)
+def percentile_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the definition, so values hash-match).
+    At 100 TB you'd reach for approx_percentile's sketch; the exact form
+    is the oracle-checkable baseline and the sketch twin is unit-tested
+    with error bounds (tests/test_plans.py)."""
+    orders = load_star(spark, sf_dir, "orders")["orders"]
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@qdef(
+    "correlated_scalar_subquery",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    "S3+",
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL entry point (S3):
+    customers above their nation's mean balance. Catalyst de-correlates
+    it into an aggregate + join — no per-row re-execution."""
+    register_star_views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
     )
