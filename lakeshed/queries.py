@@ -552,6 +552,7 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
     "pivot_segment_priority",
     "percentile_price_by_status",
     "correlated_scalar_subquery",
+    "explode_top_tokens",
 )
 
 
@@ -779,4 +780,32 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
                            WHERE c2.c_nationkey = c.c_nationkey)
         """
+    )
+
+
+@qdef(
+    "explode_top_tokens",
+    """
+    SELECT tok, count(*) AS cnt FROM (
+      SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+                                                '\\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents
+    ) GROUP BY tok ORDER BY cnt DESC, tok LIMIT 25
+    """,
+    "P+",
+)
+def explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW EXPLODE (generator) — corpus token frequencies: one
+    narrow explode (no shuffle until the count agg), partial aggregation
+    map-side, TakeOrderedAndProject for the top-k. The word-count shape
+    every text pipeline starts from."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    from lakeshed.llm.text import tokens as _tokens
+
+    return (
+        docs.select(F.explode(_tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(25)
     )
