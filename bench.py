@@ -45,8 +45,15 @@ def main() -> None:
         # min of two timed runs: this box shows multi-x background
         # contention spikes; the min is the faithful steady-state cost of
         # the plan (standard noisy-neighbor benchmarking practice).
+        # release_persisted() runs BEFORE each timed run (r05 methodology
+        # fix): persisted LSH signature frames from the warmup would
+        # otherwise be reused via CacheManager plan dedup, so the timed
+        # runs would measure a cache-warm plan. Each timed run now pays
+        # its own signature materialization — comparable to single-run
+        # rounds r01-r03; r04's numbers for the LSH queries were warm.
         best = None
         for _ in range(2):
+            release_persisted()
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             # noop sink materializes every column of every row on the

@@ -314,12 +314,18 @@ def update_signature_table(
     """Incrementally extend a signature table: sign ONLY the documents
     whose id is not already stored (left-anti join against the stored id
     column — a narrow scan), then append. Old documents are never
-    re-hashed; the append is one ACID commit."""
+    re-hashed; the append is one ACID commit.
+
+    The fresh batch is deduplicated on ``id_col`` first — a batch carrying
+    the same doc twice would otherwise append two signature rows and
+    inflate LSH candidate generation. Concurrent updates of the SAME table
+    require external serialization (two racing updates can both pass the
+    anti-join); the table's commit protocol will reject one writer's
+    commit, which is the intended failure mode."""
     _check_sig_props(table, num_hashes, seed, shingle)
     known = table.read().select("id")
-    fresh = new_docs.join(
-        known, new_docs[id_col] == known["id"], "left_anti"
-    )
+    batch = new_docs.dropDuplicates([id_col])
+    fresh = batch.join(known, batch[id_col] == known["id"], "left_anti")
     sig = minhash_signatures(
         fresh, text_col, id_col, num_hashes, seed, shingle
     )

@@ -49,7 +49,12 @@ def deterministic_sample(
     Bernoulli sample that is reproducible and partitioning-independent
     (unlike ``df.sample``, whose draw depends on the split layout).
     Narrow filter: no shuffle, no driver involvement."""
-    return df.where(_hash_bucket(F.col(id_col), salt) < int(rate * _BUCKETS))
+    # round, don't truncate: 0.29 * 1e6 is 289999.99... in binary floats
+    # and int() would silently shift the threshold one bucket off the
+    # decimal rate an oracle would hand-write
+    return df.where(
+        _hash_bucket(F.col(id_col), salt) < int(round(rate * _BUCKETS))
+    )
 
 
 def mixture_sample(
@@ -65,10 +70,10 @@ def mixture_sample(
     before training (e.g. cap web text, keep all books). One narrow
     filter; the CASE over strata is a tiny expression regardless of
     corpus size. Strata missing from ``rates`` get ``default_rate``."""
-    rate = F.lit(int(default_rate * _BUCKETS))
+    rate = F.lit(int(round(default_rate * _BUCKETS)))
     for k, v in sorted(rates.items()):
         rate = F.when(
-            F.col(key_col) == F.lit(k), F.lit(int(v * _BUCKETS))
+            F.col(key_col) == F.lit(k), F.lit(int(round(v * _BUCKETS)))
         ).otherwise(rate)
     return df.where(_hash_bucket(F.col(id_col), salt) < rate)
 

@@ -541,18 +541,19 @@ def _load_extensions() -> None:
 # because each duplicates a gated sibling's oracle/output or its operator
 # is exercised by several other gated queries — see COVERAGE.md.
 SELF_VERIFIED_TAIL: tuple[str, ...] = (
+    # Rebalanced in round 5 (VERDICT r04 #1): the NEWEST queries sit in
+    # the driver-gated head; the tail holds long-stable entries whose
+    # operator is redundantly exercised by another gated query.
     "count_star",            # A1 also inside pricing_summary/groupby gates
     "distinct_values",       # A4 also inside count_distinct_by_segment
     "table_time_travel_ts",  # same output as gated table_time_travel
     "temporal_asof_join_sql",  # same oracle/output as temporal_asof_join
     "llm_embedding_neardup",   # brute twin of gated ..._neardup_lsh
-    # round-4 breadth additions — gated set frozen, verified at sf0.01
-    # by the tail parity test like the rest:
-    "set_ops_except_intersect",
-    "pivot_segment_priority",
-    "percentile_price_by_status",
-    "correlated_scalar_subquery",
-    "explode_top_tokens",
+    "groupby_count",         # A2 also inside pricing_summary/pivot gates
+    "union_all_counts",      # O3 also inside set_ops_except_intersect
+    "hourly_event_rollup",   # window-bucket agg also in stream_windowed_rollup
+    "llm_frame_sample",      # mapInPandas path also in llm_multimodal_features
+    "temporal_range_join",   # bin-explode join plan-audited in test_plans
 )
 
 
@@ -698,7 +699,9 @@ def set_ops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("o_custkey").distinct())
     both = hi.intersect(lo).agg(F.count(F.lit(1)).alias("cnt")).select(
         F.lit("both").alias("bucket"), "cnt")
-    only = hi.exceptAll(lo.intersect(hi)).agg(
+    # hi is already distinct, so exceptAll == EXCEPT (distinct) here —
+    # one anti-join instead of the intersect+except double join
+    only = hi.exceptAll(lo).agg(
         F.count(F.lit(1)).alias("cnt")).select(
         F.lit("urgent_only").alias("bucket"), "cnt")
     return both.unionAll(only)
@@ -725,13 +728,20 @@ def pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(t["customer"]),
         F.col("o_custkey") == F.col("c_custkey"),
     )
-    return (
+    pivoted = (
         joined.groupBy("c_mktsegment")
         .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
         .count()
         .withColumnsRenamed(
             {"1-URGENT": "urgent", "3-MEDIUM": "medium", "5-LOW": "low"}
         )
+    )
+    # pivot().count() emits NULL for an empty cell; the oracle's
+    # count(*) FILTER emits 0 — coalesce so sparse fixtures still match
+    return pivoted.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("urgent", "medium", "low")],
     )
 
 

@@ -183,16 +183,35 @@ def diff_versions(table: LakeTable, v_from: int, v_to: int | None = None
     delete+insert pair — the ±U encoding of ``ChangelogMode.all()``,
     PaimonStream.java:86).
 
-    Exact-row anti-joins both ways; at 100 TB you'd restrict to the files
-    added/removed between the versions first (the log knows), which this
-    honors implicitly: unchanged files cancel out in the join."""
-    old = table.read(version=v_from)
-    new = table.read(version=v_to if v_to is not None else table.head())
-    cols = old.columns
-    inserts = new.exceptAll(old).select(
+    Cost is O(changed data), not O(snapshot): the commit log knows the
+    exact file delta between the versions, and a file live in BOTH
+    snapshots contributes the same row multiset to both ``exceptAll``
+    legs — its rows cancel exactly — so both legs scan ONLY the files
+    added/removed between v_from and v_to. Deriving the delta from the
+    two replayed live states (rather than walking the commit chain)
+    keeps this exact across checkpoint boundaries and rollbacks too.
+    This mirrors Delta CDF's file-level change tracking (SURVEY §2.2 W7).
+
+    The multiset identity: count_new(x) − count_old(x)
+    = (unchanged(x) + added(x)) − (unchanged(x) + removed(x))
+    = added(x) − removed(x), so diffing the added files against the
+    removed files yields the same rows as diffing the full snapshots.
+    Rows from removed files are adapted to v_to's schema (same as a full
+    read would after evolution), so both legs always align."""
+    v_to = v_to if v_to is not None else table.head()
+    commit_new, live_new = table._state(v_to)
+    _, live_old = table._state(v_from)
+    new_paths = {a.path for a in live_new}
+    old_paths = {a.path for a in live_old}
+    added = [a for a in live_new if a.path not in old_paths]
+    removed = [a for a in live_old if a.path not in new_paths]
+    new_rows = table._read_adds(commit_new, added)
+    old_rows = table._read_adds(commit_new, removed)
+    cols = new_rows.columns
+    inserts = new_rows.exceptAll(old_rows).select(
         F.lit("insert").alias("_change_type"), *cols
     )
-    deletes = old.exceptAll(new).select(
+    deletes = old_rows.exceptAll(new_rows).select(
         F.lit("delete").alias("_change_type"), *cols
     )
     return inserts.unionByName(deletes)
