@@ -111,9 +111,12 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.fingerprint("text", ngram=3).alias("fp"))
 
 
-@qdef(
-    "llm_minhash_neardup",
-    f"""
+# built signature tables, one per sf_dir (llm_incremental_minhash)
+_SIG_TABLE_CACHE: dict = {}
+
+# brute all-pairs 3-gram Jaccard ≥ 0.7 — the ground truth BOTH LSH
+# entries (full-corpus and incremental-signature-table) must reproduce
+_MINHASH_ORACLE = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     sh AS (
       SELECT doc_id,
@@ -128,7 +131,12 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.s, b.s))
           / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
-    """,
+    """
+
+
+@qdef(
+    "llm_minhash_neardup",
+    _MINHASH_ORACLE,
     "LLM-dedup-minhash-lsh",
 )
 def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,6 +148,48 @@ def llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_star(spark, sf_dir, "documents")["documents"]
     return dedup.minhash_lsh_pairs(
         docs, threshold=0.7, num_hashes=128, bands=32, shingle=3
+    )
+
+
+@qdef(
+    "llm_incremental_minhash",
+    _MINHASH_ORACLE,
+    "LLM-dedup-minhash-incremental",
+)
+def llm_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental signature-table dedup (dedup.py build/update_signature
+    _table): signatures for the even-id half of the corpus are
+    materialized to an ACID LakeTable, the table is then updated with the
+    FULL corpus frame plus a deliberately duplicated slice — the stored-id
+    anti-join signs only the missing odd ids (old docs are never
+    re-hashed) and the batch dedupe drops the repeats — and the banded
+    LSH + exact-Jaccard verify runs entirely from the STORED (id, sh,
+    sig) rows: the pairs query never touches corpus text. Output equals
+    the full-corpus ground truth (same oracle as llm_minhash_neardup).
+
+    The built table is cached per sf_dir across calls (the streaming
+    gates' fixture pattern): a signature table exists precisely so the
+    build cost is paid once and later passes read it back, so repeated
+    calls measure the steady-state incremental read path."""
+    import tempfile
+
+    from lakeshed.catalog import Catalog
+
+    if sf_dir not in _SIG_TABLE_CACHE or not _SIG_TABLE_CACHE[sf_dir].exists():
+        docs = load_star(spark, sf_dir, "documents")["documents"]
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="lakeshed-sig-"))
+        tbl = dedup.build_signature_table(
+            docs.where(F.col("doc_id") % 2 == 0), cat, "default.doc_sigs",
+            num_hashes=128, seed=42, shingle=3,
+        )
+        dedup.update_signature_table(
+            tbl, docs.unionAll(docs.where(F.col("doc_id") % 7 == 0)),
+            num_hashes=128, seed=42, shingle=3,
+        )
+        _SIG_TABLE_CACHE[sf_dir] = tbl
+    return dedup.minhash_lsh_pairs(
+        None, threshold=0.7, num_hashes=128, bands=32, shingle=3,
+        signatures=_SIG_TABLE_CACHE[sf_dir],
     )
 
 
@@ -518,3 +568,41 @@ def llm_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_star(spark, sf_dir, "documents")["documents"]
     return sampling.pack_tokens(docs, budget=2048, by="lang")
+
+
+@qdef(
+    "llm_vector_stats",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(sqrt(list_reduce(list_transform(embedding,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                 (a, b) -> a + b)), 4)                      AS l2_norm,
+           round(list_reduce(list_transform(embedding,
+                 v -> CAST(v AS DOUBLE)), (a, b) -> a + b), 4) AS sum_v,
+           round(CAST(list_max(embedding) AS DOUBLE), 4)    AS max_v
+    FROM embeddings
+    """,
+    "LLM-vector-stats",
+)
+def llm_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector stats via higher-order array functions (transform +
+    aggregate fold + array_max) — the JVM-side way to compute norms and
+    moments over an embedding column without exploding it (no shuffle,
+    no Python). Both engines fold left-to-right over double accumulators,
+    so the values hash-match exactly. HOF expressions evaluate
+    interpreted (not codegen) but the work is O(dim) per row; the
+    Arrow/numpy kernel in similarity.py remains the hot path for
+    all-pairs math."""
+    emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
+    x = F.col("embedding")
+    as_d = F.transform(x, lambda v: v.cast("double"))
+    sq = F.transform(x, lambda v: v.cast("double") * v.cast("double"))
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+    return emb.select(
+        "vec_id",
+        F.size(x).alias("dim"),
+        F.round(F.sqrt(fold(sq)), 4).alias("l2_norm"),
+        F.round(fold(as_d), 4).alias("sum_v"),
+        F.round(F.array_max(x).cast("double"), 4).alias("max_v"),
+    )

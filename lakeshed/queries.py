@@ -554,6 +554,11 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
     "hourly_event_rollup",   # window-bucket agg also in stream_windowed_rollup
     "llm_frame_sample",      # mapInPandas path also in llm_multimodal_features
     "temporal_range_join",   # bin-explode join plan-audited in test_plans
+    "map_subscript_json",    # P8 also inside table_snapshot_summary_map
+    "latest_event_per_user",   # W6 last-wins window also in stream/table MERGE gates
+    "rollup_order_totals",     # grouping-sets shape also in multi_grain_rollup + cube gate
+    "semi_join_active_customers",  # LeftSemi planned inside set_ops INTERSECT leg
+    "parse_changelog_lines",   # P9/P10 parse runs inside stream_changelog_upsert
 )
 
 
@@ -699,9 +704,11 @@ def set_ops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("o_custkey").distinct())
     both = hi.intersect(lo).agg(F.count(F.lit(1)).alias("cnt")).select(
         F.lit("both").alias("bucket"), "cnt")
-    # hi is already distinct, so exceptAll == EXCEPT (distinct) here —
-    # one anti-join instead of the intersect+except double join
-    only = hi.exceptAll(lo).agg(
+    # hi is already distinct, so EXCEPT (distinct) ≡ EXCEPT ALL here;
+    # subtract plans one LeftAnti join — exceptAll would pay Catalyst's
+    # count-replicate rewrite and the old intersect-then-except form an
+    # extra semi join on top
+    only = hi.subtract(lo).agg(
         F.count(F.lit(1)).alias("cnt")).select(
         F.lit("urgent_only").alias("bucket"), "cnt")
     return both.unionAll(only)
@@ -790,6 +797,108 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
                            WHERE c2.c_nationkey = c.c_nationkey)
         """
+    )
+
+
+@qdef(
+    "window_range_sliding_30d",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER w, 2) AS sum_30d,
+           count(*) OVER w AS cnt_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+    """,
+    "O+",
+)
+def window_range_sliding_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding window: per-customer 30-day trailing order
+    total — the value-based frame (peers by timestamp distance, not row
+    offsets) that ROWS frames can't express. One shuffle on the
+    partition key; the frame is evaluated with a sliding aggregate, so
+    cost is O(rows), not O(rows × frame)."""
+    orders = load_star(spark, sf_dir, "orders")["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
+        F.count(F.lit(1)).over(w).alias("cnt_30d"),
+    )
+
+
+@qdef(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           count(*) AS cnt,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "A2+",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping_id to disambiguate a
+    NULL group value from a subtotal row — all four grain combinations
+    in one expand + one shuffle (Catalyst's grouping-sets expansion is
+    map-side). min/max keep the oracle compare exact."""
+    orders = load_star(spark, sf_dir, "orders")["orders"]
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@qdef(
+    "events_gap_fill",
+    """
+    WITH bounds AS (SELECT date_trunc('day', min(ts)) AS lo,
+                           date_trunc('day', max(ts)) AS hi FROM events),
+    days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+             FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (SELECT date_trunc('day', ts) AS day, event_type,
+                      count(*) AS cnt
+               FROM events GROUP BY 1, 2)
+    SELECT d.day, t.event_type, coalesce(a.cnt, 0) AS cnt
+    FROM days d CROSS JOIN types t
+    LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type
+    """,
+    "O+",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a generated date spine (sequence + explode —
+    the row-generating operator) cross-joined with the type dimension,
+    left-joined against daily counts, missing days zero-filled. The spine
+    comes from a 1-row min/max aggregate, so the generated side is tiny
+    and broadcasts; the only data-scale shuffle is the count aggregation."""
+    events = load_star(spark, sf_dir, "events")["events"]
+    bounds = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    types = events.select("event_type").distinct()
+    actual = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        days.crossJoin(types)
+        .join(actual, ["day", "event_type"], "left")
+        .select("day", "event_type",
+                F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
     )
 
 

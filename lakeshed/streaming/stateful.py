@@ -94,6 +94,7 @@ def sessionize_stream(
     gap_minutes: int = 720,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming sessionization over ``applyInPandasWithState``.
 
@@ -101,13 +102,47 @@ def sessionize_stream(
     events are sorted by event time inside the group (Arrow batch →
     pandas sort — the sanctioned Python crossing: pure per-group math on
     narrow columns); sessions closed by a later event emit immediately,
-    the trailing open session waits in state for the next batch (or a
-    sentinel row, :data:`FLUSH_TS`)."""
+    the trailing open session waits in state for the next batch.
+
+    ``idle_timeout_ms`` is the production flush path: with it set, the
+    operator runs under ``GroupStateTimeout.ProcessingTimeTimeout`` — a
+    user whose state sees no new events for that long has their open
+    session emitted and state cleared on the next trigger, so idle users
+    flush WITHOUT the bounded-run sentinel (:func:`with_flush_sentinels`
+    remains for deterministic oracle runs, where wall-clock timing would
+    race the comparison). Note the engine semantics: with processing-time
+    timeouts registered, Structured Streaming keeps scheduling
+    timeout-service micro-batches even after an ``availableNow`` run
+    drains its input, so such a query never self-terminates — use a
+    continuous trigger in production, or poll-and-stop in bounded runs."""
     gap_us = gap_minutes * 60 * 1_000_000
+
+    def _emit_one(start: int, end: int, cnt: int) -> pd.DataFrame:
+        us_floor = (pd.Series([start, end], dtype="int64")
+                    // 1_000_000) * 1_000_000
+        t = pd.to_datetime(us_floor, unit="us")
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([0], dtype="int64"),  # overwritten
+                "session_start": [t.iloc[0]],
+                "session_end": [t.iloc[1]],
+                "n_events": pd.Series([cnt], dtype="int64"),
+            }
+        )
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # idle-user flush: no new events, deadline passed — emit the
+            # open session exactly once and drop the state
+            if state.exists:
+                open_start, open_end, open_cnt = state.get
+                state.remove()
+                out = _emit_one(open_start, open_end, open_cnt)
+                out["user_id"] = int(key[0])
+                yield out
+            return
         if state.exists:
             open_start, open_end, open_cnt = state.get
         else:
@@ -129,6 +164,8 @@ def sessionize_stream(
                 open_end, open_cnt = t, open_cnt + 1
         if open_start is not None:
             state.update((int(open_start), int(open_end), int(open_cnt)))
+            if idle_timeout_ms is not None:
+                state.setTimeoutDuration(idle_timeout_ms)
         if starts:
             def trunc(vals: list[int]) -> pd.Series:
                 # floor to whole seconds in integer µs, then to datetime
@@ -149,7 +186,9 @@ def sessionize_stream(
         F.col(user_col).cast("int").alias("user_id")
     ).applyInPandasWithState(
         fn, SESSION_SCHEMA, _STATE_SCHEMA, "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )
 
 

@@ -296,6 +296,20 @@ def test_signature_table_incremental_dedup(spark, tmp_path):
     }
     assert from_store == recomputed and len(from_store) > 0
 
+    # the stored-signature pairs plan must never scan corpus text: every
+    # input file of the plan comes from the signature table's directory
+    store_plan = dedup.minhash_lsh_pairs(None, threshold=0.7, signatures=t)
+    assert all("wh" in p and "sigs" in p for p in store_plan.inputFiles()), (
+        store_plan.inputFiles()
+    )
+
+    # a batch carrying the same NEW id twice appends exactly ONE row
+    before = t.read().count()
+    dup_batch = (docs.where(F.col("doc_id") == 0)
+                 .withColumn("doc_id", F.lit(999_999)))
+    dedup.update_signature_table(t, dup_batch.unionAll(dup_batch))
+    assert t.read().count() == before + 1
+
     # parameter drift is refused, not silently mixed
     import pytest
 

@@ -68,6 +68,55 @@ def test_groupby_aggregates_partially(spark):
     assert plan.index("HashAggregate", exchange) > exchange
 
 
+def test_pivot_broadcasts_customer_dim(spark):
+    """Round-4 PIVOT gate: the customer dimension join must broadcast
+    (docstring claim, now asserted) and the explicit pivot value list
+    keeps it a single aggregation pass — no distinct-values pre-job."""
+    plan = _plan(q.spark_queries()["pivot_segment_priority"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_explode_top_tokens_partial_agg_and_topk(spark):
+    """Round-4 EXPLODE gate: generator → partial agg before the exchange
+    (the shuffle carries (token, partial count), not one row per token
+    occurrence) → TakeOrderedAndProject for the top-k (docstring claims,
+    now asserted)."""
+    plan = _plan(q.spark_queries()["explode_top_tokens"](spark, SF))
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "TakeOrderedAndProject" in plan
+    first_agg = plan.index("HashAggregate")
+    exchange = plan.index("Exchange", first_agg)
+    assert plan.index("HashAggregate", exchange) > exchange
+
+
+def test_set_ops_except_is_single_antijoin(spark):
+    """Round-5 simplification (VERDICT r04 #5): the EXCEPT leg plans ONE
+    left-anti join — the old intersect-then-except form planned two."""
+    plan = _plan(q.spark_queries()["set_ops_except_intersect"](spark, SF))
+    assert plan.count("Join type: LeftAnti") == 1   # the EXCEPT leg
+    assert plan.count("Join type: LeftSemi") == 1   # the INTERSECT leg
+
+
+def test_incremental_minhash_never_scans_corpus_text(spark, tmp_path):
+    """The stored-signature LSH pairs plan reads ONLY signature-table
+    parquet — corpus text is never an input of the pairs query."""
+    from lakeshed.catalog import Catalog
+    from lakeshed.llm import dedup
+    from lakeshed.io import load_star
+
+    docs = load_star(spark, SF, "documents")["documents"]
+    cat = Catalog(spark, str(tmp_path / "sigwh"))
+    t = dedup.build_signature_table(
+        docs, cat, "default.sigs", num_hashes=128, shingle=3
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        None, threshold=0.7, num_hashes=128, bands=32, shingle=3,
+        signatures=t,
+    )
+    assert all("sigwh" in p for p in pairs.inputFiles())
+
+
 def test_exact_dedup_single_shuffle(spark):
     """LLM exact dedup: one hash-agg pass — exactly one exchange, keyed on
     the digest."""

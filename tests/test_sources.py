@@ -198,3 +198,53 @@ def test_kafka_changelog_mapping_on_recorded_frame(spark, tmp_path):
     )
     state = {(r.block_number, r.hash) for r in t.read().collect()}
     assert state == {(2, "h-two")}  # key 1 netted to delete by offset order
+
+
+def test_kafka_offsets_drive_streaming_upsert(spark, tmp_path):
+    """S9→W5 round trip through the REAL streaming sink (VERDICT r04 #6):
+    recorded kafka-shaped frames streamed from disk → kafka_changelog →
+    changelog_upsert, with __seq taken from the per-partition offset.
+    Kafka's ordering contract is per-partition only (a key always lives
+    in one partition — the producer keys by user_id, datagen.py:52-56),
+    so the frame interleaves partitions out of order and the per-key
+    offset order must still decide: I-then-D in ONE batch nets to
+    delete, D-then-I nets to insert."""
+    from datetime import datetime
+
+    from lakeshed.streaming import changelog_upsert
+    from lakeshed.streaming.kafka import KAFKA_RAW_SCHEMA, kafka_changelog
+
+    ts = datetime(2024, 1, 1)
+
+    def rec(key, val, part, off):
+        return (key.encode(), val.encode(), "clickstream", part, off, ts, 0)
+
+    # deliberately scrambled arrival order; partition 1 offsets are all
+    # SMALLER than partition 0's (cross-partition offsets are unordered)
+    rows = [
+        rec("1", "D,1,h-old", 0, 9),   # key 1 (p0): I@5 then D@9 → delete
+        rec("2", "D,2,h-x", 1, 1),     # key 2 (p1): D@1 then I@3 → insert
+        rec("5", "I,5,h-five", 1, 2),  # key 5 (p1): matched → update
+        rec("1", "I,1,h-new", 0, 5),
+        rec("2", "I,2,h-two", 1, 3),
+        rec("9", "garbage-line", 0, 6),  # dropped by the arity filter
+    ]
+    src = tmp_path / "kafka-rec"
+    spark.createDataFrame(rows, KAFKA_RAW_SCHEMA).coalesce(1) \
+        .write.parquet(str(src))
+
+    t = Catalog(spark, str(tmp_path / "wh-k")).create_table(
+        "default.kafka_stream_state",
+        spark.createDataFrame(
+            [(1, "h0"), (5, "h0")], "block_number int, hash string"
+        ),
+    )
+    raw = spark.readStream.schema(KAFKA_RAW_SCHEMA).parquet(str(src))
+    q = changelog_upsert(
+        kafka_changelog(raw), t,
+        checkpoint=str(tmp_path / "ckpt-k"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    state = {(r.block_number, r.hash) for r in t.read().collect()}
+    assert state == {(2, "h-two"), (5, "h-five")}

