@@ -467,6 +467,46 @@ def minhash_lsh_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    block_by: list | None = None,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Fuzzy near-dup pairs by Levenshtein edit distance within blocks —
+    the typo-level dedup complement to the token-level MinHash family
+    (record linkage / fuzzy-matching shape).
+
+    All-pairs edit distance is O(n² · len²) and unthinkable at scale, so
+    candidates are restricted to pairs agreeing on EVERY ``block_by``
+    expression (the standard blocking contract: an edit inside a block
+    key escapes detection — pick keys edits shouldn't touch, e.g. a
+    stable prefix + a coarse attribute). The self-join shuffles once on
+    the block key and the quadratic work is bounded by the largest
+    block; ``levenshtein`` runs JVM-side (classic DP, same semantics as
+    DuckDB's, so gates value-match)."""
+    keys = [F.expr(b) if isinstance(b, str) else b for b in (block_by or [])]
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(col).alias("v"),
+        *[k.alias(f"__bk{i}") for i in range(len(keys)) for k in [keys[i]]],
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for i in range(len(keys)):
+        cond = cond & (F.col(f"a.__bk{i}") == F.col(f"b.__bk{i}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.v", "b.v").cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )
+
+
 def ngram_jaccard_pairs_brute(
     df: DataFrame,
     text_col: str = "text",

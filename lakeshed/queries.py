@@ -559,6 +559,8 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
     "rollup_order_totals",     # grouping-sets shape also in multi_grain_rollup + cube gate
     "semi_join_active_customers",  # LeftSemi planned inside set_ops INTERSECT leg
     "parse_changelog_lines",   # P9/P10 parse runs inside stream_changelog_upsert
+    "llm_corpus_pipeline",     # composition of 3 individually gated operators
+    "fuzzy_dedup_customers",   # blocked-self-join shape identical to gated LSH band joins
 )
 
 
@@ -899,6 +901,35 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(actual, ["day", "event_type"], "left")
         .select("day", "event_type",
                 F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+    )
+
+
+@qdef(
+    "fuzzy_dedup_customers",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    "LLM-dedup-fuzzy",
+)
+def fuzzy_dedup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching with blocking: customer names within
+    one typo of each other, candidates restricted to pairs sharing
+    (nation, 16-char name prefix) — the record-linkage shape. The oracle
+    replays the same blocks, so the documented blocking-recall contract
+    (an edit inside the block key escapes) is part of the spec, not a
+    discrepancy."""
+    from lakeshed.llm.dedup import edit_distance_pairs
+
+    cust = load_star(spark, sf_dir, "customer")["customer"]
+    return edit_distance_pairs(
+        cust, col="c_name", id_col="c_custkey",
+        block_by=["c_nationkey", "substr(c_name, 1, 16)"], max_dist=1,
     )
 
 

@@ -249,6 +249,76 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @qdef(
+    "stream_stream_join",
+    """
+    SELECT a.user_id, a.ts AS view_ts, b.ts AS purchase_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+    "T1", "T2", "stream-stream-join",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view→purchase attribution within one
+    hour): two watermarked file streams inner-joined on user + event-time
+    range — the canonical Structured Streaming two-stream operator. The
+    watermarks bound BOTH sides' join state (events older than watermark
+    − interval are evicted), which is what makes the state O(window), not
+    O(stream), at 100 TB. availableNow drains both sides; at rest the
+    result equals the batch interval join the oracle runs."""
+    ev = load_star(spark, sf_dir, "events")["events"]
+    tmp = tempfile.mkdtemp(prefix="lakeshed-ssj-")
+
+    def _write_side(kind: str):
+        def write(path: str) -> None:
+            (
+                ev.where(F.col("event_type") == kind)
+                .select("user_id", "ts")
+                .repartition(1)
+                .write.mode("overwrite").parquet(path)
+            )
+        return write
+
+    views_dir = _fixture_dir("ssj-views", sf_dir, _write_side("view"))
+    buys_dir = _fixture_dir("ssj-buys", sf_dir, _write_side("purchase"))
+
+    views = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .parquet(views_dir)
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+    )
+    buys = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .parquet(buys_dir)
+        .select(F.col("user_id").alias("b_user"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("user_id", "view_ts", "purchase_ts")
+
+    name = "ssj_" + uuid.uuid4().hex[:12]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@qdef(
     "stream_cdc_diff",
     """
     SELECT 'delete' AS _change_type, n_nationkey, n_name, n_regionkey

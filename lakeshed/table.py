@@ -834,6 +834,18 @@ class LakeTable:
     def to_df(self) -> DataFrame:
         return self.read()
 
+    def count_rows(self, version: int | None = None) -> int:
+        """Metadata-only COUNT(*): sum the per-file row counts the commit
+        log already holds (written from the parquet footers at commit
+        time) — no file is opened. At 100 TB this answers in driver
+        milliseconds what a scan-based count pays a full read for; the
+        same trick Iceberg/Delta use for stats-only aggregates. DML keeps
+        the counts exact (every rewrite records its files' footers)."""
+        _, live = self._state(
+            self.head() if version is None else version
+        )
+        return sum(a.rows for a in live)
+
     # ---------------------------------------------------------------- writes
 
     def append(self, df: DataFrame, *, branch: str = MAIN,
@@ -1231,24 +1243,88 @@ class LakeTable:
 
     # ----------------------------------------------------------- maintenance
 
+    def _zorder_column(self, df: DataFrame, cols: list[str]) -> Column:
+        """Interleaved-bit z-value over linearly bucketed columns — the
+        space-filling curve behind multi-dimension clustering. Each
+        column is scaled to a ``bits``-wide integer bucket between its
+        min and max (one 1-row aggregate; numeric and timestamp columns
+        — a timestamp casts to epoch seconds), then the bucket bits are
+        interleaved so files that cover a narrow z-range cover a narrow
+        range in EVERY dimension at once. Pure JVM expression tree (the
+        bit loop unrolls in Python, like the SimHash kernel); NULLs and
+        constant columns land in bucket 0."""
+        ncols = len(cols)
+        bits = min(16, 60 // ncols)
+        aggs = []
+        for c in cols:
+            d = F.col(c).cast("double")
+            aggs += [F.min(d).alias(f"lo_{c}"), F.max(d).alias(f"hi_{c}")]
+        row = df.agg(*aggs).first()
+        buckets: list[Column] = []
+        top = (1 << bits) - 1
+        for c in cols:
+            lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+            if lo is None or hi is None or hi <= lo:
+                buckets.append(F.lit(0).cast("long"))
+                continue
+            d = F.col(c).cast("double")
+            b = F.floor(
+                (d - F.lit(float(lo))) / F.lit(float(hi - lo)) * (1 << bits)
+            )
+            b = F.least(F.lit(top).cast("long"),
+                        F.greatest(F.lit(0).cast("long"), b))
+            buckets.append(F.coalesce(b, F.lit(0).cast("long")))
+        z = F.lit(0).cast("long")
+        for j in range(bits):
+            for i, b in enumerate(buckets):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(b, j).bitwiseAND(F.lit(1)),
+                        j * ncols + i,
+                    )
+                )
+        return z
+
     def compact(self, target_size_bytes: int = 128 * 1024 * 1024,
-                sort_by: str | list[str] | None = None) -> Commit:
+                sort_by: str | list[str] | None = None,
+                zorder_by: str | list[str] | None = None) -> Commit:
         """D18 — ``rewrite_data_files`` (Table Maintenance...ipynb:119):
         rewrite live files into ~target-size files. One distributed
         read+repartition+write; commit swaps the whole file set.
 
         ``sort_by`` clusters the rewrite (the ``rewrite_data_files(
-        strategy => 'sort')`` / Delta ``OPTIMIZE ZORDER BY`` analog):
-        rows are range-partitioned then sorted within files on the given
-        column(s), so each file covers a narrow value range and the
-        per-file min/max stats prune scans on those columns — the lever
-        that turns a full-corpus scan into a few-file read at 100 TB.
-        ``repartitionByRange`` samples the column to build balanced range
-        bounds (one extra pass over the data, standard for a rewrite)."""
+        strategy => 'sort')`` analog): rows are range-partitioned then
+        sorted within files on the given column(s), so each file covers
+        a narrow value range and the per-file min/max stats prune scans
+        on those columns — the lever that turns a full-corpus scan into
+        a few-file read at 100 TB. ``repartitionByRange`` samples the
+        column to build balanced range bounds (one extra pass over the
+        data, standard for a rewrite).
+
+        ``zorder_by`` is the multi-dimension variant (Delta ``OPTIMIZE
+        ZORDER BY`` / Iceberg sort-order ``zorder()``): lexicographic
+        sort clusters only its leading column, so a predicate on the
+        second column still reads every file — the z-curve interleaves
+        the dimensions' bits and clusters ALL of them at once, each file
+        covering a small hyper-rectangle; stats pruning then works for
+        predicates on ANY z-ordered column (tests assert the pruned
+        file-set shrinks on both)."""
+        if sort_by is not None and zorder_by is not None:
+            raise TableError("pass sort_by or zorder_by, not both")
         head_commit, live = self._state(self.head())
         total = sum(a.bytes for a in live)
         n = max(1, -(-total // target_size_bytes))  # ceil
-        if sort_by is not None:
+        if zorder_by is not None:
+            zcols = [zorder_by] if isinstance(zorder_by, str) \
+                else list(zorder_by)
+            base = self.read()
+            df = (
+                base.withColumn("__z", self._zorder_column(base, zcols))
+                .repartitionByRange(n, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_by is not None:
             cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
             df = (
                 self.read()
@@ -1263,6 +1339,8 @@ class LakeTable:
         summary = {"rewritten-bytes": total, "target-files": n}
         if sort_by is not None:
             summary["sort-by"] = ",".join(cols)
+        if zorder_by is not None:
+            summary["zorder-by"] = ",".join(zcols)
         return self._commit(
             "rewrite-data-files", adds, [a.path for a in live],
             summary=summary,

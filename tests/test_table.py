@@ -483,3 +483,71 @@ def test_compact_sort_by_clusters_for_pruning(spark, tmp_path):
     # contents unchanged by the rewrite
     assert t.read().count() == 20_000
     assert t.read().where(probe).count() == df.where(probe).count()
+
+
+def test_metadata_only_count(spark, tmp_path):
+    """count_rows() answers COUNT(*) from the commit log's per-file row
+    counts — exact through append/delete/update/compact, verified against
+    the scan-based count at every step."""
+    from lakeshed.catalog import Catalog
+
+    t = Catalog(spark, str(tmp_path / "whc")).create_table(
+        "default.cnt",
+        spark.createDataFrame([(i, i % 3) for i in range(100)],
+                              "k int, g int"),
+    )
+    assert t.count_rows() == 100
+    v0 = t.head()
+    t.append(spark.createDataFrame([(100, 0), (101, 1)], "k int, g int"))
+    assert t.count_rows() == t.read().count() == 102
+    t.delete("g = 2")
+    assert t.count_rows() == t.read().count()
+    t.compact()
+    assert t.count_rows() == t.read().count()
+    # time travel: the count at a pinned version replays that state
+    assert t.count_rows(version=v0) == 100
+
+
+def test_compact_zorder_prunes_both_dimensions(spark, tmp_path):
+    """D18+ — z-ordered rewrite: lexicographic sort_by=(a,b) clusters
+    only `a` (a predicate on `b` alone still reads every file); the
+    z-curve interleaves both columns' bits, so after
+    compact(zorder_by=[a,b]) a ~10%-range predicate on EITHER column
+    prunes the file set. The decisive case is the SECOND column."""
+    import pytest
+
+    from lakeshed.catalog import Catalog
+    from lakeshed.table import TableError
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 20_000)
+        .select(
+            # two independent uniform dimensions, decorrelated from
+            # insertion order
+            F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("a"),
+            F.pmod(F.xxhash64(F.col("id") + 1), F.lit(10_000)).alias("b"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(8)
+    )
+    t = Catalog(spark, str(tmp_path / "whz")).create_table("default.zz", df)
+
+    probe_a = "a >= 0 AND a < 1000"     # 10% of the a-range
+    probe_b = "b >= 0 AND b < 1000"     # 10% of the b-range
+    assert len(t.plan_files(probe_b)) == len(t.plan_files())  # shuffled
+
+    c = t.compact(target_size_bytes=12 * 1024, zorder_by=["a", "b"])
+    assert c.summary["zorder-by"] == "a,b"
+    all_files = len(t.plan_files())
+    assert all_files >= 8
+    # both dimensions prune — the z-curve property
+    assert len(t.plan_files(probe_a)) <= max(1, all_files // 2)
+    assert len(t.plan_files(probe_b)) <= max(1, all_files // 2)
+    # contents unchanged
+    assert t.read().count() == 20_000
+    assert t.read().where(probe_a).count() == df.where(probe_a).count()
+    assert t.read().where(probe_b).count() == df.where(probe_b).count()
+
+    with pytest.raises(TableError, match="not both"):
+        t.compact(sort_by="a", zorder_by=["b"])
