@@ -467,6 +467,106 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "id",
+    max_iter: int = 20,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Connected components over near-dup pairs → per-document cluster
+    label (the min id in the component). Pair lists alone aren't
+    actionable for dedup — transitive duplicates (A~B, B~C) must land in
+    ONE cluster so exactly one representative survives; this is the
+    canonical post-LSH step.
+
+    Min-label propagation: every node starts labeled with its own id;
+    each round, a node adopts the smallest label among itself and its
+    neighbors; converges in O(component diameter) rounds — near-dup
+    clusters are shallow (diameter ≤ a few hops), so a handful of
+    shuffle-join rounds suffice. ``localCheckpoint`` truncates the plan
+    lineage each round (an iterative join would otherwise compound the
+    plan exponentially). At 100 TB scale with adversarial chain-shaped
+    components you'd switch to the large-star/small-star algorithm
+    (alternating pointer-doubling, O(log n) rounds); the iteration
+    harness here is the same shape.
+
+    ``shuffle_partitions`` scopes the join parallelism to the label
+    frame's size for the iteration's duration (each round is several
+    shuffles; at corpus-sample scale 32-way shuffles are pure overhead,
+    at 100 TB you'd raise it — same lever as state-store sizing). The
+    previous value is restored before returning; the returned frame is
+    checkpointed, so the restore cannot affect it.
+    """
+    spark = ids.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(shuffle_partitions))
+    try:
+        return _dedup_clusters_impl(
+            pairs, ids, id_a, id_b, id_col, max_iter
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _dedup_clusters_impl(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_a: str,
+    id_b: str,
+    id_col: str,
+    max_iter: int,
+) -> DataFrame:
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # materialize the edge list ONCE — every propagation round joins it,
+    # and without this each round would re-run the whole upstream pairs
+    # pipeline (LSH banding + verify) from scratch
+    edges = edges.localCheckpoint(eager=True)
+    lbl = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            edges.alias("e")
+            .join(lbl.alias("l"), F.col("e.src") == F.col("l.id"))
+            .select(F.col("e.dst").alias("id"), F.col("l.lbl").alias("lbl"))
+            .groupBy("id")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        merged = (
+            lbl.alias("c")
+            .join(nbr.alias("n"), F.col("c.id") == F.col("n.id"), "left")
+            .select(
+                F.col("c.id").alias("id"),
+                F.least(
+                    F.col("c.lbl"),
+                    F.coalesce(F.col("n.nlbl"), F.col("c.lbl")),
+                ).alias("lbl"),
+                (
+                    F.coalesce(F.col("n.nlbl"), F.col("c.lbl"))
+                    < F.col("c.lbl")
+                ).cast("int").alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = merged.agg(F.sum("chg")).first()[0] or 0
+        lbl = merged.select("id", "lbl")
+        if n_changed == 0:
+            break
+    return lbl.select(
+        F.col("id").alias(id_col), F.col("lbl").alias("cluster")
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     col: str = "text",

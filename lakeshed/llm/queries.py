@@ -606,3 +606,83 @@ def llm_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fold(as_d), 4).alias("sum_v"),
         F.round(F.array_max(x).cast("double"), 4).alias("max_v"),
     )
+
+
+@qdef(
+    "llm_label_centroids",
+    """
+    SELECT label, CAST(s.pos - 1 AS INT) AS pos,
+           round(avg(CAST(s.v AS DOUBLE)), 4) + 0.0 AS centroid
+    FROM (SELECT label,
+                 unnest(list_transform(embedding,
+                        (x, i) -> struct_pack(pos := i, v := x))) AS s
+          FROM embeddings)
+    GROUP BY label, s.pos
+    """,
+    "LLM-centroids",
+)
+def llm_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (element-wise mean) — the k-means /
+    IVF-training aggregate: posexplode the vector once, one shuffle on
+    (label, position), partial aggregation map-side. The explode carries
+    (label, pos, float) rows only — never the whole vector per output
+    row — so the shuffle volume is rows × dim × 12 bytes regardless of
+    cluster count."""
+    emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            # + 0.0 folds IEEE negative zero to +0.0 — a mean that is
+            # infinitesimally negative rounds to -0.0 on one engine and
+            # +0.0 on the other otherwise (both do it; the oracle mirrors)
+            (F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0))
+            .alias("centroid")
+        )
+    )
+
+
+@qdef(
+    "llm_dedup_clusters",
+    f"""
+    WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+      FROM t WHERE len(toks) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id
+    """,
+    "LLM-dedup-clusters",
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → per-document cluster label
+    (min doc_id in component): the keep/drop assignment step after LSH —
+    transitive duplicates (A~B, B~C) collapse to one cluster, exactly one
+    representative survives. Spark side iterates min-label propagation
+    (O(diameter) shuffle-join rounds, lineage-checkpointed); the oracle
+    replays the closure with a recursive CTE over the brute-force pair
+    set. Singleton docs keep their own id as cluster."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    pairs = dedup.minhash_lsh_pairs(
+        docs, threshold=0.7, num_hashes=128, bands=32, shingle=3
+    )
+    return dedup.dedup_clusters(
+        pairs, docs.select("doc_id"), id_col="doc_id",
+        shuffle_partitions=8,
+    )

@@ -198,21 +198,44 @@ def _cmp_maybe_match(op: str, lo: str | None, hi: str | None,
     return True
 
 
+def _dict_may_match(op: str, vals: list[str], value: Any) -> bool | None:
+    """Evaluate an equality-family comparison against a file's COMPLETE
+    distinct-value set (no nulls; null rows never satisfy = or != anyway).
+    Returns None when the op isn't dictionary-decidable."""
+    if op not in ("=", "!="):
+        return None
+    def _eq(stat: str) -> bool:
+        c = _coerce(stat, value)
+        return c is not None and c[0] == c[1]
+    hit = any(_eq(s) for s in vals)
+    if op == "=":
+        return hit
+    # !=: refuted only when the file holds exactly {value}
+    return not (len(vals) == 1 and hit)
+
+
 def file_may_match(node: Node, lower: dict[str, str], upper: dict[str, str],
-                   partition_values: dict[str, str]) -> bool:
+                   partition_values: dict[str, str],
+                   dicts: dict[str, list[str]] | None = None) -> bool:
     """Conservative manifest evaluation: False ⇒ provably zero matching
     rows in the file. Partition-dir values act as exact single-value
-    bounds for their column."""
+    bounds for their column; ``dicts`` (complete per-file distinct sets,
+    the dictionary data-skipping index) decide = / != exactly where
+    min/max can only rule out ranges."""
     if isinstance(node, Unknown):
         return True
     if isinstance(node, BoolOp):
-        l = file_may_match(node.left, lower, upper, partition_values)
-        r = file_may_match(node.right, lower, upper, partition_values)
+        l = file_may_match(node.left, lower, upper, partition_values, dicts)
+        r = file_may_match(node.right, lower, upper, partition_values, dicts)
         return (l and r) if node.kind == "and" else (l or r)
     assert isinstance(node, Comparison)
     if node.col in partition_values:
         pv = partition_values[node.col]
         return _cmp_maybe_match(node.op, pv, pv, node.value)
+    if dicts and node.col in dicts:
+        d = _dict_may_match(node.op, dicts[node.col], node.value)
+        if d is not None:
+            return d
     return _cmp_maybe_match(
         node.op, lower.get(node.col), upper.get(node.col), node.value
     )

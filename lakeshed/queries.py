@@ -561,6 +561,10 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
     "parse_changelog_lines",   # P9/P10 parse runs inside stream_changelog_upsert
     "llm_corpus_pipeline",     # composition of 3 individually gated operators
     "fuzzy_dedup_customers",   # blocked-self-join shape identical to gated LSH band joins
+    "llm_label_centroids",     # generator+agg shape also gated via explode_top_tokens
+    "llm_minhash_neardup",     # same oracle as gated llm_incremental_minhash;
+                               # its direct-corpus pipeline also runs inside
+                               # gated llm_dedup_clusters
 )
 
 

@@ -119,6 +119,11 @@ class AddFile:
     lower_bounds: dict[str, str] = field(default_factory=dict)
     upper_bounds: dict[str, str] = field(default_factory=dict)
     null_counts: dict[str, int] = field(default_factory=dict)
+    # per-column COMPLETE distinct-value sets (opt-in via the
+    # lakeshed.skipping.dict-columns table property, capped at
+    # _MAX_DICT values) — exact equality skipping where min/max
+    # bounds can only prune ranges
+    dicts: dict[str, list[str]] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
         return self.__dict__.copy()
@@ -182,12 +187,25 @@ class Commit:
         )
 
 
-def _file_stats(abs_path: str) -> tuple[int, int, dict, dict, dict]:
+# distinct sets larger than this are not recorded (the column is too
+# high-cardinality for dictionary skipping to pay for its metadata)
+_MAX_DICT = 64
+
+
+def _file_stats(abs_path: str, dict_cols: tuple = ()
+                ) -> tuple[int, int, dict, dict, dict, dict]:
     """Footer-only stats read (rows, bytes, lower/upper bounds, null counts).
 
     pyarrow reads just the parquet footer — cheap even for GB files. On a
     real cluster the write tasks would return these in their commit message;
     the log contract is identical.
+
+    ``dict_cols`` (the ``lakeshed.skipping.dict-columns`` property) adds a
+    columnar read of JUST those columns to record each file's complete
+    distinct-value set when it is ≤ ``_MAX_DICT`` values — the
+    low-cardinality data-skipping index (Iceberg value-counts / bloom
+    analog): an equality predicate on a value absent from the set prunes
+    the file even when its min/max straddle the value.
     """
     import pyarrow.parquet as pq
 
@@ -214,7 +232,18 @@ def _file_stats(abs_path: str) -> tuple[int, int, dict, dict, dict]:
                 nulls[name] = nulls.get(name, 0) + st.null_count
     lower = {k: str(v) for k, v in mins.items()}
     upper = {k: str(v) for k, v in maxs.items()}
-    return md.num_rows, os.path.getsize(abs_path), lower, upper, nulls
+    dicts: dict[str, list[str]] = {}
+    names = {md.row_group(0).column(ci).path_in_schema
+             for ci in range(md.num_columns)} if md.num_row_groups else set()
+    want = [c for c in dict_cols if c in names]
+    if want and md.num_rows:
+        tbl = pq.read_table(abs_path, columns=want)
+        for c in want:
+            uniq = tbl.column(c).unique().to_pylist()
+            vals = sorted(str(v) for v in uniq if v is not None)
+            if 0 < len(vals) <= _MAX_DICT:
+                dicts[c] = vals
+    return md.num_rows, os.path.getsize(abs_path), lower, upper, nulls, dicts
 
 
 class LakeTable:
@@ -455,8 +484,19 @@ class LakeTable:
             cols.append(name)
         return df, cols
 
+    def _dict_columns(self, properties: dict[str, str] | None = None
+                      ) -> tuple[str, ...]:
+        """Columns opted into dictionary data-skipping via the
+        ``lakeshed.skipping.dict-columns`` table property (comma list)."""
+        props = properties if properties is not None else (
+            self.properties() if self.exists() else {}
+        )
+        raw = props.get("lakeshed.skipping.dict-columns", "")
+        return tuple(c.strip() for c in raw.split(",") if c.strip())
+
     def _write_files(
-        self, df: DataFrame, spec: list[str], schema_version: int
+        self, df: DataFrame, spec: list[str], schema_version: int,
+        dict_cols: tuple | None = None,
     ) -> list[AddFile]:
         wid = uuid.uuid4().hex[:12]
         base_rel = os.path.join("data", wid)
@@ -475,9 +515,15 @@ class LakeTable:
         # (on a real cluster write tasks would report these instead).
         from concurrent.futures import ThreadPoolExecutor
 
+        if dict_cols is None:
+            dict_cols = self._dict_columns()
         with ThreadPoolExecutor(max_workers=min(16, max(len(paths), 1))) as ex:
-            all_stats = list(ex.map(_file_stats, paths))
-        for abs_p, (rows, nbytes, lo, hi, nulls) in zip(paths, all_stats):
+            all_stats = list(
+                ex.map(lambda p: _file_stats(p, dict_cols), paths)
+            )
+        for abs_p, (rows, nbytes, lo, hi, nulls, dicts) in zip(
+            paths, all_stats
+        ):
             adds.append(
                 AddFile(
                     path=os.path.relpath(abs_p, self.path),
@@ -488,6 +534,7 @@ class LakeTable:
                     lower_bounds=lo,
                     upper_bounds=hi,
                     null_counts=nulls,
+                    dicts=dicts,
                 )
             )
         # zero-row parts (a delete that emptied a file, an all-D merge
@@ -523,7 +570,11 @@ class LakeTable:
         fields = _schema_from_df(df)
         spec = list(partition_by)
         adds = (
-            self._write_files(df, spec, 0) if df.isStreaming is False else []
+            self._write_files(
+                df, spec, 0,
+                dict_cols=self._dict_columns(properties or {}),
+            )
+            if df.isStreaming is False else []
         )
         self._commit(
             "create",
@@ -806,7 +857,7 @@ class LakeTable:
         return [
             a for a in live
             if file_may_match(node, a.lower_bounds, a.upper_bounds,
-                              self._partition_values(a.path))
+                              self._partition_values(a.path), a.dicts)
         ]
 
     def scan(self, where: str | None = None,
@@ -916,7 +967,7 @@ class LakeTable:
             candidates = [
                 a for a in live
                 if file_may_match(node, a.lower_bounds, a.upper_bounds,
-                                  self._partition_values(a.path))
+                                  self._partition_values(a.path), a.dicts)
             ]
             if not candidates:
                 return set()
@@ -1082,7 +1133,8 @@ class LakeTable:
                         a for a in live
                         if file_may_match(node, a.lower_bounds,
                                           a.upper_bounds,
-                                          self._partition_values(a.path))
+                                          self._partition_values(a.path),
+                                          a.dicts)
                     ]
         if candidates:
             target = self._read_adds(head_commit, candidates,
@@ -1412,6 +1464,44 @@ class LakeTable:
             if os.path.exists(cp):
                 os.remove(cp)
         return expired
+
+    def remove_orphan_files(self, *, older_than_ms: int | None = None
+                            ) -> list[str]:
+        """Iceberg's ``remove_orphan_files``: delete data files NO commit
+        references — the debris of failed writers. Files are written
+        before the commit publishes (SURVEY §3.2 step 4), so a job that
+        dies between write and commit — or loses the commit race — leaves
+        its files stranded: invisible to every read, never GC'd by
+        ``expire_snapshots`` (which walks commits), silently accumulating
+        storage. Only files modified at or before ``older_than_ms``
+        (default: 24 h ago) are removed, so an IN-FLIGHT writer's fresh,
+        not-yet-committed files survive the sweep — the same grace-window
+        contract as Iceberg's ``older_than`` (its default is 3 days).
+        Returns the deleted relative paths."""
+        cutoff = (int(time.time() * 1000) - 24 * 3600 * 1000
+                  if older_than_ms is None else older_than_ms)
+        referenced: set[str] = set()
+        for v in self._versions():
+            for a in self._read_commit(v).add:
+                referenced.add(a.path)
+            cp = self._checkpoint_path(v)
+            if os.path.exists(cp):
+                with open(cp) as fh:
+                    for a in Commit.from_json(json.load(fh)).add:
+                        referenced.add(a.path)
+        removed: list[str] = []
+        for abs_p in glob.glob(
+            os.path.join(self.path, "data", "**", "*.parquet"),
+            recursive=True,
+        ):
+            rel = os.path.relpath(abs_p, self.path)
+            if rel in referenced:
+                continue
+            if os.path.getmtime(abs_p) * 1000 > cutoff:
+                continue  # grace window: maybe a writer mid-commit
+            os.remove(abs_p)
+            removed.append(rel)
+        return sorted(removed)
 
     # ------------------------------------------------------ metadata tables
 

@@ -206,7 +206,7 @@ def test_file_stats_multi_row_group_native_bounds(tmp_path):
 
     p = str(tmp_path / "two_rg.parquet")
     pq.write_table(pa.table({"x": [9, 9, 10, 10]}), p, row_group_size=2)
-    _, _, lo, hi, _ = _file_stats(p)
+    _, _, lo, hi, _, _ = _file_stats(p)
     assert lo["x"] == "9" and hi["x"] == "10"
     node = parse_predicate("x = 9")
     assert file_may_match(node, lo, hi, {})

@@ -194,6 +194,41 @@ def test_diff_versions_cdc(spark, tmp_path):
     }
 
 
+def test_merge_batch_replay_is_idempotent(spark, tmp_path):
+    """T2 exactly-once: after checkpoint recovery Structured Streaming can
+    re-deliver a micro-batch to foreachBatch; replaying the SAME changelog
+    batch through MERGE must leave the table unchanged (delete of a
+    missing key no-ops, re-insert matches and updates to the same values),
+    so redelivery cannot corrupt state."""
+    cat = Catalog(spark, str(tmp_path / "whi"))
+    t = cat.create_table(
+        "default.idem",
+        spark.createDataFrame(
+            [(1, "h0"), (5, "h0")], "block_number int, hash string"
+        ),
+    )
+    batch = spark.createDataFrame(
+        [("D", 1, "hx", 1), ("I", 2, "h2", 2), ("I", 5, "h5", 3)],
+        "type string, block_number int, hash string, __seq long",
+    )
+
+    def apply(b):
+        t.merge(
+            b, on="block_number",
+            when_matched_delete="s.type = 'D'",
+            when_matched_update={"hash": "s.hash"},
+            when_not_matched_insert="type = 'I'",
+            source_order="__seq",
+        )
+
+    apply(batch)
+    state1 = {(r.block_number, r.hash) for r in t.read().collect()}
+    assert state1 == {(2, "h2"), (5, "h5")}
+    apply(batch)  # redelivery
+    state2 = {(r.block_number, r.hash) for r in t.read().collect()}
+    assert state2 == state1
+
+
 def test_diff_versions_scans_only_changed_files(spark, tmp_path):
     """The CDC diff must be O(changed data): files live in both snapshots
     never enter either exceptAll leg (VERDICT r04 #2). Asserted on the

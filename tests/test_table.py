@@ -485,6 +485,90 @@ def test_compact_sort_by_clusters_for_pruning(spark, tmp_path):
     assert t.read().where(probe).count() == df.where(probe).count()
 
 
+def test_remove_orphan_files(spark, tmp_path):
+    """Orphan GC: files no commit references (failed/aborted writers) are
+    removed; referenced files — live AND historical (time travel) — and
+    files newer than the grace cutoff survive."""
+    import time as _time
+
+    from lakeshed.catalog import Catalog
+
+    t = Catalog(spark, str(tmp_path / "who")).create_table(
+        "default.orph",
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+    )
+    t.append(spark.createDataFrame([(3, "c")], "k int, v string"))
+    t.delete("k = 1")  # historical files now removed from live but referenced
+
+    # simulate a crashed writer: stranded parquet under data/
+    stray_dir = os.path.join(t.path, "data", "deadbeef")
+    os.makedirs(stray_dir)
+    stray = os.path.join(stray_dir, "part-00000.parquet")
+    spark.createDataFrame([(9, "x")], "k int, v string").toPandas() \
+        .to_parquet(stray)
+    old = _time.time() - 3600
+    os.utime(stray, (old, old))
+
+    # a FRESH stray (writer possibly mid-commit) must survive the sweep
+    fresh = os.path.join(stray_dir, "part-00001.parquet")
+    spark.createDataFrame([(8, "y")], "k int, v string").toPandas() \
+        .to_parquet(fresh)
+
+    # nothing is old enough for the default 24 h grace window
+    assert t.remove_orphan_files() == []
+
+    # explicit cutoff 10 min ago: the hour-old stray goes; the fresh one
+    # (writer possibly mid-commit) survives
+    cutoff = int(_time.time() * 1000) - 600_000
+    removed = t.remove_orphan_files(older_than_ms=cutoff)
+    assert removed == [os.path.relpath(stray, t.path)]
+    assert not os.path.exists(stray) and os.path.exists(fresh)
+    # table contents and history intact
+    assert {r.k for r in t.read().collect()} == {2, 3}
+    assert t.read(version=0).count() == 2  # time travel still works
+    # idempotent until the fresh file's grace expires
+    assert t.remove_orphan_files(older_than_ms=cutoff) == []
+
+
+def test_dict_columns_skip_equality_beyond_minmax(spark, tmp_path):
+    """Dictionary data-skipping: with lakeshed.skipping.dict-columns set,
+    each file's commit-log entry records the column's complete distinct
+    set, and an equality predicate on a value ABSENT from a file prunes
+    it even when the file's min/max straddle the value — the case range
+    stats can never decide."""
+    from lakeshed.catalog import Catalog
+
+    # file 1 holds categories {a, z}, file 2 holds {b, y}: both span
+    # [a..z]-ish ranges, so min/max cannot separate them for cat = 'z'
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "z")], "k int, cat string")
+    df2 = spark.createDataFrame(
+        [(3, "b"), (4, "y")], "k int, cat string")
+    t = Catalog(spark, str(tmp_path / "whd")).create_table(
+        "default.dictskip", df1.coalesce(1),
+        properties={"lakeshed.skipping.dict-columns": "cat"},
+    )
+    t.append(df2.coalesce(1))
+    live = t.plan_files()
+    assert len(live) == 2
+    assert all(a.dicts.get("cat") for a in live)
+
+    hits = t.plan_files("cat = 'z'")
+    assert len(hits) == 1 and hits[0].dicts["cat"] == ["a", "z"]
+    # min/max alone would keep both: 'z' is inside file 2's [b, y]? no —
+    # but 'y' IS inside file 1's [a, z]; the dict decides exactly
+    assert len(t.plan_files("cat = 'y'")) == 1
+    # results identical to a full scan + filter (residual always applies)
+    assert t.scan("cat = 'y'").count() == 1
+    # a value nobody holds prunes everything
+    assert len(t.plan_files("cat = 'm'")) == 0
+    assert t.scan("cat = 'm'").count() == 0
+    # non-equality predicates fall back to min/max semantics unchanged
+    assert len(t.plan_files("cat > 'x'")) == 2
+    # columns NOT opted in record no dict
+    assert all("k" not in a.dicts for a in t.plan_files())
+
+
 def test_metadata_only_count(spark, tmp_path):
     """count_rows() answers COUNT(*) from the commit log's per-file row
     counts — exact through append/delete/update/compact, verified against
