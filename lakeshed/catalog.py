@@ -249,6 +249,17 @@ class Catalog:
             self.table(m.group(1)).rewrite_manifests()
             return None
         m = re.match(
+            r"call \w*\.?remove_orphan_files\('([\w.]+)'(?:\s*,\s*(\d+))?\)",
+            low,
+        )
+        if m:
+            # Iceberg remove_orphan_files: (table [, older_than_ms])
+            kwargs = (
+                {"older_than_ms": int(m.group(2))} if m.group(2) else {}
+            )
+            self.table(m.group(1)).remove_orphan_files(**kwargs)
+            return None
+        m = re.match(
             r"call \w*\.?expire_snapshots\('([\w.]+)'\s*,\s*(\d+)"
             r"(?:\s*,\s*(\d+))?\)", low
         )

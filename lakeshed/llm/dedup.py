@@ -486,12 +486,16 @@ def dedup_clusters(
     each round, a node adopts the smallest label among itself and its
     neighbors; converges in O(component diameter) rounds — near-dup
     clusters are shallow (diameter ≤ a few hops), so a handful of
-    shuffle-join rounds suffice. ``localCheckpoint`` truncates the plan
-    lineage each round (an iterative join would otherwise compound the
-    plan exponentially). At 100 TB scale with adversarial chain-shaped
-    components you'd switch to the large-star/small-star algorithm
-    (alternating pointer-doubling, O(log n) rounds); the iteration
-    harness here is the same shape.
+    shuffle-join rounds suffice. Each round's label frame is
+    checkpointed to STORAGE (parquet round-trip): that truncates the
+    plan lineage (an iterative join would otherwise compound the plan
+    exponentially) without leaking cached RDD blocks past the call —
+    and storage checkpoints are the right pattern for iterative jobs at
+    100 TB anyway (executor-memory checkpoints die with their executor;
+    a restarted stage re-reads the file). At extreme scale with
+    adversarial chain-shaped components you'd switch to the
+    large-star/small-star algorithm (alternating pointer-doubling,
+    O(log n) rounds); the iteration harness is the same shape.
 
     ``shuffle_partitions`` scopes the join parallelism to the label
     frame's size for the iteration's duration (each round is several
@@ -521,6 +525,17 @@ def _dedup_clusters_impl(
     id_col: str,
     max_iter: int,
 ) -> DataFrame:
+    import os
+    import tempfile
+
+    spark = ids.sparkSession
+    ckpt_dir = tempfile.mkdtemp(prefix="lakeshed-cc-")
+
+    def _materialize(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(ckpt_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
@@ -530,11 +545,12 @@ def _dedup_clusters_impl(
     # materialize the edge list ONCE — every propagation round joins it,
     # and without this each round would re-run the whole upstream pairs
     # pipeline (LSH banding + verify) from scratch
-    edges = edges.localCheckpoint(eager=True)
-    lbl = ids.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    edges = _materialize(edges, "edges")
+    lbl = _materialize(
+        ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl")),
+        "labels0",
+    )
+    for it in range(max_iter):
         nbr = (
             edges.alias("e")
             .join(lbl.alias("l"), F.col("e.src") == F.col("l.id"))
@@ -542,7 +558,7 @@ def _dedup_clusters_impl(
             .groupBy("id")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        merged = (
+        merged = _materialize(
             lbl.alias("c")
             .join(nbr.alias("n"), F.col("c.id") == F.col("n.id"), "left")
             .select(
@@ -555,8 +571,8 @@ def _dedup_clusters_impl(
                     F.coalesce(F.col("n.nlbl"), F.col("c.lbl"))
                     < F.col("c.lbl")
                 ).cast("int").alias("chg"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            f"labels{it + 1}",
         )
         n_changed = merged.agg(F.sum("chg")).first()[0] or 0
         lbl = merged.select("id", "lbl")

@@ -50,8 +50,8 @@ Node = Union[Comparison, BoolOp, Unknown]
 
 _TOKEN = re.compile(
     r"""\s*(?:
-        (?P<lparen>\() | (?P<rparen>\)) |
-        (?P<and>(?i:AND)\b) | (?P<or>(?i:OR)\b) |
+        (?P<lparen>\() | (?P<rparen>\)) | (?P<comma>,) |
+        (?P<and>(?i:AND)\b) | (?P<or>(?i:OR)\b) | (?P<in>(?i:IN)\b) |
         (?P<op><=|>=|!=|<>|=|<|>) |
         (?P<str>'(?:[^']|'')*') |
         (?P<num>-?\d+(?:\.\d+)?(?:[eE]-?\d+)?) |
@@ -118,6 +118,8 @@ class _Parser:
         if t[0] == "ident":
             ident = self.take()[1].strip("`")
             op_t = self.peek()
+            if op_t is not None and op_t[0] == "in":
+                return self._parse_in_list(ident)
             if op_t is None or op_t[0] != "op":
                 return Unknown()
             op = self.take()[1]
@@ -132,9 +134,37 @@ class _Parser:
                 else raw[1:-1].replace("''", "'")
             )
             return Comparison(ident, op, value)
-        # anything else (functions, IS NULL, IN, ...) → unknown clause
+        # anything else (functions, IS NULL, NOT IN, ...) → unknown clause
         self.take()
         return Unknown()
+
+    def _parse_in_list(self, ident: str) -> Node:
+        """``col IN (v1, v2, ...)`` → OR of equalities, so min/max AND
+        dictionary skipping both apply per value."""
+        self.take()  # IN
+        if self.peek() is None or self.peek()[0] != "lparen":
+            return Unknown()
+        self.take()
+        node: Node | None = None
+        while True:
+            v = self.peek()
+            if v is None or v[0] not in ("num", "str"):
+                return Unknown()
+            kind, raw = self.take()
+            value: Any = (
+                float(raw) if kind == "num"
+                else raw[1:-1].replace("''", "'")
+            )
+            cmp_ = Comparison(ident, "=", value)
+            node = cmp_ if node is None else BoolOp("or", node, cmp_)
+            nxt = self.peek()
+            if nxt is not None and nxt[0] == "comma":
+                self.take()
+                continue
+            if nxt is not None and nxt[0] == "rparen":
+                self.take()
+                return node
+            return Unknown()
 
 
 def parse_predicate(sql: str) -> Node:

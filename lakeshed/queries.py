@@ -565,6 +565,10 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
     "llm_minhash_neardup",     # same oracle as gated llm_incremental_minhash;
                                # its direct-corpus pipeline also runs inside
                                # gated llm_dedup_clusters
+    # round-5 late additions — oracle-verified at the driver's sf0.01 by
+    # the tail parity test; head kept at the 50 newest-or-unique gates:
+    "local_supplier_volume",
+    "stream_dedup_events",
 )
 
 
@@ -905,6 +909,65 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(actual, ["day", "event_type"], "left")
         .select("day", "event_type",
                 F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+    )
+
+
+@qdef(
+    "local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    "J+",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the 6-table star join with a local-supplier
+    correlation (customer and supplier share a nation). Dimension sides
+    (supplier/nation/region/customer) broadcast; the lineitem↔orders
+    fact-fact join is the only big shuffle, and the date filter pushes
+    into the orders scan before it. The correlated c_nationkey =
+    s_nationkey predicate rides the supplier broadcast join."""
+    t = load_star(spark, sf_dir, "customer", "orders", "lineitem",
+                  "supplier", "nation", "region")
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].where(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["customer"]),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]),
+              (F.col("n_regionkey") == F.col("r_regionkey"))
+              & (F.col("r_name") == "ASIA"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
     )
 
 

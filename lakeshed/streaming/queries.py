@@ -342,6 +342,54 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @qdef(
+    "stream_dedup_events",
+    """
+    SELECT event_id, user_id, ts FROM events
+    """,
+    "T1", "T2", "stream-dedup",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once ingest dedup: an at-least-once source
+    re-delivers records (the fixture duplicates every third event);
+    watermarked ``dropDuplicates`` on the event id emits each exactly
+    once — dedup state is bounded by the watermark horizon, not the
+    stream's lifetime. At rest equals SELECT of the original rows."""
+    ev = load_star(spark, sf_dir, "events")["events"].select(
+        "event_id", "user_id", "ts"
+    )
+
+    def _write(path: str) -> None:
+        (
+            ev.unionAll(ev.where(F.col("event_id") % 3 == 0))
+            .repartition(1)
+            .write.mode("overwrite").parquet(path)
+        )
+
+    src = _fixture_dir("dedup-ev", sf_dir, _write)
+    stream = (
+        spark.readStream
+        .schema("event_id bigint, user_id bigint, ts timestamp")
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(
+        ["event_id"]
+    )
+    tmp = tempfile.mkdtemp(prefix="lakeshed-sde-")
+    name = "sde_" + uuid.uuid4().hex[:12]
+    with _state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+@qdef(
     "stream_cdc_diff",
     """
     SELECT 'delete' AS _change_type, n_nationkey, n_name, n_regionkey

@@ -117,6 +117,16 @@ def test_incremental_minhash_never_scans_corpus_text(spark, tmp_path):
     assert all("sigwh" in p for p in pairs.inputFiles())
 
 
+def test_q5_star_join_broadcasts_all_dims(spark):
+    """TPC-H Q5 shape: every dimension side broadcasts; the only
+    shuffle-worthy join is lineitem↔orders; the date filter reaches the
+    orders scan."""
+    plan = _plan(q.spark_queries()["local_supplier_volume"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+    assert "PushedFilters: [" in plan and "o_orderdate" in plan
+
+
 def test_exact_dedup_single_shuffle(spark):
     """LLM exact dedup: one hash-agg pass — exactly one exchange, keyed on
     the digest."""

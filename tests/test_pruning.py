@@ -36,11 +36,27 @@ SF = os.environ.get("LAKESHED_TEST_SF", "/root/testdata/sf0.001")
         # unknown shapes keep the file
         ("x IS NULL", "10", "20", True),
         ("upper(x) = 'A'", "10", "20", True),
+        # IN = OR of equalities: prunes only when EVERY value misses
+        ("x IN (1, 2, 3)", "10", "20", False),
+        ("x IN (1, 15)", "10", "20", True),
+        ("x IN (1, 2) AND x >= 10", "10", "20", False),
+        # malformed / non-literal IN stays conservative
+        ("x IN (y)", "10", "20", True),
+        ("x IN ()", "10", "20", True),
     ],
 )
 def test_file_may_match(pred, lo, hi, expect):
     node = parse_predicate(pred)
     assert file_may_match(node, {"x": lo}, {"x": hi}, {}) is expect
+
+
+def test_in_list_uses_dictionary_skipping():
+    """IN over a dict-indexed column decides per value exactly."""
+    node = parse_predicate("cat IN ('m', 'q')")
+    d = {"cat": ["a", "z"]}
+    assert file_may_match(node, {"cat": "a"}, {"cat": "z"}, {}, d) is False
+    d2 = {"cat": ["a", "q"]}
+    assert file_may_match(node, {"cat": "a"}, {"cat": "z"}, {}, d2) is True
 
 
 def test_partition_value_acts_as_exact_bound():

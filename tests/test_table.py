@@ -353,6 +353,7 @@ def test_sql_router(cat, nation):
     assert "n_name" in [r.col_name for r in desc.collect()]
     cat.sql("CALL system.rewrite_data_files('nyc.taxis')")
     cat.sql("CALL system.rewrite_manifests('nyc.taxis')")
+    cat.sql("CALL system.remove_orphan_files('nyc.taxis')")
     assert cat.table("nyc.taxis").files().count() >= 1
     cat.sql("DROP TABLE nyc.taxis")
     with pytest.raises(TableError):
