@@ -752,3 +752,43 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def ngram_overlap(
+    df: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, how many of
+    its DISTINCT word n-grams appear anywhere in a benchmark/eval set —
+    the standard screen for test-set leakage before training (n=5..13 in
+    published pipelines). The benchmark gram set broadcasts (eval suites
+    are tiny next to the corpus), so the corpus side is one narrow
+    explode + broadcast semi-join + count: no corpus-sized shuffle. Docs
+    with zero overlap report 0/false."""
+    from lakeshed.llm.text import ngrams, tokens
+
+    grams = lambda c: F.array_distinct(ngrams(tokens(c), n))
+    corpus = df.select(
+        F.col(id_col), F.explode(grams(text_col)).alias("g")
+    )
+    bgrams = bench.select(
+        F.explode(grams(text_col)).alias("g")
+    ).distinct()
+    hits = (
+        corpus.join(F.broadcast(bgrams), "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("overlap_ngrams"), F.lit(0))
+            .alias("overlap_ngrams"),
+        )
+        .withColumn("contaminated", F.col("overlap_ngrams") > 0)
+    )

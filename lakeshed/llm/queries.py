@@ -686,3 +686,97 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, docs.select("doc_id"), id_col="doc_id",
         shuffle_partitions=8,
     )
+
+
+_PII_E = text.PII_PATTERNS["emails"]
+_PII_U = text.PII_PATTERNS["urls"]
+_PII_P = text.PII_PATTERNS["phones"]
+
+# deterministic PII injection shared by the Spark gate and the oracle —
+# the synthetic corpus contains no organic PII, so the gate plants some
+_PII_AUG = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 5 = 0 THEN ' contact user'
+                   || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' see https://data.example.org/doc/'
+                   || CAST(doc_id AS VARCHAR) ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 today'
+                   ELSE '' END AS text
+    FROM documents
+"""
+
+
+@qdef(
+    "llm_pii_scan",
+    f"""
+    WITH aug AS ({_PII_AUG})
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_E}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PII_U}'))   AS n_urls,
+           len(regexp_extract_all(text, '{_PII_P}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_E}', '<EMAIL>', 'g'),
+               '{_PII_U}', '<URL>', 'g'),
+               '{_PII_P}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+    "LLM-pii",
+)
+def llm_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction digest over the corpus (emails/URLs/phones
+    planted deterministically — the fixture text carries no organic PII).
+    The md5 of the redacted text value-checks the REDACTION itself, not
+    just the counts; patterns are shared constants so Spark (Java regex)
+    and the oracle (RE2) provably run the same scan. Narrow projection,
+    no shuffle."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    did = F.col("doc_id").cast("string")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" contact user"), did,
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" see https://data.example.org/doc/"),
+                            did)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" call 555-867-5309 today")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.pii_features(aug)
+
+
+_5GRAMS = f"""list_distinct(list_transform(
+      generate_series(1, greatest(len(toks) - 4, 1)),
+      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                     toks[i+3], toks[i+4])))"""
+
+
+@qdef(
+    "llm_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, unnest({_5GRAMS}) AS g FROM t),
+    b AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+    o AS (SELECT g.doc_id, count(*) AS overlap
+          FROM g JOIN b USING (g) GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(o.overlap, 0) AS BIGINT) AS overlap_ngrams,
+           coalesce(o.overlap, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id
+    """,
+    "LLM-decontaminate",
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct 5-gram overlap of every corpus
+    document against a benchmark set (docs with id % 97 == 0 stand in
+    for the eval suite) — the test-set-leakage screen run before
+    training. The benchmark gram set broadcasts; the corpus side is one
+    explode + semi-join + count, no corpus-sized shuffle."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    return dedup.ngram_overlap(
+        docs, docs.where(F.col("doc_id") % 97 == 0), n=5
+    )

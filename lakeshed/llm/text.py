@@ -115,3 +115,34 @@ def fingerprint(col: Column | str, ngram: int = 3) -> Column:
     return F.when(n >= ngram, F.array_min(shingle_hashes)).otherwise(
         F.md5(normalize(col))
     )
+
+
+# portable across Java regex (Spark) and RE2 (DuckDB): no lookarounds,
+# no backrefs — the oracle must run the SAME patterns
+PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "urls": r"https?://[^\s]+",
+    "phones": r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b",
+}
+
+
+def pii_features(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """PII scan + redaction for a training corpus: per-document match
+    counts for each category and the md5 of the text with every match
+    replaced by a typed tag (``<EMAIL>``/``<URL>``/``<PHONE>``) — the
+    scrub-before-training step. One narrow JVM regex projection, no
+    shuffle, no Python; the digest lets a pipeline verify the redacted
+    corpus byte-for-byte without storing it twice."""
+    c = F.col(text_col)
+    cols = [F.col(id_col)]
+    for name, pat in PII_PATTERNS.items():
+        cols.append(
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+            .alias(f"n_{name}")
+        )
+    red = c
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name[:-1].upper()}>")
+    cols.append(F.md5(red.cast("binary")).alias("redacted_md5"))
+    return df.select(*cols)

@@ -569,6 +569,8 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
     # the tail parity test; head kept at the 50 newest-or-unique gates:
     "local_supplier_volume",
     "stream_dedup_events",
+    "llm_pii_scan",
+    "llm_decontaminate",
 )
 
 
