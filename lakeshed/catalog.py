@@ -183,6 +183,24 @@ class Catalog:
         m = re.match(r"describe (?:extended )?([\w.]+)", low)
         if m:
             return self.table(m.group(1)).describe()
+        if low in ("show databases", "show namespaces"):
+            return self.spark.createDataFrame(
+                [(d,) for d in sorted(self.databases())],
+                "namespace string",
+            )
+        m = re.match(r"show tables(?: (?:in|from) ([\w.]+))?$", low)
+        if m:
+            db = m.group(1) or "default"
+            return self.spark.createDataFrame(
+                [(db, t) for t in sorted(self.tables(db))],
+                "namespace string, tableName string",
+            )
+        m = re.match(r"show tblproperties ([\w.]+)$", low)
+        if m:
+            props = self.table(m.group(1)).properties()
+            return self.spark.createDataFrame(
+                sorted(props.items()), "key string, value string"
+            )
         m = re.match(
             r"update ([\w.]+) set (.+?)(?: where (.+))?$", s,
             re.IGNORECASE | re.DOTALL,

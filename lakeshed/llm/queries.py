@@ -780,3 +780,49 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_overlap(
         docs, docs.where(F.col("doc_id") % 97 == 0), n=5
     )
+
+
+@qdef(
+    "llm_repetition",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+    agg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n,
+                   count(*) AS n_distinct
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(top_c AS BIGINT)                    AS top_token_count,
+           round(top_c * 1.0 / n, 4)                AS top_token_ratio,
+           round(n_distinct * 1.0 / n, 4)           AS distinct_ratio
+    FROM agg
+    """,
+    "LLM-repetition",
+)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate quality screen: the most frequent token's
+    share and the distinct-token ratio per document — spammy or
+    template-generated text scores high concentration / low diversity.
+    Explode + two-level aggregation; both aggs combine map-side, so the
+    shuffle carries one row per (doc, token), then one per doc."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    cnt = (
+        docs.select("doc_id", F.explode(text.tokens("text")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            F.col("top_c").alias("top_token_count"),
+            F.round(F.col("top_c") / F.col("n"), 4)
+            .alias("top_token_ratio"),
+            F.round(F.col("n_distinct") / F.col("n"), 4)
+            .alias("distinct_ratio"),
+        )
+    )

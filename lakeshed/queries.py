@@ -571,6 +571,7 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
     "stream_dedup_events",
     "llm_pii_scan",
     "llm_decontaminate",
+    "llm_repetition",
 )
 
 

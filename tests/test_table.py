@@ -355,6 +355,14 @@ def test_sql_router(cat, nation):
     cat.sql("CALL system.rewrite_manifests('nyc.taxis')")
     cat.sql("CALL system.remove_orphan_files('nyc.taxis')")
     assert cat.table("nyc.taxis").files().count() >= 1
+    assert "nyc" in [r.namespace for r in
+                     cat.sql("SHOW DATABASES").collect()]
+    assert ["taxis"] == [r.tableName for r in
+                         cat.sql("SHOW TABLES IN nyc").collect()]
+    cat.sql("ALTER TABLE nyc.taxis SET TBLPROPERTIES ('k1' = 'v1')")
+    props = {r.key: r.value for r in
+             cat.sql("SHOW TBLPROPERTIES nyc.taxis").collect()}
+    assert props.get("k1") == "v1"
     cat.sql("DROP TABLE nyc.taxis")
     with pytest.raises(TableError):
         cat.table("nyc.taxis")
