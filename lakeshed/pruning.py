@@ -120,6 +120,9 @@ class _Parser:
             op_t = self.peek()
             if op_t is not None and op_t[0] == "in":
                 return self._parse_in_list(ident)
+            if op_t is not None and op_t[0] == "ident" \
+                    and op_t[1].lower() == "is":
+                return self._parse_is_null(ident)
             if op_t is None or op_t[0] != "op":
                 return Unknown()
             op = self.take()[1]
@@ -137,6 +140,21 @@ class _Parser:
         # anything else (functions, IS NULL, NOT IN, ...) → unknown clause
         self.take()
         return Unknown()
+
+    def _parse_is_null(self, ident: str) -> Node:
+        """``col IS [NOT] NULL`` → Comparison with op isnull/notnull
+        (value unused) — decidable from the per-file null counts."""
+        self.take()  # IS
+        nxt = self.peek()
+        negate = False
+        if nxt is not None and nxt[0] == "ident" and nxt[1].lower() == "not":
+            self.take()
+            negate = True
+            nxt = self.peek()
+        if nxt is None or nxt[0] != "ident" or nxt[1].lower() != "null":
+            return Unknown()
+        self.take()
+        return Comparison(ident, "notnull" if negate else "isnull", None)
 
     def _parse_in_list(self, ident: str) -> Node:
         """``col IN (v1, v2, ...)`` → OR of equalities, so min/max AND
@@ -246,19 +264,33 @@ def _dict_may_match(op: str, vals: list[str], value: Any) -> bool | None:
 
 def file_may_match(node: Node, lower: dict[str, str], upper: dict[str, str],
                    partition_values: dict[str, str],
-                   dicts: dict[str, list[str]] | None = None) -> bool:
+                   dicts: dict[str, list[str]] | None = None,
+                   null_counts: dict[str, int] | None = None,
+                   rows: int | None = None) -> bool:
     """Conservative manifest evaluation: False ⇒ provably zero matching
     rows in the file. Partition-dir values act as exact single-value
     bounds for their column; ``dicts`` (complete per-file distinct sets,
     the dictionary data-skipping index) decide = / != exactly where
-    min/max can only rule out ranges."""
+    min/max can only rule out ranges; ``null_counts`` + ``rows`` decide
+    IS [NOT] NULL (a file with zero nulls in the column cannot satisfy
+    IS NULL; an all-null file cannot satisfy IS NOT NULL) — the same
+    use Iceberg makes of its per-column null_value_counts."""
     if isinstance(node, Unknown):
         return True
     if isinstance(node, BoolOp):
-        l = file_may_match(node.left, lower, upper, partition_values, dicts)
-        r = file_may_match(node.right, lower, upper, partition_values, dicts)
+        l = file_may_match(node.left, lower, upper, partition_values,
+                           dicts, null_counts, rows)
+        r = file_may_match(node.right, lower, upper, partition_values,
+                           dicts, null_counts, rows)
         return (l and r) if node.kind == "and" else (l or r)
     assert isinstance(node, Comparison)
+    if node.op in ("isnull", "notnull"):
+        nc = (null_counts or {}).get(node.col)
+        if nc is None:
+            return True  # no stats → maybe
+        if node.op == "isnull":
+            return nc > 0
+        return rows is None or nc < rows
     if node.col in partition_values:
         pv = partition_values[node.col]
         return _cmp_maybe_match(node.op, pv, pv, node.value)

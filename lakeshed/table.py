@@ -857,7 +857,8 @@ class LakeTable:
         return [
             a for a in live
             if file_may_match(node, a.lower_bounds, a.upper_bounds,
-                              self._partition_values(a.path), a.dicts)
+                              self._partition_values(a.path), a.dicts,
+                              a.null_counts, a.rows)
         ]
 
     def scan(self, where: str | None = None,
@@ -967,7 +968,8 @@ class LakeTable:
             candidates = [
                 a for a in live
                 if file_may_match(node, a.lower_bounds, a.upper_bounds,
-                                  self._partition_values(a.path), a.dicts)
+                                  self._partition_values(a.path), a.dicts,
+                                  a.null_counts, a.rows)
             ]
             if not candidates:
                 return set()

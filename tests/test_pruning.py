@@ -50,6 +50,47 @@ def test_file_may_match(pred, lo, hi, expect):
     assert file_may_match(node, {"x": lo}, {"x": hi}, {}) is expect
 
 
+def test_is_null_pruning_uses_null_counts():
+    """IS NULL prunes files with zero nulls in the column; IS NOT NULL
+    prunes all-null files; missing stats stay conservative."""
+    isnull = parse_predicate("x IS NULL")
+    notnull = parse_predicate("x IS NOT NULL")
+    # zero nulls recorded → IS NULL unsatisfiable, IS NOT NULL fine
+    assert file_may_match(isnull, {}, {}, {}, None, {"x": 0}, 10) is False
+    assert file_may_match(notnull, {}, {}, {}, None, {"x": 0}, 10) is True
+    # all-null file → the reverse
+    assert file_may_match(isnull, {}, {}, {}, None, {"x": 10}, 10) is True
+    assert file_may_match(notnull, {}, {}, {}, None, {"x": 10}, 10) is False
+    # some nulls → both possible
+    assert file_may_match(isnull, {}, {}, {}, None, {"x": 3}, 10) is True
+    assert file_may_match(notnull, {}, {}, {}, None, {"x": 3}, 10) is True
+    # no stats → keep
+    assert file_may_match(isnull, {}, {}, {}, None, {}, 10) is True
+    assert file_may_match(isnull, {}, {}, {}) is True
+    # composes with AND
+    both = parse_predicate("x IS NULL AND y = 1")
+    assert file_may_match(both, {}, {}, {}, None, {"x": 0}, 10) is False
+
+
+def test_is_null_prunes_files_end_to_end(cat, spark):
+    """Table-level: a file whose column has no nulls never enters an
+    IS NULL scan plan."""
+    from pyspark.sql import functions as F
+
+    full = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    ).coalesce(1)
+    with_nulls = spark.createDataFrame(
+        [(3, None), (4, "d")], "k int, v string"
+    ).coalesce(1)
+    t = cat.create_table("default.nullprune", full)
+    t.append(with_nulls)
+    assert len(t.plan_files()) == 2
+    hits = t.plan_files("v IS NULL")
+    assert len(hits) == 1 and hits[0].null_counts.get("v") == 1
+    assert t.scan("v IS NULL").count() == 1
+
+
 def test_in_list_uses_dictionary_skipping():
     """IN over a dict-indexed column decides per value exactly."""
     node = parse_predicate("cat IN ('m', 'q')")
