@@ -572,6 +572,8 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
     "llm_pii_scan",
     "llm_decontaminate",
     "llm_repetition",
+    "string_function_suite",
+    "datetime_function_suite",
 )
 
 
@@ -1028,4 +1030,76 @@ def explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("tok").asc())
         .limit(25)
+    )
+
+
+@qdef(
+    "string_function_suite",
+    """
+    SELECT n_name,
+           lpad(n_name, 12, '*')                    AS padded,
+           translate(n_name, 'AEIOU', 'aeiou')      AS vowels_lower,
+           repeat(left(n_name, 2), 2)               AS rep2,
+           reverse(n_name)                          AS rev,
+           split_part(n_name, 'A', 1)               AS before_a,
+           strpos(n_name, 'AN')                     AS an_pos,
+           right(n_name, 3)                         AS last3,
+           ascii(n_name)                            AS first_code,
+           concat(chr(35), n_name)                  AS hashed
+    FROM nation
+    """,
+    "§2.7+",
+)
+def string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string scalar surface beyond §2.7 (pad/translate/repeat/
+    reverse/split_part/locate/slice/ascii/chr) — every expression JVM-side
+    whole-stage-codegen, value-matched against DuckDB's implementations."""
+    nation = load_star(spark, sf_dir, "nation")["nation"]
+    n = F.col("n_name")
+    return nation.select(
+        "n_name",
+        F.lpad(n, 12, "*").alias("padded"),
+        F.translate(n, "AEIOU", "aeiou").alias("vowels_lower"),
+        F.repeat(F.substring(n, 1, 2), 2).alias("rep2"),
+        F.reverse(n).alias("rev"),
+        F.split_part(n, F.lit("A"), F.lit(1)).alias("before_a"),
+        F.instr(n, "AN").alias("an_pos"),
+        F.substring(n, -3, 3).alias("last3"),
+        F.ascii(n).alias("first_code"),
+        F.concat(F.char(F.lit(35)), n).alias("hashed"),
+    )
+
+
+@qdef(
+    "datetime_function_suite",
+    """
+    SELECT o_orderkey,
+           extract(year FROM o_orderdate)                    AS yr,
+           extract(month FROM o_orderdate)                   AS mon,
+           extract(day FROM o_orderdate)                     AS dom,
+           CAST(date_trunc('month', o_orderdate) AS DATE)    AS month_start,
+           last_day(CAST(o_orderdate AS DATE))               AS month_end,
+           dayofweek(CAST(o_orderdate AS DATE))              AS dow0,
+           date_diff('day', TIMESTAMP '1995-01-01',
+                     o_orderdate)                            AS days_since
+    FROM orders
+    """,
+    "§2.7+",
+)
+def datetime_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar surface: extract parts, month truncation, last_day,
+    day-of-week (normalized to DuckDB's 0=Sunday convention — Spark's
+    dayofweek is 1-based), day arithmetic against an epoch literal. All
+    JVM date math; values hash-match the oracle exactly (UTC session)."""
+    orders = load_star(spark, sf_dir, "orders")["orders"]
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mon"),
+        F.dayofmonth(d).alias("dom"),
+        F.trunc(d, "month").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        (F.dayofweek(d) - 1).alias("dow0"),
+        F.datediff(d, F.lit("1995-01-01")).alias("days_since"),
     )
