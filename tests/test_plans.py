@@ -117,6 +117,31 @@ def test_incremental_minhash_never_scans_corpus_text(spark, tmp_path):
     assert all("sigwh" in p for p in pairs.inputFiles())
 
 
+def test_gap_fill_spine_broadcasts(spark):
+    """events_gap_fill: the generated date spine × type dim is tiny and
+    must broadcast against the daily counts — no shuffle join on the
+    generated side."""
+    plan = _plan(q.spark_queries()["events_gap_fill"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_benchmark_grams_broadcast(spark):
+    """llm_decontaminate: the benchmark gram set broadcasts into a semi
+    join — the corpus side never shuffles for the membership probe."""
+    plan = _plan(q.spark_queries()["llm_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Join type: LeftSemi") >= 1
+
+
+def test_range_window_single_exchange(spark):
+    """window_range_sliding_30d: one shuffle on the partition key serves
+    both window aggregates (same window spec)."""
+    plan = _plan(q.spark_queries()["window_range_sliding_30d"](spark, SF))
+    assert plan.count("+- Exchange") == 1
+    assert "Window" in plan
+
+
 def test_q5_star_join_broadcasts_all_dims(spark):
     """TPC-H Q5 shape: every dimension side broadcasts; the only
     shuffle-worthy join is lineitem↔orders; the date filter reaches the
