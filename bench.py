@@ -33,6 +33,17 @@ SKIP: set[str] = {"llm_embedding_neardup"}
 
 
 def main() -> None:
+    # The driver records bench output from a BOUNDED tail capture of this
+    # process's stdout; r5's artifact came back "parsed": null because JVM
+    # console noise (progress-bar \r spam) pushed the JSON line out of the
+    # buffer. Defense in depth: (a) the session now sets
+    # spark.ui.showConsoleProgress=false, (b) while queries run, fd 1 is
+    # redirected into fd 2 so ANY JVM/py4j stdout goes to stderr, and the
+    # real stdout is restored only for the single final JSON print.
+    saved_stdout_fd = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+
     spark = get_spark("lakeshed-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -72,17 +83,21 @@ def main() -> None:
         sf = float(SF_DIR.rstrip("/").split("sf")[-1])
     except ValueError:
         sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "lakeshed_headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "lakeshed_headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    # Restore the real stdout and emit the JSON line as this process's ONLY
+    # stdout (newline-terminated, explicitly flushed).
+    sys.stdout.flush()
+    os.dup2(saved_stdout_fd, 1)
+    os.close(saved_stdout_fd)
+    os.write(1, (line + "\n").encode())
 
 
 if __name__ == "__main__":

@@ -48,6 +48,10 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "128MB",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    # Console progress bars write \r-spam to the terminal; in captured-output
+    # harnesses (the driver's bounded tail capture) that spam can truncate
+    # the one JSON line bench.py prints (r5: BENCH_r05.json parsed:null).
+    "spark.ui.showConsoleProgress": "false",
     "spark.sql.warehouse.dir": os.environ.get(
         "LAKESHED_WAREHOUSE", "/tmp/lakeshed-warehouse"
     ),
