@@ -22,6 +22,7 @@ everything else falls through to "keep".
 
 from __future__ import annotations
 
+import datetime as _dt
 import re
 from dataclasses import dataclass
 from typing import Any, Union
@@ -196,16 +197,55 @@ def parse_predicate(sql: str) -> Node:
     return node
 
 
-def _coerce(stat: str, value: Any) -> tuple[Any, Any] | None:
+_TEMPORAL_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?$"
+)
+
+
+def _parse_temporal(s: str):
+    """Parse a date/timestamp-shaped string; None when not temporal."""
+    if not _TEMPORAL_RE.match(s):
+        return None
+    try:
+        return _dt.datetime.fromisoformat(s.replace(" ", "T"))
+    except ValueError:
+        return None
+
+
+def _coerce(stat: str, value: Any, op: str = "=") -> tuple[Any, Any] | None:
     """Bring a stringified stat and a literal to a comparable domain.
     Numeric if both parse as numbers (stringified numbers compare WRONG
-    lexicographically: '9' > '10'); else string vs string."""
+    lexicographically: '9' > '10'); else string vs string.
+
+    Temporal hazard: a timestamp column's stats stringify as
+    '1995-01-01 00:00:00' while a predicate may carry '1995-01-01' —
+    lexicographic compare would refute the match and wrongly prune the
+    file's midnight rows (Spark casts the literal, so they DO match).
+    When both sides parse as temporals but have different textual shapes,
+    the right comparison depends on the column's type, which manifest
+    stats don't record:
+      - '=' : datetime compare is safe for BOTH interpretations. If the
+        datetimes are equal the file is kept (keep is always safe); if
+        strictly unequal, the zero-padded 'YYYY-MM-DD[ HH:MM:SS[.f]]'
+        grammar makes lexicographic order agree with datetime order, so
+        a string-typed column can't match either.
+      - ranges / '!=' refutation: the interpretations can disagree
+        exactly at datetime-equality (midnight/prefix case), so return
+        None → conservative keep.
+    Same-shape temporal strings compare identically under both
+    interpretations, so the plain string path stays exact for them."""
     if isinstance(value, float):
         try:
             return float(stat), value
         except ValueError:
             return None
-    return stat, str(value)
+    v = str(value)
+    ts, tv = _parse_temporal(stat), _parse_temporal(v)
+    if ts is not None and tv is not None and len(stat) != len(v):
+        if op == "=":
+            return ts, tv
+        return None
+    return stat, v
 
 
 def _cmp_maybe_match(op: str, lo: str | None, hi: str | None,
@@ -225,21 +265,21 @@ def _cmp_maybe_match(op: str, lo: str | None, hi: str | None,
     if op in ("<", "<="):
         if lo is None:
             return True
-        c = _coerce(lo, value)
+        c = _coerce(lo, value, op)
         if c is None:
             return True
         return c[0] < c[1] if op == "<" else c[0] <= c[1]
     if op in (">", ">="):
         if hi is None:
             return True
-        c = _coerce(hi, value)
+        c = _coerce(hi, value, op)
         if c is None:
             return True
         return c[0] > c[1] if op == ">" else c[0] >= c[1]
     # != can only be refuted when lo == hi == value (single-valued file)
     if op == "!=":
         if lo is not None and hi is not None and lo == hi:
-            c = _coerce(lo, value)
+            c = _coerce(lo, value, op)
             if c is not None and c[0] == c[1]:
                 return False
         return True
@@ -253,13 +293,15 @@ def _dict_may_match(op: str, vals: list[str], value: Any) -> bool | None:
     if op not in ("=", "!="):
         return None
     def _eq(stat: str) -> bool:
-        c = _coerce(stat, value)
+        # op is threaded into _coerce: '!=' refutation needs equality to
+        # hold under BOTH type interpretations (mixed-shape temporal →
+        # None → not provably equal → keep).
+        c = _coerce(stat, value, op)
         return c is not None and c[0] == c[1]
-    hit = any(_eq(s) for s in vals)
     if op == "=":
-        return hit
+        return any(_eq(s) for s in vals)
     # !=: refuted only when the file holds exactly {value}
-    return not (len(vals) == 1 and hit)
+    return not (len(vals) == 1 and _eq(vals[0]))
 
 
 def file_may_match(node: Node, lower: dict[str, str], upper: dict[str, str],

@@ -213,23 +213,36 @@ def _file_stats(abs_path: str, dict_cols: tuple = ()
     # merge across row groups in the NATIVE type — stringified ints order
     # lexicographically ('10' < '9') and would corrupt multi-row-group
     # bounds; stringify only once merged.
+    # Completeness contract: a bound/count is recorded ONLY when EVERY row
+    # group reports it. A partial sum (or partial min/max) would understate
+    # nulls / narrow the range and let file_may_match prune a file that
+    # does contain matching rows — violating "False ⇒ provably zero rows".
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
     nulls: dict[str, int] = {}
+    mm_incomplete: set[str] = set()
+    nc_incomplete: set[str] = set()
     for rg in range(md.num_row_groups):
         for ci in range(md.num_columns):
             col = md.row_group(rg).column(ci)
             name = col.path_in_schema
             st = col.statistics
-            if st is None:
-                continue
-            if st.has_min_max:
+            if st is None or not st.has_min_max:
+                mm_incomplete.add(name)
+            else:
                 if name not in mins or st.min < mins[name]:
                     mins[name] = st.min
                 if name not in maxs or st.max > maxs[name]:
                     maxs[name] = st.max
-            if st.null_count is not None:
+            if st is None or st.null_count is None:
+                nc_incomplete.add(name)
+            else:
                 nulls[name] = nulls.get(name, 0) + st.null_count
+    for name in mm_incomplete:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+    for name in nc_incomplete:
+        nulls.pop(name, None)
     lower = {k: str(v) for k, v in mins.items()}
     upper = {k: str(v) for k, v in maxs.items()}
     dicts: dict[str, list[str]] = {}

@@ -267,3 +267,148 @@ def test_file_stats_multi_row_group_native_bounds(tmp_path):
     assert lo["x"] == "9" and hi["x"] == "10"
     node = parse_predicate("x = 9")
     assert file_may_match(node, lo, hi, {})
+
+
+# ----------------------------------------------------- temporal coercion
+
+
+def test_temporal_equality_mixed_shape_keeps_file():
+    """A timestamp column's stats stringify as '1995-01-01 00:00:00' while
+    the predicate carries '1995-01-01'; Spark casts the literal so midnight
+    rows DO match — pruning must keep the file (r5 ADVICE medium)."""
+    lo = {"ts": "1995-01-01 00:00:00"}
+    hi = {"ts": "1995-06-30 23:59:59"}
+    assert file_may_match(parse_predicate("ts = '1995-01-01'"), lo, hi, {})
+    # IN routes through the same '=' path
+    assert file_may_match(
+        parse_predicate("ts IN ('1995-01-01', '2099-01-01')"), lo, hi, {}
+    )
+    # and the dictionary path shares the coercion
+    d = {"ts": ["1995-01-01 00:00:00", "1995-03-15 12:00:00"]}
+    assert file_may_match(
+        parse_predicate("ts IN ('1995-01-01')"), lo, hi, {}, d
+    )
+    # a value truly outside the range still prunes (datetime compare)
+    assert not file_may_match(
+        parse_predicate("ts = '1994-12-31'"), lo, hi, {}
+    )
+    assert not file_may_match(
+        parse_predicate("ts IN ('1994-01-01', '2001-01-01')"), lo, hi, {}, d
+    )
+
+
+def test_temporal_mixed_shape_ranges_stay_conservative():
+    """Range ops on mixed-shape temporal strings are undecidable without
+    the column type (string vs timestamp interpretations disagree exactly
+    at the midnight/prefix case) — must keep."""
+    lo = {"c": "1995-01-01 00:00:00"}
+    hi = {"c": "1995-01-01 00:00:00"}
+    # string column interpretation: rows '1995-01-01 00:00:00' > '1995-01-01'
+    # → a datetime-compare would wrongly prune; must keep
+    assert file_may_match(parse_predicate("c > '1995-01-01'"), lo, hi, {})
+    # != refutation likewise needs equality under BOTH interpretations
+    d = {"c": ["1995-01-01 00:00:00"]}
+    assert file_may_match(
+        parse_predicate("c != '1995-01-01'"), lo, hi, {}, d
+    )
+    # same-shape strings remain exactly decidable
+    assert not file_may_match(
+        parse_predicate("c != '1995-01-01 00:00:00'"), lo, hi, {}, d
+    )
+    assert not file_may_match(
+        parse_predicate("c > '1995-01-02 00:00:00'"), lo, hi, {}
+    )
+
+
+def test_temporal_pruning_end_to_end(cat, spark):
+    """Table-level regression: date-shaped literal vs timestamp column —
+    the scan must still return the midnight rows."""
+    df = spark.createDataFrame(
+        [(1, "1995-01-01 00:00:00"), (2, "1995-06-01 08:30:00")],
+        "k int, s string",
+    ).select("k", F.col("s").cast("timestamp").alias("ts")).coalesce(1)
+    t = cat.create_table("default.tsprune", df)
+    assert t.scan("ts = '1995-01-01'").count() == 1
+    assert t.scan("ts >= '1995-01-01'").count() == 2
+    # scan == full-read + filter for every predicate shape (Spark's own IN
+    # coercion casts the timestamp column to STRING — unlike '=' — so the
+    # invariant, not a literal row count, is the contract)
+    for pred in ("ts = '1995-01-01'", "ts IN ('1995-01-01')",
+                 "ts > '1995-01-01'", "ts != '1995-01-01'"):
+        assert t.scan(pred).count() == t.read().where(pred).count(), pred
+
+
+# ------------------------------------------------- stats completeness
+
+
+def test_file_stats_null_count_requires_all_row_groups(tmp_path, monkeypatch):
+    """If ANY row group lacks a null_count (or min/max) for a column, the
+    file-level stat must be dropped — a partial sum understates nulls and
+    IS NULL pruning would drop a file that contains nulls (r5 ADVICE low)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import lakeshed.table as lt
+
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(pa.table({"x": [1, None, 3, 4]}), p, row_group_size=2)
+
+    # Simulate a writer that emitted stats for only the first row group.
+    real_pf = pq.ParquetFile
+
+    class _NoStats:
+        has_min_max = False
+        null_count = None
+        min = None
+        max = None
+
+    class _ColProxy:
+        def __init__(self, col, strip):
+            self._col = col
+            self._strip = strip
+
+        @property
+        def path_in_schema(self):
+            return self._col.path_in_schema
+
+        @property
+        def statistics(self):
+            return _NoStats() if self._strip else self._col.statistics
+
+    class _RGProxy:
+        def __init__(self, rg, strip):
+            self._rg = rg
+            self._strip = strip
+
+        def column(self, ci):
+            return _ColProxy(self._rg.column(ci), self._strip)
+
+    class _MDProxy:
+        def __init__(self, md):
+            self._md = md
+
+        def __getattr__(self, a):
+            return getattr(self._md, a)
+
+        def row_group(self, rg):
+            return _RGProxy(self._md.row_group(rg), strip=(rg == 1))
+
+    class _PFProxy:
+        def __init__(self, path):
+            self._pf = real_pf(path)
+
+        @property
+        def metadata(self):
+            return _MDProxy(self._pf.metadata)
+
+    monkeypatch.setattr(pq, "ParquetFile", _PFProxy)
+    rows, _, lo, hi, nulls, _ = lt._file_stats(p)
+    assert rows == 4
+    # RG0 reported null_count=1 but RG1 reported nothing → no file-level
+    # claim (a recorded 1 would be right here, but the contract is about
+    # provability: a 0-in-RG0 case would record 0 and wrongly prune IS NULL)
+    assert "x" not in nulls
+    assert "x" not in lo and "x" not in hi
+    # conservative: no stats → IS NULL keeps the file
+    assert file_may_match(parse_predicate("x IS NULL"), lo, hi, {}, None,
+                          nulls, rows)
