@@ -21,9 +21,11 @@ Scale design (the whole point at 100 TB):
 
 from __future__ import annotations
 
+import atexit
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakeshed.llm._persist import release_persisted, scoped_persist  # noqa: F401
@@ -505,6 +507,22 @@ def minhash_lsh_pairs(
     )
 
 
+# checkpoint dirs created by dedup_clusters, removed at interpreter exit
+# (the returned frame lazily reads the FINAL checkpoint, so the dir can't
+# be deleted eagerly; intermediate rounds ARE deleted before returning)
+_CC_CKPT_DIRS: list[str] = []
+
+
+def _cc_cleanup_at_exit() -> None:
+    import shutil
+
+    for d in _CC_CKPT_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cc_cleanup_at_exit)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     ids: DataFrame,
@@ -513,6 +531,7 @@ def dedup_clusters(
     id_col: str = "id",
     max_iter: int = 20,
     shuffle_partitions: int | None = None,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over near-dup pairs → per-document cluster
     label (the min id in the component). Pair lists alone aren't
@@ -530,10 +549,17 @@ def dedup_clusters(
     exponentially) without leaking cached RDD blocks past the call —
     and storage checkpoints are the right pattern for iterative jobs at
     100 TB anyway (executor-memory checkpoints die with their executor;
-    a restarted stage re-reads the file). At extreme scale with
-    adversarial chain-shaped components you'd switch to the
-    large-star/small-star algorithm (alternating pointer-doubling,
-    O(log n) rounds); the iteration harness is the same shape.
+    a restarted stage re-reads the file). For adversarial chain-shaped
+    components pass ``algorithm="star"`` — the large-star/small-star
+    escalation below, same checkpoint harness.
+
+    ``algorithm``: ``"label"`` (default) is min-label propagation —
+    O(component diameter) rounds, right for the shallow components
+    near-dup corpora produce. ``"star"`` is the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): pointer-doubling-style hops
+    converge in O(log n) rounds even on adversarial chain-shaped
+    components. Both produce identical clusters (min id per component).
 
     ``shuffle_partitions`` scopes the join parallelism to the label
     frame's size for the iteration's duration (each round is several
@@ -541,6 +567,11 @@ def dedup_clusters(
     at 100 TB you'd raise it — same lever as state-store sizing). The
     previous value is restored before returning; the returned frame is
     checkpointed, so the restore cannot affect it.
+
+    Checkpoint lifecycle: intermediate rounds are deleted before
+    returning (only the converged frame's files remain; the returned
+    DataFrame lazily reads them), and the surviving dir is removed at
+    interpreter exit.
     """
     spark = ids.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -548,11 +579,50 @@ def dedup_clusters(
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(shuffle_partitions))
     try:
+        if algorithm == "star":
+            return _star_clusters_impl(
+                pairs, ids, id_a, id_b, id_col, max_iter
+            )[0]
+        if algorithm != "label":
+            raise ValueError(f"unknown algorithm {algorithm!r}")
         return _dedup_clusters_impl(
             pairs, ids, id_a, id_b, id_col, max_iter
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+class _Ckpt:
+    """Storage-checkpoint harness for iterative jobs: parquet round-trips
+    truncate plan lineage; ``keep_only`` deletes every round but the
+    converged one before the caller returns; the surviving dir is removed
+    at interpreter exit (registered once at module import)."""
+
+    def __init__(self, spark: SparkSession, prefix: str):
+        import tempfile
+
+        self.spark = spark
+        self.dir = tempfile.mkdtemp(prefix=prefix)
+        _CC_CKPT_DIRS.append(self.dir)
+        self.names: list[str] = []
+
+    def put(self, df: DataFrame, name: str) -> DataFrame:
+        import os
+
+        path = os.path.join(self.dir, name)
+        df.write.mode("overwrite").parquet(path)
+        self.names.append(name)
+        return self.spark.read.parquet(path)
+
+    def keep_only(self, name: str) -> None:
+        import os
+        import shutil
+
+        for n in self.names:
+            if n != name:
+                shutil.rmtree(os.path.join(self.dir, n),
+                              ignore_errors=True)
+        self.names = [name]
 
 
 def _dedup_clusters_impl(
@@ -563,16 +633,11 @@ def _dedup_clusters_impl(
     id_col: str,
     max_iter: int,
 ) -> DataFrame:
-    import os
-    import tempfile
-
     spark = ids.sparkSession
-    ckpt_dir = tempfile.mkdtemp(prefix="lakeshed-cc-")
+    ck = _Ckpt(spark, "lakeshed-cc-")
 
     def _materialize(df: DataFrame, name: str) -> DataFrame:
-        path = os.path.join(ckpt_dir, name)
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        return ck.put(df, name)
 
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -614,10 +679,97 @@ def _dedup_clusters_impl(
         )
         n_changed = merged.agg(F.sum("chg")).first()[0] or 0
         lbl = merged.select("id", "lbl")
+        final_name = f"labels{it + 1}"
         if n_changed == 0:
             break
+    ck.keep_only(final_name)
     return lbl.select(
         F.col("id").alias(id_col), F.col("lbl").alias("cluster")
+    )
+
+
+def _star_clusters_impl(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_a: str,
+    id_b: str,
+    id_col: str,
+    max_iter: int,
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al. 2014). Each round: large-star attaches every strictly-larger
+    neighbor of a node to the minimum of its closed neighborhood;
+    small-star attaches the smaller neighbors (and the node itself) to
+    that minimum. Connectivity is preserved by both steps; the stable
+    state is one star per component centered at its minimum id, reached
+    in O(log n) rounds even on chain-shaped components where label
+    propagation needs O(diameter). Returns (labels, rounds) — rounds is
+    exposed for the convergence-rate test."""
+    spark = ids.sparkSession
+    ck = _Ckpt(spark, "lakeshed-cc-star-")
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e = ck.put(e, "edges0")
+    prev_sig = None
+    rounds = 0
+    final_name = "edges0"
+    for it in range(max_iter):
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least(F.col("mn"), F.col("src")).alias("mn"))
+        )
+        lg = (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # large-star output is already oriented src > dst (m ≤ u < v);
+        # greatest/least is a pure safeguard
+        o = lg.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        mins2 = o.groupBy("src").agg(F.min("dst").alias("mn"))
+        sm = (
+            o.join(mins2, "src")
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .union(mins2.select(F.col("src"), F.col("mn").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        final_name = f"edges{it + 1}"
+        e = ck.put(sm, final_name)
+        rounds += 1
+        row = e.agg(
+            F.count("*").alias("c"),
+            F.sum(F.xxhash64("src", "dst")).alias("h"),
+        ).first()
+        sig = (row["c"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # stable stars: every member points at its component's min id;
+    # centers and isolated docs label themselves
+    members = e.groupBy("src").agg(F.min("dst").alias("lbl"))
+    lbl = (
+        ids.select(F.col(id_col).alias("id"))
+        .join(members, F.col("id") == F.col("src"), "left")
+        .select("id", F.coalesce("lbl", F.col("id")).alias("lbl"))
+    )
+    out = ck.put(lbl, "labels")
+    ck.keep_only("labels")
+    return (
+        out.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster")),
+        rounds,
     )
 
 
