@@ -271,9 +271,10 @@ class Catalog:
             low,
         )
         if m:
-            # Iceberg remove_orphan_files: (table [, older_than_ms])
+            # Iceberg remove_orphan_files: (table [, older_than epoch-ms])
             kwargs = (
-                {"older_than_ms": int(m.group(2))} if m.group(2) else {}
+                {"older_than_timestamp_ms": int(m.group(2))}
+                if m.group(2) else {}
             )
             self.table(m.group(1)).remove_orphan_files(**kwargs)
             return None

@@ -541,9 +541,9 @@ def _load_extensions() -> None:
 # because each duplicates a gated sibling's oracle/output or its operator
 # is exercised by several other gated queries — see COVERAGE.md.
 SELF_VERIFIED_TAIL: tuple[str, ...] = (
-    # Rebalanced in round 5 (VERDICT r04 #1): the NEWEST queries sit in
-    # the driver-gated head; the tail holds long-stable entries whose
-    # operator is redundantly exercised by another gated query.
+    # Rebalanced each round (VERDICT r04 #1 / r05 #5): the NEWEST queries
+    # sit in the driver-gated head; the tail holds long-stable entries
+    # whose operator is redundantly exercised by another gated query.
     "count_star",            # A1 also inside pricing_summary/groupby gates
     "distinct_values",       # A4 also inside count_distinct_by_segment
     "table_time_travel_ts",  # same output as gated table_time_travel
@@ -565,15 +565,22 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
     "llm_minhash_neardup",     # same oracle as gated llm_incremental_minhash;
                                # its direct-corpus pipeline also runs inside
                                # gated llm_dedup_clusters
-    # round-5 late additions — oracle-verified at the driver's sf0.01 by
-    # the tail parity test; head kept at the 50 newest-or-unique gates:
-    "local_supplier_volume",
-    "stream_dedup_events",
-    "llm_pii_scan",
-    "llm_decontaminate",
-    "llm_repetition",
-    "string_function_suite",
-    "datetime_function_suite",
+    # round-6 rotation (VERDICT r05 #5): the seven round-5 late additions
+    # moved INTO the gated head; these seven green-since-r01 veterans
+    # replace them, each with a gated sibling exercising the operator:
+    "filter_compound",     # P3-P5 predicates run in nearly every gated WHERE
+    "like_filter",         # P7 pushdown plan-audited; string fns gated via
+                           # string_function_suite; green r01-r05
+    "cte_top_customers",   # O1/O2 order+limit gated in pricing_summary +
+                           # llm_ann_topk_lsh; subqueries gated via
+                           # correlated_scalar_subquery
+    "window_rank_lag",     # window machinery gated via
+                           # window_range_sliding_30d + llm_hash_rank_sample
+    "cube_status_priority",  # Expand/grouping-sets gated via multi_grain_rollup
+    "histogram_price",     # binning = arith projection + groupby count, both
+                           # gated in pricing_summary
+    "llm_cosine_topk",     # exact cosine top-k IS the oracle the gated
+                           # llm_ann_topk_lsh is driver-compared against
 )
 
 

@@ -25,6 +25,7 @@ keyed table (SURVEY §2.9).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -197,16 +198,25 @@ def diff_versions(table: LakeTable, v_from: int, v_to: int | None = None
     = added(x) − removed(x), so diffing the added files against the
     removed files yields the same rows as diffing the full snapshots.
     Rows from removed files are adapted to v_to's schema (same as a full
-    read would after evolution), so both legs always align."""
+    read would after evolution), so both legs always align. A reverse
+    diff (``v_from > v_to`` — e.g. diffing back across a rollback) works
+    too: schema versions accumulate monotonically in the commit log, so a
+    "removed" file written AFTER v_to carries a schema v_to's commit has
+    never seen; the read below looks schemas up in the union of both
+    commits' schema maps while still adapting every row to v_to's
+    current schema."""
     v_to = v_to if v_to is not None else table.head()
     commit_new, live_new = table._state(v_to)
-    _, live_old = table._state(v_from)
+    commit_from, live_old = table._state(v_from)
     new_paths = {a.path for a in live_new}
     old_paths = {a.path for a in live_old}
     added = [a for a in live_new if a.path not in old_paths]
     removed = [a for a in live_old if a.path not in new_paths]
-    new_rows = table._read_adds(commit_new, added)
-    old_rows = table._read_adds(commit_new, removed)
+    lookup = dataclasses.replace(
+        commit_new, schemas={**commit_from.schemas, **commit_new.schemas}
+    )
+    new_rows = table._read_adds(lookup, added)
+    old_rows = table._read_adds(lookup, removed)
     cols = new_rows.columns
     inserts = new_rows.exceptAll(old_rows).select(
         F.lit("insert").alias("_change_type"), *cols

@@ -351,9 +351,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once ingest dedup: an at-least-once source
     re-delivers records (the fixture duplicates every third event);
-    watermarked ``dropDuplicates`` on the event id emits each exactly
-    once — dedup state is bounded by the watermark horizon, not the
-    stream's lifetime. At rest equals SELECT of the original rows."""
+    ``dropDuplicatesWithinWatermark`` on the event id emits each exactly
+    once — a key's dedup state is EVICTED once the watermark passes its
+    event time, so state is bounded by the watermark horizon rather than
+    the stream's lifetime (plain ``dropDuplicates(['event_id'])`` keeps
+    every key forever because the subset carries no event-time column;
+    an at-least-once bus re-delivers within its ack window, well inside
+    the 1 h horizon). At rest equals SELECT of the original rows."""
     ev = load_star(spark, sf_dir, "events")["events"].select(
         "event_id", "user_id", "ts"
     )
@@ -371,9 +375,8 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("event_id bigint, user_id bigint, ts timestamp")
         .parquet(src)
     )
-    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(
-        ["event_id"]
-    )
+    deduped = stream.withWatermark("ts", "1 hour") \
+        .dropDuplicatesWithinWatermark(["event_id"])
     tmp = tempfile.mkdtemp(prefix="lakeshed-sde-")
     name = "sde_" + uuid.uuid4().hex[:12]
     with _state_partitions(spark):

@@ -1480,21 +1480,45 @@ class LakeTable:
                 os.remove(cp)
         return expired
 
-    def remove_orphan_files(self, *, older_than_ms: int | None = None
-                            ) -> list[str]:
+    def remove_orphan_files(self, *,
+                            older_than_timestamp_ms: int | None = None,
+                            max_age_ms: int | None = None) -> list[str]:
         """Iceberg's ``remove_orphan_files``: delete data files NO commit
         references — the debris of failed writers. Files are written
         before the commit publishes (SURVEY §3.2 step 4), so a job that
         dies between write and commit — or loses the commit race — leaves
         its files stranded: invisible to every read, never GC'd by
         ``expire_snapshots`` (which walks commits), silently accumulating
-        storage. Only files modified at or before ``older_than_ms``
-        (default: 24 h ago) are removed, so an IN-FLIGHT writer's fresh,
+        storage. Only files modified at or before the cutoff (default:
+        24 h ago) are removed, so an IN-FLIGHT writer's fresh,
         not-yet-committed files survive the sweep — the same grace-window
         contract as Iceberg's ``older_than`` (its default is 3 days).
+
+        ``older_than_timestamp_ms`` is an ABSOLUTE epoch-ms cutoff;
+        ``max_age_ms`` is a relative duration (cutoff = now − max_age).
+        Passing a duration where the absolute form is expected would set
+        the cutoff near 1970 and delete a mid-commit writer's seconds-old
+        files, so implausibly-small absolute cutoffs are rejected.
         Returns the deleted relative paths."""
-        cutoff = (int(time.time() * 1000) - 24 * 3600 * 1000
-                  if older_than_ms is None else older_than_ms)
+        if older_than_timestamp_ms is not None and max_age_ms is not None:
+            raise ValueError(
+                "pass older_than_timestamp_ms OR max_age_ms, not both")
+        now = int(time.time() * 1000)
+        if max_age_ms is not None:
+            cutoff = now - max_age_ms
+        elif older_than_timestamp_ms is None:
+            cutoff = now - 24 * 3600 * 1000
+        else:
+            # epoch-ms for 2000-01-01; any smaller "timestamp" is almost
+            # certainly a duration passed by mistake, and an all-history
+            # sweep is exactly the destructive outcome the grace window
+            # exists to prevent
+            if older_than_timestamp_ms < 946_684_800_000:
+                raise ValueError(
+                    f"older_than_timestamp_ms={older_than_timestamp_ms} "
+                    "predates 2000-01-01 — this looks like a duration; "
+                    "pass max_age_ms for a relative cutoff")
+            cutoff = older_than_timestamp_ms
         referenced: set[str] = set()
         for v in self._versions():
             for a in self._read_commit(v).add:

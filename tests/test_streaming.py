@@ -194,6 +194,33 @@ def test_diff_versions_cdc(spark, tmp_path):
     }
 
 
+def test_diff_versions_reverse_across_schema_evolution(spark, tmp_path):
+    """Reverse diff (v_from > v_to, e.g. auditing back across a rollback)
+    where the newer version's files were written under a schema the older
+    commit has never seen: the removed-file leg must look the schema up in
+    the commit that actually carries it, and every row still adapts to
+    v_to's schema."""
+    cat = Catalog(spark, str(tmp_path / "wh-rev"))
+    t = cat.create_table(
+        "default.rev",
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+    )
+    v0 = t.head()
+    t.add_column("w", "int")
+    t.append(spark.createDataFrame([(2, "b", 20)], "k int, v string, w int"))
+    v1 = t.head()
+    # forward sanity: the new row appears, in v1's 3-column schema
+    fwd = {(r._change_type, r.k, r.v, r.w)
+           for r in diff_versions(t, v0, v1).collect()}
+    assert fwd == {("insert", 2, "b", 20)}
+    # reverse: same rows with flipped kinds, adapted to v0's 2-col schema
+    rev = diff_versions(t, v1, v0)
+    assert rev.columns == ["_change_type", "k", "v"]
+    assert {(r._change_type, r.k, r.v) for r in rev.collect()} == {
+        ("delete", 2, "b")
+    }
+
+
 def test_merge_batch_replay_is_idempotent(spark, tmp_path):
     """T2 exactly-once: after checkpoint recovery Structured Streaming can
     re-deliver a micro-batch to foreachBatch; replaying the SAME changelog

@@ -529,14 +529,26 @@ def test_remove_orphan_files(spark, tmp_path):
     # explicit cutoff 10 min ago: the hour-old stray goes; the fresh one
     # (writer possibly mid-commit) survives
     cutoff = int(_time.time() * 1000) - 600_000
-    removed = t.remove_orphan_files(older_than_ms=cutoff)
+    removed = t.remove_orphan_files(older_than_timestamp_ms=cutoff)
     assert removed == [os.path.relpath(stray, t.path)]
     assert not os.path.exists(stray) and os.path.exists(fresh)
     # table contents and history intact
     assert {r.k for r in t.read().collect()} == {2, 3}
     assert t.read(version=0).count() == 2  # time travel still works
     # idempotent until the fresh file's grace expires
-    assert t.remove_orphan_files(older_than_ms=cutoff) == []
+    assert t.remove_orphan_files(older_than_timestamp_ms=cutoff) == []
+
+    # a duration passed as the absolute cutoff (e.g. 86400000 for "1 day")
+    # would sweep EVERYTHING including a mid-commit writer's files — it
+    # must be rejected, not silently executed
+    with pytest.raises(ValueError, match="duration"):
+        t.remove_orphan_files(older_than_timestamp_ms=86_400_000)
+    with pytest.raises(ValueError, match="not both"):
+        t.remove_orphan_files(older_than_timestamp_ms=cutoff,
+                              max_age_ms=600_000)
+    # the relative form expresses the same 10-min grace window directly
+    assert t.remove_orphan_files(max_age_ms=600_000) == []
+    assert os.path.exists(fresh)
 
 
 def test_dict_columns_skip_equality_beyond_minmax(spark, tmp_path):
