@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from lakeshed.table import MAIN, LakeTable, TableError
 
 _META_TABLES = (
-    "snapshots", "history", "files", "refs", "partitions",
+    "snapshots", "history", "files", "refs", "partitions", "manifests",
 )
 
 

@@ -1592,6 +1592,61 @@ class LakeTable:
             "lower_bounds map<string,string>, upper_bounds map<string,string>",
         )
 
+    def manifests(self) -> DataFrame:
+        """S7 — ``t.manifests`` (Iceberg - Berlin Buzzwords 2023.ipynb:209).
+        Iceberg's manifests are avro file-listing segments; this format's
+        equivalents are the per-version commit JSONs (delta manifests:
+        added/deleted file entries) and the checkpoint JSONs written by
+        :meth:`rewrite_manifests` (full manifests: every live file as an
+        EXISTING entry). Columns follow Iceberg's metadata relation —
+        path/length/added_snapshot_id, the added/existing/deleted file
+        counts, and per-partition-column value summaries
+        (``contains_null`` + lower/upper bound) over the entries each
+        manifest carries."""
+        summary_t = ("array<struct<field:string,contains_null:boolean,"
+                     "lower_bound:string,upper_bound:string>>")
+
+        def _summaries(adds: list[AddFile]) -> list[tuple]:
+            per: dict[str, list[str]] = {}
+            saw_null: dict[str, bool] = {}
+            for a in adds:
+                vals = self._partition_values(a.path)
+                for k, v in vals.items():
+                    if v == "__HIVE_DEFAULT_PARTITION__":
+                        saw_null[k] = True
+                        per.setdefault(k, [])
+                    else:
+                        per.setdefault(k, []).append(v)
+                        saw_null.setdefault(k, False)
+            return [
+                (k, saw_null.get(k, False),
+                 min(vs) if vs else None, max(vs) if vs else None)
+                for k, vs in sorted(per.items())
+            ]
+
+        rows = []
+        for v in self._versions():
+            c = self._read_commit(v)
+            path = self._commit_path(v)
+            rows.append((
+                path, os.path.getsize(path), v,
+                len(c.add), 0, len(c.remove), _summaries(c.add),
+            ))
+            cp = self._checkpoint_path(v)
+            if os.path.exists(cp):
+                with open(cp) as fh:
+                    snap = Commit.from_json(json.load(fh))
+                rows.append((
+                    cp, os.path.getsize(cp), v,
+                    0, len(snap.add), 0, _summaries(snap.add),
+                ))
+        return self.spark.createDataFrame(
+            rows,
+            "path string, length bigint, added_snapshot_id bigint, "
+            "added_data_files_count int, existing_data_files_count int, "
+            f"deleted_data_files_count int, partition_summaries {summary_t}",
+        )
+
     def refs(self) -> DataFrame:
         """S7 — ``t.refs`` (WAP...ipynb:508)."""
         rows = [(name, "BRANCH", v) for name, v in sorted(self._refs().items())]

@@ -656,3 +656,44 @@ def test_compact_zorder_prunes_both_dimensions(spark, tmp_path):
 
     with pytest.raises(TableError, match="not both"):
         t.compact(sort_by="a", zorder_by=["b"])
+
+
+def test_manifests_metadata_table(cat, spark):
+    """S7 — ``t.manifests`` (Iceberg - Berlin Buzzwords 2023.ipynb:209):
+    one row per commit-log delta manifest (added/deleted counts) plus one
+    per checkpoint (existing count = full live set), with per-partition-
+    column value summaries, reachable via catalog.sql suffix routing."""
+    df = spark.createDataFrame(
+        [(i, ["red", "green"][i % 2]) for i in range(10)],
+        "id bigint, color string",
+    )
+    t = cat.create_table("default.mani", df, partition_by=("color",))
+    t.append(spark.createDataFrame([(100, "blue")], "id bigint, color string"))
+    t.delete("color = 'red'")
+    m = {r.path: r for r in t.manifests().collect()}
+    by_ver = {r.added_snapshot_id: r for r in m.values()
+              if "checkpoint" not in r.path}
+    # v0 create: adds only; partition summary spans both colors
+    assert by_ver[0].added_data_files_count >= 2
+    assert by_ver[0].deleted_data_files_count == 0
+    s0 = {s.field: (s.lower_bound, s.upper_bound)
+          for s in by_ver[0].partition_summaries}
+    assert s0 == {"color": ("green", "red")}
+    # v2 delete: removes the red files, adds nothing
+    assert by_ver[2].deleted_data_files_count >= 1
+    assert by_ver[2].added_data_files_count == 0
+    assert all(r.length > 0 for r in m.values())
+    # checkpointing (rewrite_manifests) adds a full manifest: every live
+    # file as EXISTING, none added/deleted
+    head = t.rewrite_manifests()
+    cp = [r for r in t.manifests().collect() if "checkpoint" in r.path]
+    assert len(cp) == 1 and cp[0].added_snapshot_id == head
+    assert cp[0].existing_data_files_count == len(t.plan_files())
+    assert cp[0].added_data_files_count == 0
+    scp = {s.field: (s.contains_null, s.lower_bound, s.upper_bound)
+           for s in cp[0].partition_summaries}
+    assert scp == {"color": (False, "blue", "green")}  # red rows deleted
+    # SQL suffix routing, same as .snapshots
+    via_sql = cat.sql("SELECT path, existing_data_files_count "
+                      "FROM default.mani.manifests")
+    assert via_sql.count() == len(m) + 1
