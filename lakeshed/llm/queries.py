@@ -723,13 +723,16 @@ _PII_AUG = """
     f"""
     WITH aug AS ({_PII_AUG})
     SELECT doc_id,
-           len(regexp_extract_all(text, '{_PII_E}')) AS n_emails,
-           len(regexp_extract_all(text, '{_PII_U}'))   AS n_urls,
-           len(regexp_extract_all(text, '{_PII_P}')) AS n_phones,
+           len(regexp_extract_all(text, '{_PII_E}', {text.PII_MATCH_GROUP}))
+               AS n_emails,
+           len(regexp_extract_all(text, '{_PII_U}', {text.PII_MATCH_GROUP}))
+               AS n_urls,
+           len(regexp_extract_all(text, '{_PII_P}', {text.PII_MATCH_GROUP}))
+               AS n_phones,
            md5(regexp_replace(regexp_replace(regexp_replace(text,
-               '{_PII_E}', '<EMAIL>', 'g'),
-               '{_PII_U}', '<URL>', 'g'),
-               '{_PII_P}', '<PHONE>', 'g')) AS redacted_md5
+               '{_PII_E}', '\\1<EMAIL>\\3', 'g'),
+               '{_PII_U}', '\\1<URL>\\3', 'g'),
+               '{_PII_P}', '\\1<PHONE>\\3', 'g')) AS redacted_md5
     FROM aug
     """,
     "LLM-pii",

@@ -117,13 +117,23 @@ def fingerprint(col: Column | str, ngram: int = 3) -> Column:
     )
 
 
-# portable across Java regex (Spark) and RE2 (DuckDB): no lookarounds,
-# no backrefs — the oracle must run the SAME patterns
+# Portable across Java regex (Spark) and RE2 (DuckDB): no lookarounds,
+# no backrefs — the oracle must run the SAME patterns. Notably no \b
+# either: Java's \b is Unicode-aware while RE2's is ASCII, so a phone
+# flanked by é or ٣ matched in one engine and not the other
+# (tests/test_pii_contract.py pins this). Boundaries are instead explicit
+# consuming guard groups, so every pattern has the uniform shape
+# (prefix-guard)(pii)(suffix-guard): extraction reads group
+# PII_MATCH_GROUP, redaction re-inserts groups 1 and 3 around the tag.
+# Consumed suffix guards mean two phones separated by a SINGLE non-digit
+# ("...-4567,555-...") yield only the first match — identically in both
+# engines, which is the contract that matters.
 PII_PATTERNS = {
-    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "urls": r"https?://[^\s]+",
-    "phones": r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b",
+    "emails": r"()([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})()",
+    "urls": r"()(https?://[^\s]+)()",
+    "phones": r"(^|[^0-9])(\d{3}[-.]\d{3,4}[-.]\d{4})($|[^0-9])",
 }
+PII_MATCH_GROUP = 2
 
 
 def pii_features(df: DataFrame, text_col: str = "text",
@@ -138,11 +148,12 @@ def pii_features(df: DataFrame, text_col: str = "text",
     cols = [F.col(id_col)]
     for name, pat in PII_PATTERNS.items():
         cols.append(
-            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
-            .alias(f"n_{name}")
+            F.size(
+                F.regexp_extract_all(c, F.lit(pat), F.lit(PII_MATCH_GROUP))
+            ).alias(f"n_{name}")
         )
     red = c
     for name, pat in PII_PATTERNS.items():
-        red = F.regexp_replace(red, pat, f"<{name[:-1].upper()}>")
+        red = F.regexp_replace(red, pat, f"$1<{name[:-1].upper()}>$3")
     cols.append(F.md5(red.cast("binary")).alias("redacted_md5"))
     return df.select(*cols)
