@@ -49,6 +49,11 @@ from lakeshed.streaming.stateful import (
 # tables, and the streaming queries themselves stay fresh per call.
 _FIXTURE_CACHE: dict[tuple[str, str], str] = {}
 
+# which source the last stream_changelog_upsert run used ("socket" when a
+# localhost listener was allowed, "file" after fallback) — observability
+# for tests and the gate record; never consulted by the pipeline itself
+LAST_CHANGELOG_SOURCE: str | None = None
+
 
 def _fixture_dir(kind: str, sf_dir: str, write) -> str:
     key = (kind, sf_dir)
@@ -115,11 +120,21 @@ def _state_partitions(spark: SparkSession, n: int = 8):
     "S8", "T1", "T2", "T3", "W5", "W6", "P9", "P10",
 )
 def stream_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full Flink changelog pipeline as Structured Streaming: bounded
-    text source (same line protocol as the socket source,
-    IcebergStream.java:87-98) → malformed-line filter → parse →
+    """The full Flink changelog pipeline as Structured Streaming: socket
+    text source (IcebergStream.java:87-88 — a REAL localhost TCP server
+    plays the reference's ``nc``) → malformed-line filter → parse →
     checkpointed foreachBatch MERGE (equality delete, :116-120) → final
-    table state. Malformed lines are injected and must be dropped."""
+    table state. Malformed lines are injected and must be dropped.
+
+    If the environment forbids binding a localhost listener, falls back
+    to a bounded text-file source speaking the same line protocol through
+    the identical parse→MERGE pipeline. Each path builds its own target
+    table, so a partially-merged socket attempt can never leak state into
+    the fallback. Determinism: the payload encodes the arrival sequence
+    (``p<event_id>``); the server sends lines in event_id order, so
+    last-wins replay equals the oracle's window regardless of how the
+    socket micro-batches split, and the file path writes ONE file so a
+    single availableNow batch sees a total order."""
     ev = load_star(spark, sf_dir, "events")["events"]
     tmp = tempfile.mkdtemp(prefix="lakeshed-stream-")
 
@@ -133,45 +148,130 @@ def stream_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("p"), F.col("event_id")).alias("hash"),
         )
     )
-    t = Catalog(spark, os.path.join(tmp, "wh")).create_table(
-        "default.stream_state", tgt
+    lines = (
+        ev.where((F.col("event_id") > 1500) & (F.col("event_id") <= 3000))
+        .select(
+            F.concat_ws(
+                ",",
+                F.when(F.col("event_id") % 7 == 0, "D").otherwise("I"),
+                F.col("user_id").cast("string"),
+                F.concat(F.lit("p"), F.col("event_id")),
+            ).alias("value")
+        )
     )
+    bad = ["garbage", "I,only-two", "Z,9,not-a-kind", "I,NaN,px"]
+
+    def _run(parsed_stream: DataFrame, wh: str, trigger: dict):
+        t = Catalog(spark, os.path.join(tmp, wh)).create_table(
+            "default.stream_state", tgt
+        )
+        parsed = parse_changelog(parsed_stream).withColumn(
+            "__seq", F.regexp_extract("hash", r"p(\d+)", 1).try_cast("long")
+        )
+        q = changelog_upsert(
+            parsed, t,
+            checkpoint=os.path.join(tmp, "ckpt-" + wh),
+            trigger=trigger,
+        )
+        return t, q
+
+    global LAST_CHANGELOG_SOURCE
+    try:
+        out = _changelog_via_socket(spark, _run, lines, bad)
+        LAST_CHANGELOG_SOURCE = "socket"
+        return out
+    except Exception:
+        LAST_CHANGELOG_SOURCE = "file"
+        # no listener allowed (or TCP flaked) → same-protocol file
 
     def _write_lines(path: str) -> None:
-        lines = (
-            ev.where((F.col("event_id") > 1500) & (F.col("event_id") <= 3000))
-            .select(
-                F.concat_ws(
-                    ",",
-                    F.when(F.col("event_id") % 7 == 0, "D").otherwise("I"),
-                    F.col("user_id").cast("string"),
-                    F.concat(F.lit("p"), F.col("event_id")),
-                ).alias("value")
-            )
-        )
-        bad = spark.createDataFrame(
-            [("garbage",), ("I,only-two",), ("Z,9,not-a-kind",), ("I,NaN,px",)],
-            "value string",
-        )
+        bad_df = spark.createDataFrame([(b,) for b in bad], "value string")
         # ONE file → one availableNow batch → total __seq order (module
         # note); repartition (shuffle) rather than coalesce: coalesce(1)
         # would pull the whole upstream events scan onto one task; the
         # shuffle moves only the ~1.5k projected lines
-        lines.unionAll(bad).repartition(1).write.mode("overwrite").text(path)
+        lines.unionAll(bad_df).repartition(1).write.mode("overwrite") \
+            .text(path)
 
     lines_dir = _fixture_dir("changelog", sf_dir, _write_lines)
-
     stream = spark.readStream.format("text").load(lines_dir)
-    parsed = parse_changelog(stream).withColumn(
-        "__seq", F.regexp_extract("hash", r"p(\d+)", 1).try_cast("long")
-    )
-    q = changelog_upsert(
-        parsed, t,
-        checkpoint=os.path.join(tmp, "ckpt"),
-        trigger={"availableNow": True},
-    )
+    t, q = _run(stream, "wh", {"availableNow": True})
     q.awaitTermination()
     return t.read().select("block_number", "hash")
+
+
+def _changelog_via_socket(spark: SparkSession, run, lines: DataFrame,
+                          bad: list[str]) -> DataFrame:
+    """S8 — drive the changelog MERGE from a real TCP text socket. The
+    payload is collected driver-side (≤ ~1.5k short lines — fixture
+    metadata, not data scale) and served in event_id order so arrival
+    order matches sequence order across any micro-batch split."""
+    import socket as _socket
+    import threading
+    import time as _time
+
+    ordered = sorted(
+        (r.value for r in lines.collect()),
+        key=lambda s: int(s.rsplit(",p", 1)[1]),
+    )
+    step = max(1, len(ordered) // (len(bad) + 1))
+    for i, b in enumerate(bad):  # interleave malformed lines
+        ordered.insert(min(len(ordered), (i + 1) * step), b)
+    payload = ("\n".join(ordered) + "\n").encode()
+
+    srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+    srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    srv.settimeout(30)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def _serve() -> None:
+        try:
+            conn, _ = srv.accept()
+            with conn:
+                conn.sendall(payload)
+                done.wait(timeout=120)  # hold open until drained
+        except Exception:
+            pass
+
+    th = threading.Thread(target=_serve, daemon=True)
+    th.start()
+    q = None
+    try:
+        t, q = run(
+            spark.readStream.format("socket")
+            .option("host", "127.0.0.1").option("port", port).load(),
+            "wh_sock",
+            # 0-interval trigger: fire the next micro-batch as soon as the
+            # previous commits — the gate drains a bounded payload, so
+            # there's no idle-tick cost to amortize
+            {"processingTime": "0 seconds"},
+        )
+        # drain: TCP delivery races the first micro-batch, so poll until
+        # the source has ingested every line (incl. the malformed ones)
+        expected = len(ordered)
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            q.processAllAvailable()
+            got = sum(
+                int(p["numInputRows"] if isinstance(p, dict)
+                    else p.numInputRows)
+                for p in q.recentProgress
+            )
+            if got >= expected:
+                break
+            _time.sleep(0.2)
+        else:
+            raise TimeoutError("socket source never ingested all lines")
+        q.processAllAvailable()  # merges for the final batch
+        return t.read().select("block_number", "hash")
+    finally:
+        done.set()
+        if q is not None:
+            q.stop()
+        srv.close()
 
 
 @qdef(
