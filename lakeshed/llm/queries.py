@@ -840,3 +840,61 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("distinct_ratio"),
         )
     )
+
+
+@qdef(
+    "llm_quality_filter",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_words,
+             round((length({_NORM}) - len({_TOKS}) + 1) * 1.0
+                   / len({_TOKS}), 4) AS mean_word_len,
+             round(length(regexp_replace({_NORM}, '[a-z0-9 ]', '', 'g'))
+                   * 1.0 / greatest(length({_NORM}), 1), 4) AS symbol_ratio,
+             len(list_intersect(list_distinct({_TOKS}),
+                 ['the','a','an','and','of','to','in','is','it','that']))
+               AS stopword_distinct
+      FROM documents)
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, stopword_distinct,
+           n_words BETWEEN 25 AND 80            AS r_words,
+           mean_word_len BETWEEN 3.0 AND 10.0   AS r_word_len,
+           symbol_ratio <= 0.1                  AS r_symbol,
+           stopword_distinct >= 2               AS r_stop,
+           (n_words BETWEEN 25 AND 80) AND
+           (mean_word_len BETWEEN 3.0 AND 10.0) AND
+           symbol_ratio <= 0.1 AND stopword_distinct >= 2 AS keep
+    FROM f
+    """,
+    "LLM-quality-filter",
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality screen (word-count bounds, mean-word-length
+    window, symbol-ratio cap, stopword floor) with per-rule booleans —
+    the named-rule rejection report a curation pipeline dashboards. One
+    narrow projection; see :func:`lakeshed.llm.text.quality_rules`."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    return text.quality_rules(docs)
+
+
+@qdef(
+    "llm_shard_assign",
+    f"""
+    SELECT doc_id,
+           CAST(({_BUCKET}) % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY ({_BUCKET}) % 8
+                                   ORDER BY {_BUCKET}, doc_id)
+                AS INTEGER) AS pos
+    FROM documents
+    """,
+    "LLM-shard-assign",
+)
+def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: content-hash
+    shard id + stable in-shard position, reproducible across runs and
+    input layouts. The window shuffle partitions BY SHARD (parallel,
+    bounded per-shard sort) — never a global single-partition sort."""
+    from lakeshed.llm import sampling
+
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    return sampling.shard_assign(docs, n_shards=8)

@@ -134,3 +134,34 @@ def pack_tokens(
         F.floor((cum - n_tok) / budget).alias("pack_id"),
         F.pmod(cum - n_tok, F.lit(budget)).alias("pack_offset"),
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle → training shards: every document gets
+    a shard (content-hash mod ``n_shards``) and a stable position inside
+    it (rank by hash, ties by id) — the reproducible data-order step
+    before writing training shards, independent of input partitioning.
+
+    Never a global sort: the one window shuffle partitions BY SHARD, so
+    ordering work parallelizes across shards and each shard's sort fits
+    its own executors — at 100 TB you raise ``n_shards`` (it doubles as
+    the write parallelism), not the partition size."""
+    b = _hash_bucket(F.col(id_col), salt)
+    staged = df.select(
+        F.col(id_col),
+        b.alias("__b"),
+        F.pmod(b, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__b").asc(), F.col(id_col).asc()
+    )
+    return staged.select(
+        F.col(id_col),
+        "shard",
+        F.row_number().over(w).alias("pos"),
+    )

@@ -80,6 +80,58 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher-style quality-rule thresholds (Rae et al. 2021, table A1 shapes):
+# word-count bounds, mean-word-length window, symbol-ratio cap, and a
+# stopword floor. Word bounds here are scaled to the fixture corpus
+# (10-99-word docs) the way a real pipeline tunes them per corpus.
+QUALITY_RULES = {
+    "words": (25, 80),        # n_words within bounds
+    "word_len": (3.0, 10.0),  # mean word length window (Gopher's [3,10])
+    "symbol_max": 0.1,        # non-alphanumeric char ratio cap
+    "stop_min": 2,            # ≥ N distinct core stopwords present
+}
+
+
+def quality_rules(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality screen: each rule is a named boolean
+    so a pipeline can report per-rule rejection counts (the usual quality
+    dashboard), plus the conjunction as ``keep``. One narrow JVM
+    projection — no shuffle, no Python — so at 100 TB this is a pure
+    map stage that fuses with the scan."""
+    norm = normalize(text_col)
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    chars = F.length(norm)
+    # chars minus the (n-1) single spaces of the normalized form = total
+    # word chars; avoids a per-token length pass
+    mwl = F.round((chars - n_words + 1) / n_words, 4)
+    sym = F.round(
+        F.length(F.regexp_replace(norm, "[a-z0-9 ]", ""))
+        / F.greatest(chars, F.lit(1)),
+        4,
+    )
+    stops = stopword_count(text_col)
+    lo_w, hi_w = QUALITY_RULES["words"]
+    lo_m, hi_m = QUALITY_RULES["word_len"]
+    r_words = n_words.between(lo_w, hi_w)
+    r_word_len = mwl.between(lo_m, hi_m)
+    r_symbol = sym <= QUALITY_RULES["symbol_max"]
+    r_stop = stops >= QUALITY_RULES["stop_min"]
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        stops.alias("stopword_distinct"),
+        r_words.alias("r_words"),
+        r_word_len.alias("r_word_len"),
+        r_symbol.alias("r_symbol"),
+        r_stop.alias("r_stop"),
+        (r_words & r_word_len & r_symbol & r_stop).alias("keep"),
+    )
+
+
 def language_score(col: Column | str,
                    words: tuple[str, ...] = EN_STOPWORDS) -> Column:
     """Heuristic English-ness: fraction of tokens that are core stopwords.

@@ -581,6 +581,18 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
                            # gated in pricing_summary
     "llm_cosine_topk",     # exact cosine top-k IS the oracle the gated
                            # llm_ann_topk_lsh is driver-compared against
+    # second r6 rotation wave — makes room for the four round-6 additions
+    # (stream_static_enrich, llm_quality_filter, llm_shard_assign,
+    # approx_distinct_quantiles) in the gated head:
+    "llm_fingerprint",     # min-md5-over-shingles kernel value-checked by
+                           # gated llm_incremental_minhash's signatures
+    "llm_text_stats",      # features value-checked via gated llm_lang_id
+                           # (stopword score) + llm_quality_filter (word
+                           # counts, symbol ratio, stopwords)
+    "llm_mixture_sample",  # md5-bucket arithmetic value-checked by gated
+                           # llm_hash_rank_sample + llm_shard_assign
+    "join_3way_rollup",    # multi-join gated via local_supplier_volume
+                           # (5-way), ROLLUP via multi_grain_rollup
 )
 
 
@@ -1109,4 +1121,55 @@ def datetime_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day(d).alias("month_end"),
         (F.dayofweek(d) - 1).alias("dow0"),
         F.datediff(d, F.lit("1995-01-01")).alias("days_since"),
+    )
+
+
+@qdef(
+    "approx_distinct_quantiles",
+    # No SQL oracle ON PURPOSE: HLL++ and t-digest/GK estimates are
+    # engine-specific by construction (DuckDB's sketches produce different
+    # values), so a hash compare is impossible for a genuinely approximate
+    # operator. The query is self-validating instead — it computes the
+    # EXACT answers alongside and emits per-row error-bound booleans that
+    # tests/test_queries_ext.py pins to all-true; the driver records the
+    # rows-only check.
+    None,
+    "A-approx", "HLL", "quantile-sketch",
+)
+def approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregation — the 100 TB cardinality path: HLL++
+    approx distinct (constant memory per group vs an exact distinct's
+    shuffle of every key) and approx percentiles (one pass, mergeable
+    partial sketches) per event type, with exact twins and in-bound
+    flags. At scale you drop the exact twins; they exist here to make
+    the error bound an assertable output instead of a docstring claim."""
+    ev = load_star(spark, sf_dir, "events")["events"]
+    # Sketches and exact twins in SEPARATE aggregations, joined on the
+    # tiny group key: one combined agg plans count(distinct) via a
+    # (event_type, user_id) pre-aggregation, which materializes and
+    # merges a dense rsd-0.01 HLL sketch PER DISTINCT USER — two
+    # shuffles and per-key sketch traffic that melts down at scale.
+    # Split, each agg is the single-shuffle partial/final form and the
+    # join is a broadcast of a handful of rows.
+    sketches = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+    )
+    out = sketches.join(F.broadcast(exact), "event_type")
+    return out.select(
+        "event_type", "exact_users", "approx_users",
+        F.round("exact_p50", 4).alias("exact_p50"),
+        F.round("approx_p50", 4).alias("approx_p50"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("hll_in_bound"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= 0.05 * F.greatest(F.abs(F.col("exact_p50")), F.lit(1.0))
+        ).alias("quantile_in_bound"),
     )

@@ -515,3 +515,64 @@ def stream_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.update({"n_name": "concat(n_name, '!')"}, where="n_regionkey = 2")
     t.delete("n_regionkey = 4")
     return diff_versions(t, 0)
+
+
+@qdef(
+    "stream_static_enrich",
+    """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           count(*) AS cnt, round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    "T1", "J-stream-static",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: an event STREAM enriched against a static
+    dimension table — the standard Structured Streaming lookup-join shape
+    (dimension re-read per micro-batch; STATELESS, unlike stream-stream
+    joins, because the static side is a plain batch relation). The dim is
+    broadcast, so at 100 TB/day of events each micro-batch does a
+    map-side hash join with zero shuffle of the stream; only the final
+    at-rest rollup (4-ish segments × 5 event types) exchanges anything.
+    At rest equals the batch join + rollup."""
+    ev = load_star(spark, sf_dir, "events")["events"]
+    dim = load_star(spark, sf_dir, "customer")["customer"].select(
+        "c_custkey", "c_mktsegment"
+    )
+    tmp = tempfile.mkdtemp(prefix="lakeshed-sse-")
+
+    def _write(path: str) -> None:
+        ev.select("user_id", "event_type", "value").repartition(1) \
+            .write.mode("overwrite").parquet(path)
+
+    src = _fixture_dir("enrich-ev", sf_dir, _write)
+    stream = (
+        spark.readStream
+        .schema("user_id bigint, event_type string, value double")
+        .parquet(src)
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey, "inner"
+    ).select(
+        F.col("c_mktsegment").alias("segment"), "event_type", "value"
+    )
+    name = "sse_" + uuid.uuid4().hex[:12]
+    with _state_partitions(spark):
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

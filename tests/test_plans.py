@@ -280,3 +280,39 @@ def test_sketch_aggregates_within_error_bounds(spark):
         orders.agg(F.approx_count_distinct("o_custkey"))
     )
     assert "Expand" not in plan
+
+
+def test_quality_filter_is_pure_projection(spark):
+    """llm_quality_filter: the Gopher screen must compile to a single
+    scan+project — no exchange, no Python, nothing that wouldn't fuse
+    into the read at 100 TB."""
+    plan = _plan(q.spark_queries()["llm_quality_filter"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_shard_assign_partitions_by_shard_never_globally_sorts(spark):
+    """llm_shard_assign: ONE exchange, hash-partitioned on the shard id —
+    ordering parallelizes across shards; a rangepartitioning/single
+    partition exchange would serialize the 100 TB sort."""
+    plan = _plan(q.spark_queries()["llm_shard_assign"](spark, SF))
+    assert plan.count("hashpartitioning(shard") == 1
+    assert plan.count("(3) Exchange") == 1 and "(4) Exchange" not in plan
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_stream_enrich_dim_join_broadcasts(spark):
+    """stream_static_enrich joins each micro-batch to the dimension with a
+    broadcast hash join (stateless, no stream-side shuffle); asserted on
+    the batch twin of the exact join expression."""
+    from lakeshed.io import load_star
+
+    ev = load_star(spark, SF, "events")["events"]
+    dim = load_star(spark, SF, "customer")["customer"].select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
