@@ -649,8 +649,16 @@ def _dedup_clusters_impl(
     # and without this each round would re-run the whole upstream pairs
     # pipeline (LSH banding + verify) from scratch
     edges = _materialize(edges, "edges")
+    # Iterate ONLY over pair-participating nodes: a doc with no near-dup
+    # edge can never change its label, so carrying it through every round
+    # would re-join and re-checkpoint the whole corpus per round. Near-dup
+    # nodes are a sliver of a 100 TB corpus — iterating the sliver and
+    # left-joining the result back once (singletons label themselves via
+    # coalesce) makes each round O(|edge nodes|), not O(|corpus|). The
+    # star variant below has the same shape.
     lbl = _materialize(
-        ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl")),
+        edges.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("lbl")),
         "labels0",
     )
     for it in range(max_iter):
@@ -683,8 +691,17 @@ def _dedup_clusters_impl(
         if n_changed == 0:
             break
     ck.keep_only(final_name)
-    return lbl.select(
-        F.col("id").alias(id_col), F.col("lbl").alias("cluster")
+    # assign singletons their own id in ONE pass over the corpus; the
+    # converged label frame is near-dup-nodes-sized, so AQE broadcasts it
+    # when it fits (no unconditional hint — "sliver of the corpus" can
+    # still exceed broadcast limits at 100 TB)
+    return (
+        ids.select(F.col(id_col).alias("id"))
+        .join(lbl.withColumnRenamed("lbl", "__l"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("__l"), F.col("id")).alias("cluster"),
+        )
     )
 
 
