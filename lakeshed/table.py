@@ -102,6 +102,24 @@ def _ddl(fields: list[Field]) -> str:
     return ", ".join(f"`{f.name}` {f.type}" for f in fields)
 
 
+# Spark simpleString → DuckDB type names, for the no-JVM client read
+# (LakeTable.to_arrow). Parameterized types (decimal(p,s)) pass through —
+# the spelling is shared; arrays map recursively.
+_DUCK_TYPES = {
+    "string": "VARCHAR", "int": "INTEGER", "bigint": "BIGINT",
+    "smallint": "SMALLINT", "tinyint": "TINYINT", "double": "DOUBLE",
+    "float": "FLOAT", "boolean": "BOOLEAN", "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP", "date": "DATE", "binary": "BLOB",
+}
+
+
+def _duck_type(spark_type: str) -> str:
+    t = spark_type.strip().lower()
+    if t.startswith("array<") and t.endswith(">"):
+        return _duck_type(t[6:-1]) + "[]"
+    return _DUCK_TYPES.get(t, spark_type.upper())
+
+
 # --------------------------------------------------------------------------
 # commit log records
 # --------------------------------------------------------------------------
@@ -895,6 +913,82 @@ class LakeTable:
         if columns is not None:
             df = df.select(*columns)
         return df
+
+    def to_arrow(self, where: str | None = None,
+                 columns: Iterable[str] | None = None,
+                 version: int | None = None):
+        """§3.4 — the PyIceberg client path, whole: plan matching files
+        from commit-log metadata IN THIS PROCESS (``plan_files`` — no
+        Spark job, no JVM), then have DuckDB read exactly those parquet
+        files and return an Arrow table (PyIceberg - Getting
+        Started.ipynb:151→180→268: scan plan → Arrow fetch → DuckDB).
+        A notebook user on a laptop queries a 100 TB table's pruned
+        sliver without a cluster; results equal
+        ``read(version).where(where).select(columns)``.
+
+        Schema evolution is applied the same way ``_read_adds`` does it —
+        per file-group field-id projection with casts and NULL-fill —
+        but expressed as DuckDB SELECT lists. Hive partition dirs are
+        recovered via ``hive_partitioning``; derived partition columns
+        (``days(ts)`` etc.) stay out of the result because the SELECT
+        list carries only schema fields."""
+        import duckdb
+
+        v = self.head() if version is None else version
+        commit, _ = self._state(v)
+        kept = self.plan_files(where, version=v)
+        cur = commit.schemas[str(commit.schema_version)]
+        out_fields = list(cur)
+        if columns is not None:
+            wanted = list(columns)
+            by_name = {f.name: f for f in cur}
+            out_fields = [by_name[c] for c in wanted]
+
+        groups: dict[tuple[str, int], list[AddFile]] = {}
+        for a in kept:
+            groups.setdefault((a.base, a.schema_version), []).append(a)
+
+        def _sel(from_fields: list[Field]) -> str:
+            by_id = {f.id: f for f in from_fields}
+            parts = []
+            for f in cur:
+                old = by_id.get(f.id)
+                if old is None:
+                    parts.append(
+                        f'CAST(NULL AS {_duck_type(f.type)}) AS "{f.name}"'
+                    )
+                else:
+                    expr = f'"{old.name}"'
+                    if old.type != f.type:
+                        expr = f"CAST({expr} AS {_duck_type(f.type)})"
+                    parts.append(f'{expr} AS "{f.name}"')
+            return ", ".join(parts)
+
+        selects = []
+        for (base, sv), grp in sorted(groups.items()):
+            paths = sorted(os.path.join(self.path, a.path) for a in grp)
+            plist = ", ".join("'" + p.replace("'", "''") + "'"
+                              for p in paths)
+            selects.append(
+                f"SELECT {_sel(commit.schemas[str(sv)])} FROM read_parquet("
+                f"[{plist}], hive_partitioning=true, union_by_name=true)"
+            )
+        if not selects:
+            empty = ", ".join(
+                f'CAST(NULL AS {_duck_type(f.type)}) AS "{f.name}"'
+                for f in cur
+            )
+            selects = [f"SELECT {empty} WHERE 1 = 0"]
+        sql = " UNION ALL ".join(selects)
+        if where is not None:
+            # residual re-check: pruning only guarantees kept ⊇ matching
+            sql = f"SELECT * FROM ({sql}) WHERE {where}"
+        proj = ", ".join(f'"{f.name}"' for f in out_fields)
+        con = duckdb.connect()
+        try:
+            return con.sql(f"SELECT {proj} FROM ({sql})").arrow()
+        finally:
+            con.close()
 
     def to_df(self) -> DataFrame:
         return self.read()

@@ -82,3 +82,71 @@ def test_broadcast_join_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+def test_to_arrow_client_scan_no_jvm(spark, tmp_path):
+    """§3.4 — the PyIceberg client path: plan files from the commit log,
+    read them with DuckDB, return Arrow — provably WITHOUT the JVM (the
+    table's Spark handle is removed for the duration of the call)."""
+    from lakeshed.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "whar"))
+    src = spark.createDataFrame(
+        [(i, ["red", "green", "blue"][i % 3], float(i)) for i in range(90)],
+        "id bigint, color string, v double",
+    )
+    t = cat.create_table("default.arr", src, partition_by=("color",))
+
+    expected = {(r.id, r.color, r.v)
+                for r in src.where("v >= 30 AND color = 'red'").collect()}
+    t.spark = None  # any JVM touch now raises
+    try:
+        at = t.to_arrow(where="v >= 30 AND color = 'red'")
+    finally:
+        t.spark = spark
+    got = {(r["id"], r["color"], r["v"])
+           for _, r in at.to_pandas().iterrows()}
+    assert got == expected and got
+    assert at.column_names == ["id", "color", "v"]
+
+    # column projection + version pin (time travel without a cluster)
+    v0 = t.head()
+    t.delete("color = 'red'")
+    t.spark = None
+    try:
+        old = t.to_arrow(columns=["id"], version=v0)
+        new = t.to_arrow(columns=["id"])
+        none = t.to_arrow(where="v < 0")
+    finally:
+        t.spark = spark
+    assert old.num_rows == 90 and new.num_rows == 60
+    assert none.num_rows == 0 and none.column_names == ["id", "color", "v"]
+
+
+def test_to_arrow_applies_schema_evolution(spark, tmp_path):
+    """Old file groups are projected to the current schema by field id —
+    rename, widen, and NULL-fill — exactly like the Spark read path."""
+    from lakeshed.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "whev"))
+    t = cat.create_table(
+        "default.evo",
+        spark.createDataFrame([(1, "a", 7)], "k int, v string, r int"),
+    )
+    t.rename_column("v", "name")
+    t.alter_column("r", type="double")
+    t.add_column("w", "int")
+    t.append(spark.createDataFrame(
+        [(2, "b", 8.5, 20)], "k int, name string, r double, w int"))
+
+    t.spark = None
+    try:
+        at = t.to_arrow()
+    finally:
+        t.spark = spark
+    rows = {tuple(r) for r in at.to_pandas().itertuples(index=False)}
+    assert at.column_names == ["k", "name", "r", "w"]
+    got = {(k, n, r, (None if w != w else w)) for k, n, r, w in rows}
+    assert got == {(1, "a", 7.0, None), (2, "b", 8.5, 20)}
+    # equals the Spark read of the same table
+    sp = {(r.k, r.name, r.r, r.w) for r in t.read().collect()}
+    assert got == sp
