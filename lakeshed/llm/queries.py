@@ -898,3 +898,36 @@ def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_star(spark, sf_dir, "documents")["documents"]
     return sampling.shard_assign(docs, n_shards=8)
+
+
+_BIGRAMS = """list_transform(generate_series(1, len(toks) - 1),
+      i -> concat_ws(' ', toks[i], toks[i+1]))"""
+
+
+@qdef(
+    "llm_lm_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+               WHERE len({_TOKS}) >= 2),
+    bg AS (SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM t),
+    lm AS (SELECT gram, count(*) AS c FROM bg GROUP BY gram),
+    ctx AS (SELECT split_part(gram, ' ', 1) AS w1, sum(c) AS cw
+            FROM lm GROUP BY 1),
+    p AS (SELECT lm.gram, lm.c * 1.0 / ctx.cw AS p
+          FROM lm JOIN ctx ON split_part(lm.gram, ' ', 1) = ctx.w1)
+    SELECT bg.doc_id, count(*) AS n_bigrams,
+           round(avg(ln(p.p)), 4) AS avg_logp
+    FROM bg JOIN p ON bg.gram = p.gram
+    GROUP BY bg.doc_id
+    """,
+    "LLM-lm-score",
+)
+def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: train a bigram MLE language model on
+    the corpus itself, score every document by mean ln P(w_i | w_{i-1}) —
+    the perplexity-bucket filter that separates fluent text from
+    boilerplate and token soup. Two explode shuffles (LM count, scoring
+    join); the LM frame is vocab²-bounded, tiny next to the corpus."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    lm = text.bigram_lm(docs)
+    return text.lm_score(docs, lm)

@@ -132,6 +132,56 @@ def quality_rules(df: DataFrame, text_col: str = "text",
     )
 
 
+def bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram language model: ``(gram, p)`` with
+    P(w2|w1) = c(w1 w2) / Σ_w c(w1 w), the maximum-likelihood conditional
+    over observed contexts — the CCNet/KenLM-style LM used to score text
+    quality, minus the external model file. One explode+count shuffle
+    over the corpus (map-side combining), then a small self-aggregation
+    for the context totals; at 100 TB the LM frame is vocabulary²-bounded
+    — tiny next to the corpus — and joins back by gram key."""
+    grams = df.where(F.size(tokens(text_col)) >= 2).select(
+        F.explode(ngrams(tokens(text_col), 2)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    ctx = (
+        counts.select(
+            F.split(F.col("gram"), " ").getItem(0).alias("w1"), "c"
+        )
+        .groupBy("w1")
+        .agg(F.sum("c").alias("cw"))
+    )
+    return (
+        counts.withColumn(
+            "w1", F.split(F.col("gram"), " ").getItem(0)
+        )
+        .join(ctx, "w1")
+        .select("gram", (F.col("c") / F.col("cw")).alias("p"))
+    )
+
+
+def lm_score(df: DataFrame, lm: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Per-document LM quality score: mean ln P(w_i | w_{i-1}) under a
+    :func:`bigram_lm` frame — fluent text scores high, shuffled or
+    boilerplate text low (the CCNet perplexity-bucket filter shape).
+    Docs explode to bigrams and join the LM on the gram key (one shuffle;
+    grams unseen by the LM drop out of the inner join — score only what
+    the model knows). Sub-2-token docs have no bigrams and are absent
+    from the result."""
+    grams = df.where(F.size(tokens(text_col)) >= 2).select(
+        F.col(id_col), F.explode(ngrams(tokens(text_col), 2)).alias("gram")
+    )
+    return (
+        grams.join(lm, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log("p")), 4).alias("avg_logp"),
+        )
+    )
+
+
 def language_score(col: Column | str,
                    words: tuple[str, ...] = EN_STOPWORDS) -> Column:
     """Heuristic English-ness: fraction of tokens that are core stopwords.

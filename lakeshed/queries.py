@@ -593,6 +593,9 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
                            # llm_hash_rank_sample + llm_shard_assign
     "join_3way_rollup",    # multi-join gated via local_supplier_volume
                            # (5-way), ROLLUP via multi_grain_rollup
+    "percentile_price_by_status",  # percentile machinery also runs inside
+                           # gated approx_distinct_quantiles (exact twin);
+                           # demoted to admit llm_lm_score to the head
 )
 
 

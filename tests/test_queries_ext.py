@@ -91,3 +91,29 @@ def test_stream_static_enrich_is_stateless_broadcast(spark):
         .collect()
     }
     assert rows == exp
+
+
+def test_lm_score_orders_fluent_above_shuffled(spark):
+    """The bigram LM score must rank in-distribution text above
+    out-of-distribution token soup — the property the CCNet-style filter
+    relies on. Score a real doc's text vs the same tokens reversed
+    (destroys bigram statistics, keeps unigrams identical)."""
+    from pyspark.sql import Row
+
+    docs = load_star(spark, SF, "documents")["documents"]
+    lm = text.bigram_lm(docs)
+    sample = docs.orderBy("doc_id").limit(20).collect()
+    probes = []
+    for r in sample:
+        toks = r.text.split()
+        probes.append(Row(doc_id=r.doc_id, text=r.text, kind="orig"))
+        probes.append(Row(doc_id=r.doc_id + 10_000_000,
+                          text=" ".join(reversed(toks)), kind="rev"))
+    pdf = spark.createDataFrame(probes)
+    scored = {r.doc_id: r.avg_logp
+              for r in text.lm_score(pdf, lm).collect()}
+    orig = [scored[r.doc_id] for r in sample if r.doc_id in scored]
+    rev = [scored[r.doc_id + 10_000_000] for r in sample
+           if r.doc_id + 10_000_000 in scored]
+    assert orig and rev
+    assert sum(orig) / len(orig) > sum(rev) / len(rev)
