@@ -931,3 +931,24 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_star(spark, sf_dir, "documents")["documents"]
     lm = text.bigram_lm(docs)
     return text.lm_score(docs, lm)
+
+
+@qdef(
+    "llm_pca_embeddings",
+    # rows-only ON PURPOSE: eigendecomposition output is solver-specific
+    # (LAPACK vs whatever SQL could express) — correctness is pinned by
+    # tests/test_llm.py::test_pca_matches_numpy_reference instead
+    None,
+    "LLM-pca", "dimensionality-reduction",
+)
+def llm_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding corpus: one-pass partial-moment
+    reduction (count/Σx/Σxxᵀ per Arrow batch → driver combine → d×d
+    eigh), then a batched projection to 8 components. The whitening /
+    compression step before ANN indexing or clustering at scale."""
+    emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
+    dim = len(emb.select("embedding").first()[0])
+    model = similarity.pca_fit(emb, dim=dim, k=8)
+    return similarity.pca_transform(
+        emb.select("vec_id", "embedding"), model
+    )

@@ -450,3 +450,78 @@ def ann_topk_lsh(
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ------------------------------------------------------------------ PCA
+
+
+def pca_fit(df: DataFrame, dim: int, k: int = 8,
+            vec_col: str = "embedding") -> dict:
+    """Distributed PCA fit — the MLlib ``computeCovariance`` pattern:
+    every Arrow batch reduces to ONE partial-moment row (count, Σx, the
+    flattened Σxxᵀ outer-product sum), the driver combines those rows
+    (npartitions × (d²+d+1) floats — metadata-scale) and
+    eigendecomposes the d×d covariance with numpy. The corpus is
+    touched exactly once, nothing wide ever shuffles: at 100 TB the
+    reduce traffic is partitions × d², independent of row count.
+
+    Not expressed as 2·d² Catalyst aggregate columns on purpose — at
+    d=64 that is ~2 000 codegen expressions (method-size fallback to
+    interpreted), while the numpy kernel is one BLAS call per batch.
+
+    Sign convention: each component's largest-|loading| coordinate is
+    made positive, so the fit is deterministic. Returns
+    ``{"mean": [d], "components": [k][d], "explained_var": [k]}``."""
+    from pyspark.sql import Row
+
+    def partial(batches):
+        n = 0
+        s = np.zeros(dim)
+        ss = np.zeros((dim, dim))
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            ss += m.T @ m
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        partial, schema="n long, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(r.n for r in parts)
+    s = np.sum([np.array(r.s) for r in parts], axis=0)
+    ss = np.sum([np.array(r.ss).reshape(dim, dim) for r in parts], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k × d
+    for i in range(comps.shape[0]):  # deterministic sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_var": evals[order].tolist(),
+    }
+
+
+def pca_transform(df: DataFrame, model: dict, vec_col: str = "embedding",
+                  out_col: str = "pca") -> DataFrame:
+    """Project vectors onto the fitted components: one Arrow batch
+    matmul per partition (components broadcast inside the serialized
+    kernel — k×d floats), replacing ``vec_col`` with a k-dim array."""
+    mean = np.array(model["mean"])
+    comps = np.array(model["components"])  # k × d
+
+    @F.pandas_udf("array<float>")
+    def project(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype(np.float64) - mean
+        out = m @ comps.T
+        return pd.Series(list(out.astype(np.float32)))
+
+    return df.withColumn(out_col, project(F.col(vec_col))).drop(vec_col)

@@ -596,6 +596,9 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
     "percentile_price_by_status",  # percentile machinery also runs inside
                            # gated approx_distinct_quantiles (exact twin);
                            # demoted to admit llm_lm_score to the head
+    "pivot_segment_priority",  # PIVOT compiles to the same Expand+agg
+                           # shape gated via multi_grain_rollup; demoted
+                           # to admit llm_pca_embeddings to the head
 )
 
 

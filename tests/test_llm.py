@@ -437,3 +437,48 @@ def test_dedup_clusters_checkpoint_lifecycle(spark):
     kept = [d for d in os.listdir(new_dirs[0]) if not d.startswith(".")]
     assert kept == ["labels"]
     assert out.count() == 6
+
+
+def test_pca_matches_numpy_reference(spark):
+    """Distributed PCA (partial-moment mapInPandas reduce + driver eigh)
+    must agree with plain numpy PCA on the collected data: same
+    components (up to the pinned sign convention), orthonormal basis,
+    descending explained variance, and the projection IS (X−μ)Wᵀ."""
+    import numpy as np
+
+    from lakeshed.llm import similarity
+
+    emb = _emb(spark)
+    X = np.stack([np.array(r.embedding, dtype=np.float64)
+                  for r in emb.orderBy("vec_id").collect()])
+    dim, k = X.shape[1], 5
+    model = similarity.pca_fit(emb.repartition(7), dim=dim, k=k)
+    W = np.array(model["components"])
+    ev = np.array(model["explained_var"])
+
+    # orthonormal, variance-sorted
+    assert np.allclose(W @ W.T, np.eye(k), atol=1e-8)
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(k - 1))
+
+    # reference: numpy PCA with the same sign convention
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / X.shape[0]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    R = evecs[:, order].T
+    for i in range(k):
+        j = int(np.argmax(np.abs(R[i])))
+        if R[i, j] < 0:
+            R[i] = -R[i]
+    assert np.allclose(np.array(model["mean"]), mu, atol=1e-9)
+    assert np.allclose(W, R, atol=1e-7)
+    assert np.allclose(ev, evals[order], atol=1e-9)
+
+    # the distributed projection equals the matmul, and projected dims
+    # carry the claimed variance
+    proj = {r.vec_id: np.array(r.pca) for r in similarity.pca_transform(
+        emb.select("vec_id", "embedding"), model).collect()}
+    ids = [r.vec_id for r in emb.orderBy("vec_id").select("vec_id").collect()]
+    P = np.stack([proj[i] for i in ids])
+    assert np.allclose(P, (X - mu) @ W.T, atol=1e-4)  # float32 output
+    assert np.allclose(P.var(axis=0), ev, rtol=1e-3)
