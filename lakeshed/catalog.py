@@ -219,6 +219,21 @@ class Catalog:
             self.table(m.group(1)).delete(m.group(2))
             return None
         m = re.match(
+            r"alter table ([\w.]+) add constraint (\w+) check \((.+)\)$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # Delta-style CHECK constraint (expression kept in original
+            # case — it is SQL evaluated against the data)
+            self.table(m.group(1)).add_constraint(m.group(2), m.group(3))
+            return None
+        m = re.match(
+            r"alter table ([\w.]+) drop constraint (\w+)$", s, re.IGNORECASE
+        )
+        if m:
+            self.table(m.group(1)).drop_constraint(m.group(2))
+            return None
+        m = re.match(
             r"insert into ([\w.]+) (select .+|values .+)$", s,
             re.IGNORECASE | re.DOTALL,
         )

@@ -59,6 +59,11 @@ class TableError(RuntimeError):
     pass
 
 
+class ConstraintViolationError(TableError):
+    """A write produced rows that fail a CHECK constraint; the commit was
+    aborted and the written files removed — the table is unchanged."""
+
+
 class CommitConflictError(TableError):
     """Another writer committed the same version first — re-resolve and retry."""
 
@@ -533,10 +538,49 @@ class LakeTable:
         base_rel = os.path.join("data", wid)
         base_abs = os.path.join(self.path, base_rel)
         df, part_cols = self._apply_spec(df, spec)
+        # CHECK constraints ride the write itself via Observation — zero
+        # extra scan of the incoming data; violations surface after the
+        # write action and abort BEFORE the commit publishes (the files
+        # are deleted, so atomicity holds: readers never saw them)
+        cons = self.constraints()
+        obs = None
+        if cons:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(
+                obs,
+                *[
+                    F.sum(
+                        F.when(
+                            ~F.coalesce(F.expr(e).cast("boolean"),
+                                        F.lit(True)),
+                            1,
+                        ).otherwise(0)
+                    ).alias(n)
+                    for n, e in sorted(cons.items())
+                ],
+            )
         writer = df.write.mode("overwrite")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(base_abs)
+        if obs is not None:
+            violated = {
+                n: int(c) for n, c in obs.get.items() if c
+            }
+            if violated:
+                import shutil
+
+                shutil.rmtree(base_abs, ignore_errors=True)
+                detail = ", ".join(
+                    f"{n} ({cons[n]}): {c} row(s)"
+                    for n, c in sorted(violated.items())
+                )
+                raise ConstraintViolationError(
+                    f"CHECK constraint violated — {detail}; write aborted,"
+                    " table unchanged"
+                )
         adds: list[AddFile] = []
         paths = sorted(
             glob.glob(os.path.join(base_abs, "**", "*.parquet"), recursive=True)
@@ -727,6 +771,49 @@ class LakeTable:
         merged.update({k: str(v) for k, v in props.items()})
         return self._commit("set-properties", [], [], properties=merged,
                             summary={"set": sorted(props)})
+
+    # CHECK constraints live in table properties under this prefix, so
+    # they version with the commit log like any other table metadata
+    _CONSTRAINT_PREFIX = "lakeshed.constraint."
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: name → boolean SQL expression."""
+        if MAIN not in self._refs():  # mid-create: nothing committed yet
+            return {}
+        p = self._CONSTRAINT_PREFIX
+        return {
+            k[len(p):]: v
+            for k, v in self._read_commit(self.head()).properties.items()
+            if k.startswith(p)
+        }
+
+    def add_constraint(self, name: str, expr: str) -> Commit:
+        """Delta-style ``ADD CONSTRAINT name CHECK (expr)``: existing data
+        must already satisfy the expression (one validating scan, same
+        contract as Delta), then every subsequent write is enforced
+        in-flight (see ``_write_files``) — NULL evaluations pass, per SQL
+        CHECK semantics."""
+        if name in self.constraints():
+            raise TableError(f"constraint {name!r} exists")
+        bad = (
+            self.read()
+            .where(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ConstraintViolationError(
+                f"existing rows violate CHECK ({expr}); constraint "
+                f"{name!r} not added"
+            )
+        return self.set_properties(
+            **{self._CONSTRAINT_PREFIX + name: expr}
+        )
+
+    def drop_constraint(self, name: str) -> Commit:
+        if name not in self.constraints():
+            raise TableError(f"no constraint {name!r}")
+        return self.unset_properties(self._CONSTRAINT_PREFIX + name)
 
     def unset_properties(self, *names: str) -> Commit:
         merged = dict(self._read_commit(self.head()).properties)

@@ -697,3 +697,55 @@ def test_manifests_metadata_table(cat, spark):
     via_sql = cat.sql("SELECT path, existing_data_files_count "
                       "FROM default.mani.manifests")
     assert via_sql.count() == len(m) + 1
+
+
+def test_check_constraints_enforced_on_writes(cat, spark):
+    """Delta-style CHECK constraints: validated against existing data at
+    ADD time, enforced in-flight on every subsequent write via
+    Observation (no second scan), violations abort BEFORE the commit with
+    the files cleaned up — the table is bit-for-bit unchanged."""
+    t = cat.create_table(
+        "default.cons",
+        spark.createDataFrame([(1, 50.0), (2, 70.0)], "k int, price double"),
+    )
+    # adding a constraint existing data violates must fail
+    with pytest.raises(TableError, match="existing rows violate"):
+        t.add_constraint("exp", "price > 60")
+    assert t.constraints() == {}
+
+    cat.sql("ALTER TABLE default.cons ADD CONSTRAINT pos CHECK (price > 0)")
+    t.add_constraint("keyed", "k IS NOT NULL AND k < 1000")
+    assert set(t.constraints()) == {"pos", "keyed"}
+
+    head = t.head()
+    ok = t.append(spark.createDataFrame([(3, 9.5)], "k int, price double"))
+    assert ok.version == head + 1
+
+    from lakeshed.table import ConstraintViolationError
+
+    # sweep the benign zero-row part debris first, so the post-violation
+    # sweep isolates files from the aborted write only
+    t.remove_orphan_files(max_age_ms=0)
+    with pytest.raises(ConstraintViolationError, match="pos"):
+        t.append(spark.createDataFrame(
+            [(4, 1.0), (5, -2.0)], "k int, price double"))
+    # aborted: no commit, and the violating write's files are gone
+    assert t.head() == head + 1
+    assert t.read().count() == 3
+    assert t.remove_orphan_files(max_age_ms=0) == []
+
+    # NULL evaluations pass (SQL CHECK semantics)
+    t.append(spark.createDataFrame([(6, None)], "k int, price double"))
+    assert t.read().count() == 4
+
+    # DML writes are enforced too: an UPDATE computing a violating value
+    with pytest.raises(ConstraintViolationError):
+        t.update({"price": "-price"}, where="k = 1")
+    assert {r.k: r.price for r in t.read().collect()}[1] == 50.0
+
+    cat.sql("ALTER TABLE default.cons DROP CONSTRAINT pos")
+    assert set(t.constraints()) == {"keyed"}
+    t.append(spark.createDataFrame([(7, -3.0)], "k int, price double"))
+    assert t.read().count() == 5
+    with pytest.raises(TableError, match="no constraint"):
+        t.drop_constraint("pos")
