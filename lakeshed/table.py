@@ -1258,6 +1258,7 @@ class LakeTable:
         when_matched_delete: str | None = None,
         when_not_matched_insert: str | None = "*",
         source_order: str | None = None,
+        evolve_schema: bool = False,
     ) -> Commit:
         """J2/W5/W6 — MERGE INTO: the changelog upsert of
         ``IcebergStream.java:116-120`` (equality-delete sink) and the Paimon
@@ -1273,12 +1274,24 @@ class LakeTable:
         - ``source_order``: column ranking within-key arrival order; the
           LAST row per key wins (SURVEY §7.3: an I-then-D key in one batch
           must net to delete). Required when source can repeat keys.
+        - ``evolve_schema``: Delta's ``withSchemaEvolution()`` — source
+          columns absent from the target are ADDED (nullable, typed from
+          the source schema) before the merge runs; existing rows read
+          them as NULL via field-id projection. The ``source_order``
+          column and ``__``-prefixed helpers never evolve.
 
         Scale: source is deduped with one window shuffle, target-file
         discovery is a semi-join (broadcast when the source is small —
         typical for a micro-batch), and only hit files rewrite.
         """
         keys = [on] if isinstance(on, str) else list(on)
+        if evolve_schema:
+            existing = {f.name for f in self.schema_fields()}
+            for sf in source.schema.fields:
+                if (sf.name in existing or sf.name == source_order
+                        or sf.name.startswith("__")):
+                    continue
+                self.add_column(sf.name, sf.dataType.simpleString())
         head_commit, live = self._state(self.head())
         fields = head_commit.schemas[str(head_commit.schema_version)]
 

@@ -749,3 +749,31 @@ def test_check_constraints_enforced_on_writes(cat, spark):
     assert t.read().count() == 5
     with pytest.raises(TableError, match="no constraint"):
         t.drop_constraint("pos")
+
+
+def test_merge_schema_evolution(cat, spark):
+    """Delta withSchemaEvolution parity: a source column absent from the
+    target is auto-added (nullable) before the merge; pre-merge rows read
+    NULL, matched rows take the source value, inserts carry it, and
+    __-prefixed / source_order helper columns never evolve."""
+    t = cat.create_table(
+        "default.sev",
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+    )
+    src = spark.createDataFrame(
+        [(2, "b2", 0.9, 10), (3, "c", 0.5, 11)],
+        "k int, v string, score double, seq int",
+    )
+    t.merge(src, on="k", source_order="seq", evolve_schema=True)
+    assert [f.name for f in t.schema_fields()] == ["k", "v", "score"]
+    rows = {r.k: (r.v, r.score) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("b2", 0.9), 3: ("c", 0.5)}
+    # old snapshots still read under their own schema
+    assert t.read(version=0).columns == ["k", "v"]
+
+    # without the flag, an unknown source column is NOT added
+    src2 = spark.createDataFrame(
+        [(4, "d", 0.1, 99)], "k int, v string, score double, extra int"
+    )
+    t.merge(src2, on="k")
+    assert "extra" not in [f.name for f in t.schema_fields()]
