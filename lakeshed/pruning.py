@@ -286,6 +286,49 @@ def _cmp_maybe_match(op: str, lo: str | None, hi: str | None,
     return True
 
 
+# ------------------------------------------------------------- bloom index
+# Per-file bloom filters for equality skipping on HIGH-cardinality STRING
+# columns (uuids, urls, content hashes) — where the dictionary index's
+# complete-distinct-set cap gives up. String-only by design: stats and
+# dict entries stringify native values, which is exactly the coercion
+# hazard the temporal advice fixed; a bloom is hash-exact with no "maybe"
+# escape, so it only covers columns where Spark's own equality IS exact
+# string equality. The Delta bloom-filter-index / Iceberg puffin analog.
+
+_BLOOM_K = 6  # hash count; with the default 8192 bits, ~1% FPR at ~1k keys
+
+
+def _bloom_hashes(value: str, m: int):
+    import hashlib
+
+    for i in range(_BLOOM_K):
+        d = hashlib.md5(f"{i}:{value}".encode()).digest()
+        yield int.from_bytes(d[:8], "big") % m
+
+
+def bloom_encode(values, m: int) -> str:
+    """Write-side: fold an iterable of strings into a base64 bit array."""
+    import base64
+
+    bits = bytearray(m // 8)
+    for v in values:
+        for h in _bloom_hashes(v, m):
+            bits[h >> 3] |= 1 << (h & 7)
+    return base64.b64encode(bytes(bits)).decode("ascii")
+
+
+def bloom_may_contain(b64: str, value: str) -> bool:
+    """False ⇒ the value is PROVABLY absent from the file (no bloom false
+    negatives); True means maybe."""
+    import base64
+
+    raw = base64.b64decode(b64)
+    m = len(raw) * 8
+    return all(
+        raw[h >> 3] & (1 << (h & 7)) for h in _bloom_hashes(value, m)
+    )
+
+
 def _dict_may_match(op: str, vals: list[str], value: Any) -> bool | None:
     """Evaluate an equality-family comparison against a file's COMPLETE
     distinct-value set (no nulls; null rows never satisfy = or != anyway).
@@ -308,7 +351,8 @@ def file_may_match(node: Node, lower: dict[str, str], upper: dict[str, str],
                    partition_values: dict[str, str],
                    dicts: dict[str, list[str]] | None = None,
                    null_counts: dict[str, int] | None = None,
-                   rows: int | None = None) -> bool:
+                   rows: int | None = None,
+                   blooms: dict[str, str] | None = None) -> bool:
     """Conservative manifest evaluation: False ⇒ provably zero matching
     rows in the file. Partition-dir values act as exact single-value
     bounds for their column; ``dicts`` (complete per-file distinct sets,
@@ -321,9 +365,9 @@ def file_may_match(node: Node, lower: dict[str, str], upper: dict[str, str],
         return True
     if isinstance(node, BoolOp):
         l = file_may_match(node.left, lower, upper, partition_values,
-                           dicts, null_counts, rows)
+                           dicts, null_counts, rows, blooms)
         r = file_may_match(node.right, lower, upper, partition_values,
-                           dicts, null_counts, rows)
+                           dicts, null_counts, rows, blooms)
         return (l and r) if node.kind == "and" else (l or r)
     assert isinstance(node, Comparison)
     if node.op in ("isnull", "notnull"):
@@ -340,6 +384,12 @@ def file_may_match(node: Node, lower: dict[str, str], upper: dict[str, str],
         d = _dict_may_match(node.op, dicts[node.col], node.value)
         if d is not None:
             return d
+    # bloom: '=' on a string literal only — a miss proves absence; any hit
+    # or non-string literal falls through to the min/max bounds
+    if (blooms and node.col in blooms and node.op == "="
+            and isinstance(node.value, str)
+            and not bloom_may_contain(blooms[node.col], node.value)):
+        return False
     return _cmp_maybe_match(
         node.op, lower.get(node.col), upper.get(node.col), node.value
     )

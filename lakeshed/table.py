@@ -147,6 +147,10 @@ class AddFile:
     # _MAX_DICT values) — exact equality skipping where min/max
     # bounds can only prune ranges
     dicts: dict[str, list[str]] = field(default_factory=dict)
+    # per-column bloom filters (base64 bit arrays; opt-in via
+    # lakeshed.skipping.bloom-columns) — equality skipping for
+    # HIGH-cardinality string columns where a complete dict is too big
+    blooms: dict[str, str] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
         return self.__dict__.copy()
@@ -215,8 +219,9 @@ class Commit:
 _MAX_DICT = 64
 
 
-def _file_stats(abs_path: str, dict_cols: tuple = ()
-                ) -> tuple[int, int, dict, dict, dict, dict]:
+def _file_stats(abs_path: str, dict_cols: tuple = (),
+                bloom_cols: tuple = (), bloom_bits: int = 8192,
+                ) -> tuple[int, int, dict, dict, dict, dict, dict]:
     """Footer-only stats read (rows, bytes, lower/upper bounds, null counts).
 
     pyarrow reads just the parquet footer — cheap even for GB files. On a
@@ -269,17 +274,36 @@ def _file_stats(abs_path: str, dict_cols: tuple = ()
     lower = {k: str(v) for k, v in mins.items()}
     upper = {k: str(v) for k, v in maxs.items()}
     dicts: dict[str, list[str]] = {}
+    blooms: dict[str, str] = {}
     names = {md.row_group(0).column(ci).path_in_schema
              for ci in range(md.num_columns)} if md.num_row_groups else set()
     want = [c for c in dict_cols if c in names]
-    if want and md.num_rows:
-        tbl = pq.read_table(abs_path, columns=want)
+    # blooms are STRING-columns-only by contract (see pruning.py): hash
+    # equality has no conservative "maybe" for coerced numerics/temporals
+    import pyarrow as pa
+
+    schema = pq.read_schema(abs_path)
+    bwant = [
+        c for c in bloom_cols
+        if c in names and c not in want
+        and pa.types.is_string(schema.field(c).type)
+    ]
+    if (want or bwant) and md.num_rows:
+        tbl = pq.read_table(abs_path, columns=[*want, *bwant])
         for c in want:
             uniq = tbl.column(c).unique().to_pylist()
             vals = sorted(str(v) for v in uniq if v is not None)
             if 0 < len(vals) <= _MAX_DICT:
                 dicts[c] = vals
-    return md.num_rows, os.path.getsize(abs_path), lower, upper, nulls, dicts
+        from lakeshed.pruning import bloom_encode
+
+        for c in bwant:
+            uniq = [v for v in tbl.column(c).unique().to_pylist()
+                    if v is not None]
+            if uniq:
+                blooms[c] = bloom_encode(uniq, bloom_bits)
+    return (md.num_rows, os.path.getsize(abs_path), lower, upper, nulls,
+            dicts, blooms)
 
 
 class LakeTable:
@@ -530,9 +554,24 @@ class LakeTable:
         raw = props.get("lakeshed.skipping.dict-columns", "")
         return tuple(c.strip() for c in raw.split(",") if c.strip())
 
+    def _bloom_columns(self, properties: dict[str, str] | None = None
+                       ) -> tuple[tuple[str, ...], int]:
+        """(columns, bits): bloom-filter skipping opt-in via the
+        ``lakeshed.skipping.bloom-columns`` property (comma list;
+        string-typed columns only take effect) and
+        ``lakeshed.skipping.bloom-bits`` (default 8192 ≈ 1 KiB/col/file,
+        ~1%% FPR at ~1k distinct keys)."""
+        props = properties if properties is not None else (
+            self.properties() if self.exists() else {}
+        )
+        raw = props.get("lakeshed.skipping.bloom-columns", "")
+        bits = int(props.get("lakeshed.skipping.bloom-bits", "8192"))
+        return tuple(c.strip() for c in raw.split(",") if c.strip()), bits
+
     def _write_files(
         self, df: DataFrame, spec: list[str], schema_version: int,
         dict_cols: tuple | None = None,
+        bloom_conf: tuple | None = None,
     ) -> list[AddFile]:
         wid = uuid.uuid4().hex[:12]
         base_rel = os.path.join("data", wid)
@@ -592,11 +631,18 @@ class LakeTable:
 
         if dict_cols is None:
             dict_cols = self._dict_columns()
+        bloom_cols, bloom_bits = (
+            bloom_conf if bloom_conf is not None else self._bloom_columns()
+        )
         with ThreadPoolExecutor(max_workers=min(16, max(len(paths), 1))) as ex:
             all_stats = list(
-                ex.map(lambda p: _file_stats(p, dict_cols), paths)
+                ex.map(
+                    lambda p: _file_stats(p, dict_cols, bloom_cols,
+                                          bloom_bits),
+                    paths,
+                )
             )
-        for abs_p, (rows, nbytes, lo, hi, nulls, dicts) in zip(
+        for abs_p, (rows, nbytes, lo, hi, nulls, dicts, blooms) in zip(
             paths, all_stats
         ):
             adds.append(
@@ -610,6 +656,7 @@ class LakeTable:
                     upper_bounds=hi,
                     null_counts=nulls,
                     dicts=dicts,
+                    blooms=blooms,
                 )
             )
         # zero-row parts (a delete that emptied a file, an all-D merge
@@ -648,6 +695,7 @@ class LakeTable:
             self._write_files(
                 df, spec, 0,
                 dict_cols=self._dict_columns(properties or {}),
+                bloom_conf=self._bloom_columns(properties or {}),
             )
             if df.isStreaming is False else []
         )
@@ -976,7 +1024,7 @@ class LakeTable:
             a for a in live
             if file_may_match(node, a.lower_bounds, a.upper_bounds,
                               self._partition_values(a.path), a.dicts,
-                              a.null_counts, a.rows)
+                              a.null_counts, a.rows, a.blooms)
         ]
 
     def scan(self, where: str | None = None,
@@ -1163,7 +1211,7 @@ class LakeTable:
                 a for a in live
                 if file_may_match(node, a.lower_bounds, a.upper_bounds,
                                   self._partition_values(a.path), a.dicts,
-                                  a.null_counts, a.rows)
+                                  a.null_counts, a.rows, a.blooms)
             ]
             if not candidates:
                 return set()
@@ -1343,7 +1391,7 @@ class LakeTable:
                         if file_may_match(node, a.lower_bounds,
                                           a.upper_bounds,
                                           self._partition_values(a.path),
-                                          a.dicts)
+                                          a.dicts, blooms=a.blooms)
                     ]
         if candidates:
             target = self._read_adds(head_commit, candidates,

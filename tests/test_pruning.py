@@ -263,7 +263,7 @@ def test_file_stats_multi_row_group_native_bounds(tmp_path):
 
     p = str(tmp_path / "two_rg.parquet")
     pq.write_table(pa.table({"x": [9, 9, 10, 10]}), p, row_group_size=2)
-    _, _, lo, hi, _, _ = _file_stats(p)
+    _, _, lo, hi, _, _, _ = _file_stats(p)
     assert lo["x"] == "9" and hi["x"] == "10"
     node = parse_predicate("x = 9")
     assert file_may_match(node, lo, hi, {})
@@ -402,7 +402,7 @@ def test_file_stats_null_count_requires_all_row_groups(tmp_path, monkeypatch):
             return _MDProxy(self._pf.metadata)
 
     monkeypatch.setattr(pq, "ParquetFile", _PFProxy)
-    rows, _, lo, hi, nulls, _ = lt._file_stats(p)
+    rows, _, lo, hi, nulls, _, _ = lt._file_stats(p)
     assert rows == 4
     # RG0 reported null_count=1 but RG1 reported nothing → no file-level
     # claim (a recorded 1 would be right here, but the contract is about
@@ -412,3 +412,40 @@ def test_file_stats_null_count_requires_all_row_groups(tmp_path, monkeypatch):
     # conservative: no stats → IS NULL keeps the file
     assert file_may_match(parse_predicate("x IS NULL"), lo, hi, {}, None,
                           nulls, rows)
+
+
+def test_bloom_roundtrip_no_false_negatives():
+    """Bloom contract: every inserted value reports maybe-present; absent
+    values are mostly pruned (FPR well under 10% at these sizes)."""
+    from lakeshed.pruning import bloom_encode, bloom_may_contain
+
+    vals = [f"doc-{i:05d}" for i in range(1000)]
+    b = bloom_encode(vals, 8192)
+    assert all(bloom_may_contain(b, v) for v in vals)  # never a false neg
+    misses = sum(
+        bloom_may_contain(b, f"absent-{i:05d}") for i in range(1000)
+    )
+    assert misses < 100
+
+
+def test_bloom_prunes_only_equality_on_strings():
+    """file_may_match consults a bloom only for '=' with a string literal;
+    every other shape stays conservative."""
+    from lakeshed.pruning import (bloom_encode, file_may_match,
+                                  parse_predicate)
+
+    b = {"h": bloom_encode(["aaa", "bbb"], 1024)}
+    lo, hi = {"h": "aaa"}, {"h": "zzz"}  # bounds straddle everything
+    assert file_may_match(parse_predicate("h = 'bbb'"), lo, hi, {},
+                          blooms=b) is True
+    assert file_may_match(parse_predicate("h = 'absent'"), lo, hi, {},
+                          blooms=b) is False
+    # != / ranges / IS NULL never consult the bloom
+    assert file_may_match(parse_predicate("h != 'absent'"), lo, hi, {},
+                          blooms=b) is True
+    assert file_may_match(parse_predicate("h > 'aaa'"), lo, hi, {},
+                          blooms=b) is True
+    # AND composition: bloom miss on one conjunct prunes the file
+    assert file_may_match(
+        parse_predicate("h = 'absent' AND h > 'aaa'"), lo, hi, {},
+        blooms=b) is False

@@ -777,3 +777,43 @@ def test_merge_schema_evolution(cat, spark):
     )
     t.merge(src2, on="k")
     assert "extra" not in [f.name for f in t.schema_fields()]
+
+
+def test_bloom_columns_skip_high_cardinality_equality(spark, tmp_path):
+    """Bloom-filter skipping: with lakeshed.skipping.bloom-columns set on
+    a high-cardinality string column (too many distincts for the dict
+    index), an equality probe for a value a file provably lacks prunes
+    the file even though min/max straddle it — and results always equal
+    scan+filter (residual applies; bloom false positives only cost I/O)."""
+    from lakeshed.catalog import Catalog
+
+    # two files of 300 hex-ish ids each; ranges interleave so min/max
+    # cannot separate equality probes, and 300 > _MAX_DICT kills the dict
+    df1 = spark.createDataFrame(
+        [(i, f"id-{i:06d}") for i in range(0, 600, 2)], "k int, h string")
+    df2 = spark.createDataFrame(
+        [(i, f"id-{i:06d}") for i in range(1, 600, 2)], "k int, h string")
+    t = Catalog(spark, str(tmp_path / "whb")).create_table(
+        "default.bloomskip", df1.coalesce(1),
+        properties={"lakeshed.skipping.bloom-columns": "h"},
+    )
+    t.append(df2.coalesce(1))
+    live = t.plan_files()
+    assert len(live) == 2
+    assert all(a.blooms.get("h") for a in live)
+    assert not any(a.dicts for a in live)  # beyond the dict cap
+
+    # id-000100 is even → file 1 only; min/max straddle on both files
+    hits = t.plan_files("h = 'id-000100'")
+    assert len(hits) == 1
+    assert t.scan("h = 'id-000100'").count() == 1
+    # a value nobody holds prunes both files
+    assert len(t.plan_files("h = 'id-999999'")) == 0
+    assert t.scan("h = 'id-999999'").count() == 0
+    # non-string columns never get a bloom even when listed
+    t2 = Catalog(spark, str(tmp_path / "whb2")).create_table(
+        "default.bloomint",
+        spark.createDataFrame([(1,)], "k int"),
+        properties={"lakeshed.skipping.bloom-columns": "k"},
+    )
+    assert all(not a.blooms for a in t2.plan_files())
