@@ -572,11 +572,28 @@ class LakeTable:
         self, df: DataFrame, spec: list[str], schema_version: int,
         dict_cols: tuple | None = None,
         bloom_conf: tuple | None = None,
+        distribution_mode: str | None = None,
     ) -> list[AddFile]:
         wid = uuid.uuid4().hex[:12]
         base_rel = os.path.join("data", wid)
         base_abs = os.path.join(self.path, base_rel)
         df, part_cols = self._apply_spec(df, spec)
+        # Iceberg's write.distribution-mode=hash (the partitioned-write
+        # default): cluster rows by partition value BEFORE the write, so
+        # each partition dir is written by the task(s) owning that value
+        # instead of EVERY task writing EVERY dir — without this, a
+        # 1000-task write into 500 partitions sprays 500 000 small files;
+        # with it, file count tracks partition count. Opt out with
+        # lakeshed.write.distribution-mode=none (e.g. to parallelize one
+        # huge hot partition across tasks and let compaction merge later).
+        if part_cols:
+            mode = distribution_mode
+            if mode is None:
+                mode = (self.properties() if self.exists() else {}).get(
+                    "lakeshed.write.distribution-mode", "hash"
+                )
+            if mode == "hash":
+                df = df.repartition(*[F.col(c) for c in part_cols])
         # CHECK constraints ride the write itself via Observation — zero
         # extra scan of the incoming data; violations surface after the
         # write action and abort BEFORE the commit publishes (the files
@@ -696,6 +713,9 @@ class LakeTable:
                 df, spec, 0,
                 dict_cols=self._dict_columns(properties or {}),
                 bloom_conf=self._bloom_columns(properties or {}),
+                distribution_mode=(properties or {}).get(
+                    "lakeshed.write.distribution-mode"
+                ),
             )
             if df.isStreaming is False else []
         )

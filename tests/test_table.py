@@ -817,3 +817,35 @@ def test_bloom_columns_skip_high_cardinality_equality(spark, tmp_path):
         properties={"lakeshed.skipping.bloom-columns": "k"},
     )
     assert all(not a.blooms for a in t2.plan_files())
+
+
+def test_partitioned_write_hash_distribution(spark, tmp_path):
+    """write.distribution-mode=hash (the default for partitioned tables):
+    rows cluster by partition value before the write, so file count
+    tracks partition count instead of tasks × partitions; mode=none
+    restores the spray-from-every-task layout."""
+    from lakeshed.catalog import Catalog
+
+    df = spark.createDataFrame(
+        [(i, ["red", "green", "blue"][i % 3]) for i in range(3000)],
+        "id bigint, color string",
+    ).repartition(8)  # many writing tasks
+
+    t = Catalog(spark, str(tmp_path / "whw")).create_table(
+        "default.hashed", df, partition_by=("color",)
+    )
+    # hash mode: one owning task per color → exactly one file per dir
+    assert len(t.plan_files()) == 3
+    assert t.read().count() == 3000
+
+    t2 = Catalog(spark, str(tmp_path / "whw2")).create_table(
+        "default.sprayed", df, partition_by=("color",),
+        properties={"lakeshed.write.distribution-mode": "none"},
+    )
+    # none: every task writes every color it holds → ~tasks × colors files
+    assert len(t2.plan_files()) > 3
+    assert t2.read().count() == 3000
+    # appends follow the table property too
+    t2.append(df.limit(300))
+    t.append(df.limit(300))
+    assert t.read().count() == t2.read().count() == 3300
