@@ -599,6 +599,12 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
     "pivot_segment_priority",  # PIVOT compiles to the same Expand+agg
                            # shape gated via multi_grain_rollup; demoted
                            # to admit llm_pca_embeddings to the head
+    # late-r6 minor scalar/shape additions, tail-born by design: the
+    # generator machinery is gated via explode_top_tokens, grouped
+    # aggregation via a dozen head gates; both still run the full local
+    # differential at the driver's sf:
+    "unpivot_part_measures",
+    "string_agg_nations",
 )
 
 
@@ -1178,4 +1184,48 @@ def approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("approx_p50") - F.col("exact_p50"))
             <= 0.05 * F.greatest(F.abs(F.col("exact_p50")), F.lit(1.0))
         ).alias("quantile_in_bound"),
+    )
+
+
+@qdef(
+    "unpivot_part_measures",
+    """
+    SELECT p_partkey, 'retail' AS measure, p_retailprice AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    """,
+    "O-unpivot",
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide → long): the ``stack`` generator — one
+    Generate node, no shuffle, row count scales by the measure count.
+    The oracle is the portable UNION ALL formulation of the same melt."""
+    part = load_star(spark, sf_dir, "part")["part"]
+    return part.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retail', p_retailprice,"
+            " 'size', CAST(p_size AS DOUBLE)) AS (measure, val)"
+        ),
+    )
+
+
+@qdef(
+    "string_agg_nations",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+    "A-stringagg",
+)
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): collect_list under an
+    explicit sort — deterministic regardless of partitioning, matching
+    DuckDB's ``string_agg(... ORDER BY)``."""
+    nation = load_star(spark, sf_dir, "nation")["nation"]
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+        .alias("names")
     )
