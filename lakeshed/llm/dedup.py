@@ -661,6 +661,7 @@ def _dedup_clusters_impl(
         .select("id", F.col("id").alias("lbl")),
         "labels0",
     )
+    final_name = "labels0"  # survives max_iter <= 0: identity labels
     for it in range(max_iter):
         nbr = (
             edges.alias("e")

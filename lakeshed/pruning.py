@@ -241,10 +241,23 @@ def _coerce(stat: str, value: Any, op: str = "=") -> tuple[Any, Any] | None:
             return None
     v = str(value)
     ts, tv = _parse_temporal(stat), _parse_temporal(v)
-    if ts is not None and tv is not None and len(stat) != len(v):
-        if op == "=":
-            return ts, tv
-        return None
+    if ts is not None and tv is not None:
+        if ("T" in stat) != ("T" in v):
+            # mixed ' '/'T' separator styles: 'T' (0x54) sorts ABOVE ' '
+            # (0x20), so lexicographic order disagrees with datetime
+            # order even at equal lengths — e.g. stat '2024-01-01
+            # 00:00:02' vs literal '2024-01-01T00:00:01'. Neither the
+            # string nor the datetime comparison is safe under both
+            # column-type interpretations → conservative keep.
+            return None
+        if len(stat) != len(v):
+            # same separator style, different precision (the midnight/
+            # prefix case): within one style the zero-padded grammar
+            # makes lexicographic order agree with datetime order, so
+            # the docstring's '=' argument holds; ranges stay maybe.
+            if op == "=":
+                return ts, tv
+            return None
     return stat, v
 
 
@@ -307,9 +320,15 @@ def _bloom_hashes(value: str, m: int):
 
 
 def bloom_encode(values, m: int) -> str:
-    """Write-side: fold an iterable of strings into a base64 bit array."""
+    """Write-side: fold an iterable of strings into a base64 bit array.
+    ``m`` rounds UP to a multiple of 8: the decode side can only recover
+    the bit count from the byte length, so encoding with a non-aligned
+    modulus would hash to different positions than the probe — systematic
+    false negatives (wrong pruning), the one failure a bloom must never
+    have."""
     import base64
 
+    m = max(8, (m + 7) // 8 * 8)
     bits = bytearray(m // 8)
     for v in values:
         for h in _bloom_hashes(v, m):
@@ -335,16 +354,25 @@ def _dict_may_match(op: str, vals: list[str], value: Any) -> bool | None:
     Returns None when the op isn't dictionary-decidable."""
     if op not in ("=", "!="):
         return None
-    def _eq(stat: str) -> bool:
+    def _eq(stat: str) -> bool | None:
         # op is threaded into _coerce: '!=' refutation needs equality to
         # hold under BOTH type interpretations (mixed-shape temporal →
-        # None → not provably equal → keep).
+        # None → not provably equal → keep). None propagates UP as
+        # undecidable: an uncomparable dict value is not PROVABLY unequal,
+        # so '=' must not prune on its account.
         c = _coerce(stat, value, op)
-        return c is not None and c[0] == c[1]
+        if c is None:
+            return None
+        return c[0] == c[1]
     if op == "=":
-        return any(_eq(s) for s in vals)
-    # !=: refuted only when the file holds exactly {value}
-    return not (len(vals) == 1 and _eq(vals[0]))
+        results = [_eq(s) for s in vals]
+        if any(r is True for r in results):
+            return True
+        if any(r is None for r in results):
+            return None  # some value MIGHT equal under a cast → keep
+        return False
+    # !=: refuted only when the file holds exactly {value}, provably
+    return not (len(vals) == 1 and _eq(vals[0]) is True)
 
 
 def file_may_match(node: Node, lower: dict[str, str], upper: dict[str, str],

@@ -175,14 +175,20 @@ def stream_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return t, q
 
+    from pyspark.errors import StreamingQueryException
+
     global LAST_CHANGELOG_SOURCE
     try:
         out = _changelog_via_socket(spark, _run, lines, bad)
         LAST_CHANGELOG_SOURCE = "socket"
         return out
-    except Exception:
+    except (OSError, TimeoutError, StreamingQueryException):
+        # ONLY environment shapes fall back: bind/connect refused
+        # (OSError incl. PermissionError), TCP delivery never completing
+        # (TimeoutError), or the socket query dying mid-run. Anything
+        # else is a real bug and must surface, not silently rerun via
+        # the file path with LAST_CHANGELOG_SOURCE misreporting why.
         LAST_CHANGELOG_SOURCE = "file"
-        # no listener allowed (or TCP flaked) → same-protocol file
 
     def _write_lines(path: str) -> None:
         bad_df = spark.createDataFrame([(b,) for b in bad], "value string")
@@ -250,17 +256,22 @@ def _changelog_via_socket(spark: SparkSession, run, lines: DataFrame,
             {"processingTime": "0 seconds"},
         )
         # drain: TCP delivery races the first micro-batch, so poll until
-        # the source has ingested every line (incl. the malformed ones)
+        # the source has ingested every line (incl. the malformed ones).
+        # Counts accumulate across polls keyed by batchId — recentProgress
+        # is a BOUNDED buffer (numRecentProgressUpdates, default 100), so
+        # summing it directly could undercount once idle batches evict
+        # the early data-bearing entries.
         expected = len(ordered)
+        seen: dict[int, int] = {}
         deadline = _time.time() + 90
         while _time.time() < deadline:
             q.processAllAvailable()
-            got = sum(
-                int(p["numInputRows"] if isinstance(p, dict)
-                    else p.numInputRows)
-                for p in q.recentProgress
-            )
-            if got >= expected:
+            for p in q.recentProgress:
+                if isinstance(p, dict):
+                    seen[int(p["batchId"])] = int(p["numInputRows"])
+                else:
+                    seen[int(p.batchId)] = int(p.numInputRows)
+            if sum(seen.values()) >= expected:
                 break
             _time.sleep(0.2)
         else:

@@ -237,7 +237,8 @@ def _file_stats(abs_path: str, dict_cols: tuple = (),
     """
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(abs_path).metadata
+    pf = pq.ParquetFile(abs_path)
+    md = pf.metadata
     # merge across row groups in the NATIVE type — stringified ints order
     # lexicographically ('10' < '9') and would corrupt multi-row-group
     # bounds; stringify only once merged.
@@ -280,14 +281,16 @@ def _file_stats(abs_path: str, dict_cols: tuple = (),
     want = [c for c in dict_cols if c in names]
     # blooms are STRING-columns-only by contract (see pruning.py): hash
     # equality has no conservative "maybe" for coerced numerics/temporals
-    import pyarrow as pa
+    bwant = []
+    if bloom_cols:  # schema comes from the already-open handle — no
+        import pyarrow as pa  # second footer read on the default path
 
-    schema = pq.read_schema(abs_path)
-    bwant = [
-        c for c in bloom_cols
-        if c in names and c not in want
-        and pa.types.is_string(schema.field(c).type)
-    ]
+        schema = pf.schema_arrow
+        bwant = [
+            c for c in bloom_cols
+            if c in names and c not in want
+            and pa.types.is_string(schema.field(c).type)
+        ]
     if (want or bwant) and md.num_rows:
         tbl = pq.read_table(abs_path, columns=[*want, *bwant])
         for c in want:
@@ -573,6 +576,7 @@ class LakeTable:
         dict_cols: tuple | None = None,
         bloom_conf: tuple | None = None,
         distribution_mode: str | None = None,
+        constraints: dict | None = None,
     ) -> list[AddFile]:
         wid = uuid.uuid4().hex[:12]
         base_rel = os.path.join("data", wid)
@@ -598,7 +602,7 @@ class LakeTable:
         # extra scan of the incoming data; violations surface after the
         # write action and abort BEFORE the commit publishes (the files
         # are deleted, so atomicity holds: readers never saw them)
-        cons = self.constraints()
+        cons = constraints if constraints is not None else self.constraints()
         obs = None
         if cons:
             from pyspark.sql import Observation
@@ -716,6 +720,14 @@ class LakeTable:
                 distribution_mode=(properties or {}).get(
                     "lakeshed.write.distribution-mode"
                 ),
+                # constraints handed in as create-time properties bind
+                # from row one — the initial load is a write like any
+                # other (self.constraints() can't see them mid-create)
+                constraints={
+                    k[len(self._CONSTRAINT_PREFIX):]: v
+                    for k, v in (properties or {}).items()
+                    if k.startswith(self._CONSTRAINT_PREFIX)
+                },
             )
             if df.isStreaming is False else []
         )
@@ -1089,6 +1101,43 @@ class LakeTable:
         list carries only schema fields."""
         import duckdb
 
+        residual_sql: str | None = None
+        if where is not None:
+            # the predicate is re-executed BY DUCKDB as the residual, so
+            # only the dialect-portable mini-grammar (column vs literal
+            # comparisons, AND/OR/parens — pruning.py) is accepted, and
+            # the residual SQL is REGENERATED from the parsed tree (the
+            # parser normalizes Spark-isms like backticked identifiers,
+            # which DuckDB would reject or misread). Use scan() for
+            # arbitrary Spark-dialect predicates.
+            from lakeshed.pruning import BoolOp, Unknown, parse_predicate
+
+            def _render(n) -> str | None:
+                if isinstance(n, Unknown):
+                    return None
+                if isinstance(n, BoolOp):
+                    l, r = _render(n.left), _render(n.right)
+                    if l is None or r is None:
+                        return None
+                    return f"({l} {n.kind.upper()} {r})"
+                if n.op == "isnull":
+                    return f'"{n.col}" IS NULL'
+                if n.op == "notnull":
+                    return f'"{n.col}" IS NOT NULL'
+                if isinstance(n.value, str):
+                    lit = "'" + n.value.replace("'", "''") + "'"
+                else:
+                    lit = repr(n.value)
+                return f'"{n.col}" {n.op} {lit}'
+
+            residual_sql = _render(parse_predicate(where))
+            if residual_sql is None:
+                raise TableError(
+                    f"to_arrow predicate {where!r} is outside the portable "
+                    "comparison grammar; use scan() for Spark-dialect "
+                    "predicates"
+                )
+
         v = self.head() if version is None else version
         commit, _ = self._state(v)
         kept = self.plan_files(where, version=v)
@@ -1103,6 +1152,13 @@ class LakeTable:
         for a in kept:
             groups.setdefault((a.base, a.schema_version), []).append(a)
 
+        # identity partition columns come from hive DIRS, not parquet
+        # data: DuckDB surfaces the raw segment (so a NULL partition
+        # reads back as the literal '__HIVE_DEFAULT_PARTITION__', and an
+        # int partition infers BIGINT) — map the sentinel to NULL and
+        # always cast to the schema type, like Spark's partition recovery
+        ident_parts = {e for e in commit.partition_spec if "(" not in e}
+
         def _sel(from_fields: list[Field]) -> str:
             by_id = {f.id: f for f in from_fields}
             parts = []
@@ -1114,7 +1170,13 @@ class LakeTable:
                     )
                 else:
                     expr = f'"{old.name}"'
-                    if old.type != f.type:
+                    if old.name in ident_parts:
+                        expr = (
+                            f"CAST(NULLIF(CAST({expr} AS VARCHAR), "
+                            f"'__HIVE_DEFAULT_PARTITION__') AS "
+                            f"{_duck_type(f.type)})"
+                        )
+                    elif old.type != f.type:
                         expr = f"CAST({expr} AS {_duck_type(f.type)})"
                     parts.append(f'{expr} AS "{f.name}"')
             return ", ".join(parts)
@@ -1135,13 +1197,19 @@ class LakeTable:
             )
             selects = [f"SELECT {empty} WHERE 1 = 0"]
         sql = " UNION ALL ".join(selects)
-        if where is not None:
-            # residual re-check: pruning only guarantees kept ⊇ matching
-            sql = f"SELECT * FROM ({sql}) WHERE {where}"
         proj = ", ".join(f'"{f.name}"' for f in out_fields)
+        # MATERIALIZED blocks predicate pushdown into the hive-partition
+        # projection (DuckDB's pushdown through the NULLIF sentinel cast
+        # trips an internal error); the barrier only materializes the
+        # plan_files-pruned sliver, and the residual re-check still runs
+        # (pruning only guarantees kept ⊇ matching).
+        final = f"WITH __scan AS MATERIALIZED ({sql}) " \
+                f"SELECT {proj} FROM __scan"
+        if residual_sql is not None:
+            final += f" WHERE {residual_sql}"
         con = duckdb.connect()
         try:
-            return con.sql(f"SELECT {proj} FROM ({sql})").arrow()
+            return con.sql(final).arrow()
         finally:
             con.close()
 
@@ -1353,15 +1421,33 @@ class LakeTable:
         typical for a micro-batch), and only hit files rewrite.
         """
         keys = [on] if isinstance(on, str) else list(on)
+        head_commit, live = self._state(self.head())
+        fields = head_commit.schemas[str(head_commit.schema_version)]
+        # Schema evolution is TRANSACTIONAL: the evolved schema rides the
+        # merge's own commit (like Delta's withSchemaEvolution) instead of
+        # publishing add-column commits up front — a merge that later
+        # fails (conflict, constraint violation, bad expression) must not
+        # leave the schema mutated.
+        evolved_sv: int | None = None
+        evolved_schemas: dict[str, list[Field]] | None = None
+        added_cols: list[Field] = []
         if evolve_schema:
-            existing = {f.name for f in self.schema_fields()}
+            existing = {f.name for f in fields}
+            next_id = max(f.id for f in fields) + 1
             for sf in source.schema.fields:
                 if (sf.name in existing or sf.name == source_order
                         or sf.name.startswith("__")):
                     continue
-                self.add_column(sf.name, sf.dataType.simpleString())
-        head_commit, live = self._state(self.head())
-        fields = head_commit.schemas[str(head_commit.schema_version)]
+                added_cols.append(
+                    Field(next_id, sf.name, sf.dataType.simpleString(),
+                          True, None)
+                )
+                next_id += 1
+            if added_cols:
+                fields = fields + added_cols
+                evolved_sv = head_commit.schema_version + 1
+                evolved_schemas = dict(head_commit.schemas)
+                evolved_schemas[str(evolved_sv)] = fields
 
         src = source
         if source_order is not None:
@@ -1448,7 +1534,15 @@ class LakeTable:
         # fully materialized anyway).
         tgt_hits: DataFrame | None = None
         if hit_adds:
-            tgt_hits = self._read_files(hit_adds, head_commit).persist()
+            tgt_hits = self._read_files(hit_adds, head_commit)
+            # evolved columns don't exist in the target files yet —
+            # surface them as typed NULLs so the rewrite projection and
+            # the key anti-join see the full evolved schema
+            for f in added_cols:
+                tgt_hits = tgt_hits.withColumn(
+                    f.name, F.lit(None).cast(f.type)
+                )
+            tgt_hits = tgt_hits.persist()
             tgt = tgt_hits
             joined = tgt.alias("t").join(
                 src.alias("s"),
@@ -1507,14 +1601,22 @@ class LakeTable:
         if rewritten_parts:
             out = reduce(DataFrame.unionByName, rewritten_parts)
             adds = self._write_files(
-                out, head_commit.partition_spec, head_commit.schema_version
+                out, head_commit.partition_spec,
+                evolved_sv if evolved_sv is not None
+                else head_commit.schema_version,
             )
         src.unpersist()
         if tgt_hits is not None:
             tgt_hits.unpersist()
+        summary: dict[str, Any] = {"matched-files": len(hit)}
+        if added_cols:
+            summary["evolved-columns"] = ",".join(
+                f.name for f in added_cols
+            )
         return self._commit(
             "merge", adds, sorted(hit),
-            summary={"matched-files": len(hit)},
+            schema_version=evolved_sv, schemas=evolved_schemas,
+            summary=summary,
         )
 
     # --------------------------------------------------------- time travel
@@ -1880,9 +1982,17 @@ class LakeTable:
                     else:
                         per.setdefault(k, []).append(v)
                         saw_null.setdefault(k, False)
+            def _bounds(vs: list[str]) -> tuple[str | None, str | None]:
+                if not vs:
+                    return None, None
+                try:  # numeric partition values: '10' must sort above '9'
+                    key = sorted(vs, key=float)
+                except ValueError:
+                    key = sorted(vs)
+                return key[0], key[-1]
+
             return [
-                (k, saw_null.get(k, False),
-                 min(vs) if vs else None, max(vs) if vs else None)
+                (k, saw_null.get(k, False), *_bounds(vs))
                 for k, vs in sorted(per.items())
             ]
 

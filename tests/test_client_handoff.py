@@ -150,3 +150,38 @@ def test_to_arrow_applies_schema_evolution(spark, tmp_path):
     # equals the Spark read of the same table
     sp = {(r.k, r.name, r.r, r.w) for r in t.read().collect()}
     assert got == sp
+
+
+def test_to_arrow_partition_nulls_types_and_dialect_guard(spark, tmp_path):
+    """Hive-dir recovery edge cases: a NULL partition value reads back as
+    NULL (not the sentinel string), an int partition column keeps its
+    schema width, and Spark-dialect predicates are rejected instead of
+    silently diverging in DuckDB."""
+    import pyarrow as pa
+    import pytest
+
+    from lakeshed.catalog import Catalog
+    from lakeshed.table import TableError
+
+    cat = Catalog(spark, str(tmp_path / "whpn"))
+    t = cat.create_table(
+        "default.pn",
+        spark.createDataFrame(
+            [(1, 7, "x"), (2, None, "y"), (3, 7, "z")],
+            "id bigint, grp int, v string",
+        ),
+        partition_by=("grp",),
+    )
+    at = t.to_arrow()
+    assert at.schema.field("grp").type == pa.int32()  # schema width kept
+    got = {(r["id"], None if r["grp"] != r["grp"] or r["grp"] is None
+            else int(r["grp"]))
+           for _, r in at.to_pandas().iterrows()}
+    assert got == {(1, 7), (2, None), (3, 7)}
+    sp = {(r.id, r.grp) for r in t.read().collect()}
+    assert {(i, g) for i, g in got} == sp
+    # backticked identifiers normalize through the parser and work
+    assert t.to_arrow(where="`grp` = 7").num_rows == 2
+    # engine functions are outside the portable grammar → explicit error
+    with pytest.raises(TableError, match="portable"):
+        t.to_arrow(where="substr(v, 1, 1) = 'x'")

@@ -449,3 +449,32 @@ def test_bloom_prunes_only_equality_on_strings():
     assert file_may_match(
         parse_predicate("h = 'absent' AND h > 'aaa'"), lo, hi, {},
         blooms=b) is False
+
+
+def test_temporal_iso_t_separator_never_prunes_wrongly():
+    """Same-length temporal strings with MIXED ' '/'T' separators must not
+    be compared lexicographically ('T' > ' ' breaks the order-agreement
+    argument): a file whose bounds contain the instant must be kept for
+    an ISO-'T' literal, in both the bounds and the dict path."""
+    from lakeshed.pruning import file_may_match, parse_predicate
+
+    lo = {"ts": "2024-01-01 00:00:00"}
+    hi = {"ts": "2024-01-01 00:00:02"}
+    node = parse_predicate("ts = '2024-01-01T00:00:01'")
+    assert file_may_match(node, lo, hi, {}) is True
+    # dict path: an uncomparable entry is undecidable, not provably absent
+    d = {"ts": ["2024-01-01 00:00:01"]}
+    assert file_may_match(node, lo, hi, {}, d) is True
+    # same-style strings still compare exactly (both refuted here)
+    assert file_may_match(
+        parse_predicate("ts = '2024-01-01 00:00:05'"), lo, hi, {}) is False
+
+
+def test_bloom_bits_round_to_bytes():
+    """A non-multiple-of-8 bit count must not produce false negatives:
+    encode rounds up so probe and encode agree on the modulus."""
+    from lakeshed.pruning import bloom_encode, bloom_may_contain
+
+    vals = [f"doc-{i}" for i in range(50)]
+    b = bloom_encode(vals, 1001)
+    assert all(bloom_may_contain(b, v) for v in vals)

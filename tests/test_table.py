@@ -849,3 +849,73 @@ def test_partitioned_write_hash_distribution(spark, tmp_path):
     t2.append(df.limit(300))
     t.append(df.limit(300))
     assert t.read().count() == t2.read().count() == 3300
+
+
+def test_merge_schema_evolution_is_transactional(cat, spark):
+    """A merge with evolve_schema=True that FAILS (here: the rewrite
+    violates a CHECK constraint) must leave the table untouched —
+    including the schema: the evolved columns ride the merge's own
+    commit, never a separate add-column commit."""
+    from lakeshed.table import ConstraintViolationError
+
+    t = cat.create_table(
+        "default.sevtx",
+        spark.createDataFrame([(1, 5.0)], "k int, price double"),
+    )
+    t.add_constraint("pos", "price > 0")
+    head = t.head()
+    src = spark.createDataFrame(
+        [(1, -1.0, "new")], "k int, price double, note string"
+    )
+    with pytest.raises(ConstraintViolationError):
+        t.merge(src, on="k", evolve_schema=True)
+    # nothing moved: no commit, no schema change
+    assert t.head() == head
+    assert [f.name for f in t.schema_fields()] == ["k", "price"]
+    # and the successful retry evolves + merges in ONE commit
+    ok = t.merge(
+        spark.createDataFrame([(1, 2.0, "new")],
+                              "k int, price double, note string"),
+        on="k", evolve_schema=True,
+    )
+    assert ok.version == head + 1
+    assert ok.summary.get("evolved-columns") == "note"
+    assert {(r.k, r.price, r.note) for r in t.read().collect()} == {
+        (1, 2.0, "new")
+    }
+
+
+def test_create_time_constraints_bind_from_row_one(cat, spark):
+    """CHECK constraints handed in as CREATE-time properties enforce the
+    INITIAL load too — a violating first write aborts the create's data
+    commit instead of slipping in unvalidated."""
+    from lakeshed.table import ConstraintViolationError
+
+    with pytest.raises(ConstraintViolationError):
+        cat.create_table(
+            "default.ctc_bad",
+            spark.createDataFrame([(1, -5.0)], "k int, price double"),
+            properties={"lakeshed.constraint.pos": "price > 0"},
+        )
+    t = cat.create_table(
+        "default.ctc_ok",
+        spark.createDataFrame([(1, 5.0)], "k int, price double"),
+        properties={"lakeshed.constraint.pos": "price > 0"},
+    )
+    assert t.constraints() == {"pos": "price > 0"}
+    with pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(2, -1.0)], "k int, price double"))
+
+
+def test_manifests_numeric_partition_bounds(cat, spark):
+    """partition_summaries must order numeric partition values
+    numerically: with values 2..15, lexicographic min/max would report
+    lower='10' > upper='9'."""
+    df = spark.createDataFrame(
+        [(i, i % 14 + 2) for i in range(100)], "id bigint, grp int"
+    )
+    t = cat.create_table("default.manum", df, partition_by=("grp",))
+    rows = t.manifests().collect()
+    s = {x.field: (x.lower_bound, x.upper_bound)
+         for r in rows for x in r.partition_summaries}
+    assert s["grp"] == ("2", "15")
