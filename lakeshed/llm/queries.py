@@ -934,6 +934,28 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @qdef(
+    "llm_semantic_dedup",
+    # rows-only ON PURPOSE: cluster assignment comes out of an iterative
+    # k-means fit no single SQL statement expresses — the numpy-replica
+    # test + the planted-duplicate test carry value correctness
+    None,
+    "LLM-dedup-semantic", "kmeans",
+)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): k-means the embedding space with the
+    distributed Lloyd's trainer, then drop documents with a ≥0.97-cosine
+    neighbor of smaller id INSIDE their cluster. Pair generation is one
+    shuffle on the cluster id and Σ|cluster|² comparisons — the k-means
+    granularity bounds the quadratic term, never corpus². Rows-only gate
+    (the fit is iterative); the trainer itself is pinned against an exact
+    numpy Lloyd's replica in tests/test_llm.py."""
+    emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.semantic_dedup(
+        emb, k=8, threshold=0.97, iters=4
+    ).orderBy("vec_id")
+
+
+@qdef(
     "llm_pca_embeddings",
     # rows-only ON PURPOSE: eigendecomposition output is solver-specific
     # (LAPACK vs whatever SQL could express) — correctness is pinned by

@@ -510,6 +510,171 @@ def pca_fit(df: DataFrame, dim: int, k: int = 8,
     }
 
 
+# -------------------------------------------------------------- k-means
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Each iteration is ONE pass over the corpus: every Arrow batch assigns
+    its rows to the nearest centroid (one matmul against the k×d broadcast
+    centroid matrix) and reduces to per-cluster partial moments
+    (count, Σx) — so a partition emits at most k rows of d+1 floats and
+    the driver combines partitions × k × (d+1) numbers, independent of
+    row count. Same reduce shape as :func:`pca_fit`; nothing wide ever
+    shuffles. Init is the deterministic hash-sample used by
+    :func:`ivf_index` (smallest ``xxhash64(seed:id)``), so fits are
+    reproducible across partitionings; an emptied cluster keeps its
+    previous centroid. Trained centroids slot straight into
+    :func:`ivf_index`-style assignment for clustered corpora (see its
+    docstring) and into :func:`semantic_dedup`.
+    """
+    init_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.concat_ws(":", F.lit(f"km{seed}"),
+                                        F.col(id_col).cast("string"))))
+        .limit(k)
+        .collect()
+    )
+    cents = np.asarray([list(r[1]) for r in init_rows], dtype=np.float64)
+
+    for _ in range(iters):
+        c = cents  # rebind for closure capture of THIS round's centroids
+
+        def partial(batches, _c=c):
+            cnt = np.zeros(k, dtype=np.int64)
+            s = np.zeros((k, dim))
+            for pdf in batches:
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                a = np.argmin(
+                    ((m[:, None, :] - _c[None, :, :]) ** 2).sum(axis=2)
+                    if k * len(m) * dim <= 2_000_000 else
+                    # large batches: ||x-c||² = ||x||² - 2x·c + ||c||²;
+                    # ||x||² is constant per row → argmin of the matmul form
+                    (-2.0 * (m @ _c.T) + (_c * _c).sum(axis=1)[None, :]),
+                    axis=1,
+                )
+                np.add.at(cnt, a, 1)
+                np.add.at(s, a, m)
+            hit = np.nonzero(cnt)[0]
+            if len(hit):
+                yield pd.DataFrame({
+                    "c": hit.astype("int32"),
+                    "n": cnt[hit],
+                    "s": [s[i].tolist() for i in hit],
+                })
+
+        parts = df.select(vec_col).mapInPandas(
+            partial, schema="c int, n long, s array<double>"
+        ).collect()
+        cnt = np.zeros(k, dtype=np.int64)
+        s = np.zeros((k, dim))
+        for r in parts:
+            cnt[r.c] += r.n
+            s[r.c] += np.asarray(r.s)
+        nxt = cents.copy()
+        hit = cnt > 0
+        nxt[hit] = s[hit] / cnt[hit, None]
+        if np.allclose(nxt, cents, atol=1e-12):
+            cents = nxt
+            break
+        cents = nxt
+    return cents.tolist()
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Tag every vector with its nearest (Euclidean) centroid — one Arrow
+    matmul per batch against the broadcast k×d matrix."""
+    c = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c * c).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        if len(m) == 0:
+            return pd.Series([], dtype="int32")
+        d = -2.0 * (m @ c.T) + c_sq[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.99,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023): k-means
+    the embedding space, then compare pairs ONLY within a cluster and drop
+    every document whose cluster has a ≥``threshold``-cosine neighbor with
+    a smaller id. Returns (id, cluster, keep).
+
+    Scale shape: the cluster id is the join key, so candidate generation
+    is one shuffle on ``cluster`` and the pair count is Σ|cluster|² —
+    bounded by the k-means granularity you choose (SemDeDup used 50k
+    clusters on LAION) — never corpus². The k-means fit itself is
+    :func:`kmeans_fit`'s metadata-scale reduce. True cross-cluster
+    near-dups land in the same cluster with high probability because
+    near-identical embeddings share a nearest centroid unless they
+    straddle a Voronoi boundary — the accepted approximation of the
+    method (raise k for finer boundaries, or run :func:`ann_pairs_lsh`
+    for boundary-oblivious recall).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    cents = kmeans_fit(df, k, dim, iters, id_col, vec_col, seed)
+    tagged = scoped_persist(
+        "semantic_dedup",
+        kmeans_assign(df, cents, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            "cluster",
+        )
+        .withColumn("n", _norm_d(F.col("v"))),
+    )
+    dup = (
+        tagged.alias("a")
+        .join(
+            tagged.alias("b"),
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.id") < F.col("a.id")),
+        )
+        .where(
+            _dot_d(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.n") * F.col("b.n"))
+            >= threshold
+        )
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return (
+        tagged.join(dup.withColumn("dup", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def pca_transform(df: DataFrame, model: dict, vec_col: str = "embedding",
                   out_col: str = "pca") -> DataFrame:
     """Project vectors onto the fitted components: one Arrow batch

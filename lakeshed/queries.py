@@ -599,6 +599,10 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
     "pivot_segment_priority",  # PIVOT compiles to the same Expand+agg
                            # shape gated via multi_grain_rollup; demoted
                            # to admit llm_pca_embeddings to the head
+    "count_distinct_by_segment",  # A4 distinct-agg gated via
+                           # approx_distinct_quantiles' exact twin
+                           # columns; demoted to admit llm_semantic_dedup
+                           # (SemDeDup k-means) to the head
     # late-r6 minor scalar/shape additions, tail-born by design: the
     # generator machinery is gated via explode_top_tokens, grouped
     # aggregation via a dozen head gates; both still run the full local

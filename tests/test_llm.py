@@ -482,3 +482,88 @@ def test_pca_matches_numpy_reference(spark):
     P = np.stack([proj[i] for i in ids])
     assert np.allclose(P, (X - mu) @ W.T, atol=1e-4)  # float32 output
     assert np.allclose(P.var(axis=0), ev, rtol=1e-3)
+
+
+def _blob_df(spark, n_per=20, dim=6, seed=7):
+    """Three well-separated gaussian blobs + ids, deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = np.array(
+        [[10.0] * dim, [-10.0] * dim, [10.0] * (dim // 2) + [-10.0] * (dim - dim // 2)]
+    )
+    rows = []
+    i = 0
+    for b, c in enumerate(centers):
+        for _ in range(n_per):
+            v = (c + rng.normal(0, 0.5, dim)).astype("float32")
+            rows.append((i, [float(x) for x in v], b))
+            i += 1
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, blob int"
+    )
+
+
+def test_kmeans_matches_numpy_lloyds(spark):
+    """The distributed trainer (per-partition partial moments, driver
+    combine) must track a plain numpy Lloyd's run from the SAME init:
+    identical centroid trajectory up to float-reduction tolerance, and
+    the fit must be partitioning-independent."""
+    import numpy as np
+
+    df = _blob_df(spark)
+    X = np.stack([np.array(r.embedding, dtype=np.float64)
+                  for r in df.orderBy("vec_id").collect()])
+    k, iters = 3, 5
+    init = np.array(similarity.kmeans_fit(df, k, X.shape[1], iters=0))
+
+    # numpy reference from the same init
+    c = init.copy()
+    for _ in range(iters):
+        a = np.argmin(((X[:, None, :] - c[None, :, :]) ** 2).sum(2), axis=1)
+        for j in range(k):
+            if (a == j).any():
+                c[j] = X[a == j].mean(axis=0)
+
+    got = np.array(similarity.kmeans_fit(df, k, X.shape[1], iters=iters))
+    assert np.allclose(got, c, atol=1e-8)
+    got7 = np.array(
+        similarity.kmeans_fit(df.repartition(7), k, X.shape[1], iters=iters)
+    )
+    assert np.allclose(got7, c, atol=1e-8)
+
+    # blob recovery: every blob maps to exactly one cluster, all three used
+    tagged = similarity.kmeans_assign(df, got.tolist()).collect()
+    by_blob = {}
+    for r in tagged:
+        by_blob.setdefault(r.blob, set()).add(r.cluster)
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len({next(iter(s)) for s in by_blob.values()}) == 3
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    """SemDeDup: exact copies land in the same k-means cluster by
+    construction, the smaller id survives, every distinct vector keeps.
+    Isotropic gaussian fixture — pairwise cosine of DISTINCT vectors
+    concentrates near 0 at dim=16, so only the planted copies cross the
+    0.999 threshold (blob fixtures are wrong here: same-blob members are
+    near-parallel and would legitimately dedup)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 16)], 0)
+         for i in range(60)],
+        "vec_id bigint, embedding array<float>, blob int",
+    )
+    n = df.count()
+    # plant copies of vec_ids 0, 25, 41 at new higher ids
+    copies = df.where(F.col("vec_id").isin(0, 25, 41)).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "blob"
+    )
+    out = similarity.semantic_dedup(
+        df.unionByName(copies), k=3, threshold=0.999, iters=3
+    ).collect()
+    dropped = {r.vec_id for r in out if not r.keep}
+    assert dropped == {1000, 1025, 1041}
+    assert len(out) == n + 3
