@@ -332,11 +332,15 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_iters: int = 0,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """IVF coarse quantizer: pick ``k`` deterministic seed vectors as
     centroids (smallest ``xxhash64(seed:id)`` — reproducible without a
-    k-means job; swap in k-means centroids for clustered corpora), assign
-    every vector to its nearest centroid by cosine via one Arrow matmul.
+    k-means job), assign every vector to its nearest centroid by cosine
+    via one Arrow matmul. ``train_iters > 0`` refines the seed centroids
+    with that many :func:`kmeans_fit` Lloyd's rounds first (one corpus
+    pass each, metadata-scale reduce) — trained lists are tighter on
+    clustered corpora, so a probe at the same nprobe recalls more.
 
     Returns (assigned frame with a ``list`` column, centroid list). At
     scale: write the assigned frame partitioned by ``list`` so a probe
@@ -344,14 +348,21 @@ def ivf_index(
     index. Complements :func:`lsh_index`: IVF adapts to data geometry
     (centroids live where vectors are), LSH is oblivious but needs no
     training pass."""
-    cent_rows = (
-        df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.concat_ws(":", F.lit(f"ivf{seed}"),
-                                        F.col(id_col).cast("string"))))
-        .limit(k)
-        .collect()
-    )
-    cents = [(r[0], list(r[1])) for r in cent_rows]
+    if train_iters > 0:
+        dim = len(df.select(vec_col).first()[0])
+        cents = list(enumerate(kmeans_fit(
+            df, k, dim, iters=train_iters,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )))
+    else:
+        cent_rows = (
+            df.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.concat_ws(":", F.lit(f"ivf{seed}"),
+                                            F.col(id_col).cast("string"))))
+            .limit(k)
+            .collect()
+        )
+        cents = [(r[0], list(r[1])) for r in cent_rows]
     cn = np.asarray([c[1] for c in cents], dtype=np.float64)
     cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)  # (k, dim)
 
@@ -385,13 +396,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k via IVF: rank centroids against the query
     driver-side, scan only the ``nprobe`` nearest inverted lists, exact
     cosine re-score inside them. Work scales with nprobe/n_lists of the
     corpus; recall follows how tightly neighbors cluster (uniform random
-    fixtures are the worst case — see the unit test's measured bound)."""
-    idx, cents = ivf_index(df, n_lists, id_col, vec_col, seed)
+    fixtures are the worst case — see the unit test's measured bound).
+    ``train_iters`` refines centroids with Lloyd's rounds (see
+    :func:`ivf_index`)."""
+    idx, cents = ivf_index(df, n_lists, id_col, vec_col, seed, train_iters)
     qn = np.asarray(query_vec, dtype=np.float64)
     qn = qn / np.linalg.norm(qn)
     cn = np.asarray([c[1] for c in cents], dtype=np.float64)

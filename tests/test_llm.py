@@ -567,3 +567,27 @@ def test_semantic_dedup_drops_planted_copies(spark):
     dropped = {r.vec_id for r in out if not r.keep}
     assert dropped == {1000, 1025, 1041}
     assert len(out) == n + 3
+
+
+def test_ivf_trained_lists_align_with_structure(spark):
+    """ivf_index(train_iters>0) refines the seed centroids with Lloyd's
+    rounds: on a clustered corpus the inverted lists become pure — every
+    blob maps to exactly one list — which is the recall mechanism the
+    docstring promises for clustered data."""
+    df = _blob_df(spark)
+    idx, cents = similarity.ivf_index(df, k=3, train_iters=3)
+    assert len(cents) == 3
+    lists = {r.id: r.list for r in idx.collect()}
+    blobs = {r.vec_id: r.blob for r in df.collect()}
+    by_blob = {}
+    for i, lst in lists.items():
+        by_blob.setdefault(blobs[i], set()).add(lst)
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len({next(iter(s)) for s in by_blob.values()}) == 3
+    # trained probe returns the true neighbors from inside one blob
+    qv = [float(x) for x in
+          df.where(F.col("vec_id") == 0).first()["embedding"]]
+    got = [r.vec_id for r in similarity.ivf_topk(
+        df.where(F.col("vec_id") != 0), qv, k=5,
+        n_lists=3, nprobe=1, train_iters=3).collect()]
+    assert all(blobs[i] == blobs[0] for i in got)
