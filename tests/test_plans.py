@@ -316,3 +316,22 @@ def test_stream_enrich_dim_join_broadcasts(spark):
     plan = _plan(j)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_pairs_join_on_cluster_key(spark):
+    """semantic_dedup's candidate join must key on the cluster id — the
+    equi-join half of (same cluster, smaller id) — so pair generation is
+    one cluster-hash shuffle of the tagged frame, never a broadcast
+    nested-loop over corpus². The id comparison and the cosine threshold
+    ride along as join-condition/post filters."""
+    from lakeshed.llm import similarity
+
+    df = spark.read.parquet(SF + "/embeddings.parquet")
+    out = similarity.semantic_dedup(df, k=4, threshold=0.99, iters=1)
+    plan = _plan(out)
+    assert "cluster" in plan and (
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
