@@ -349,9 +349,8 @@ def ivf_index(
     (centroids live where vectors are), LSH is oblivious but needs no
     training pass."""
     if train_iters > 0:
-        dim = len(df.select(vec_col).first()[0])
         cents = list(enumerate(kmeans_fit(
-            df, k, dim, iters=train_iters,
+            df, k, None, iters=train_iters,
             id_col=id_col, vec_col=vec_col, seed=seed,
         )))
     else:
@@ -530,7 +529,7 @@ def pca_fit(df: DataFrame, dim: int, k: int = 8,
 def kmeans_fit(
     df: DataFrame,
     k: int,
-    dim: int,
+    dim: int | None = None,
     iters: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -559,6 +558,8 @@ def kmeans_fit(
         .collect()
     )
     cents = np.asarray([list(r[1]) for r in init_rows], dtype=np.float64)
+    if dim is None:  # infer from the init sample — saves a probe job
+        dim = cents.shape[1]
 
     for _ in range(iters):
         c = cents  # rebind for closure capture of THIS round's centroids
@@ -567,6 +568,8 @@ def kmeans_fit(
             cnt = np.zeros(k, dtype=np.int64)
             s = np.zeros((k, dim))
             for pdf in batches:
+                if len(pdf) == 0:  # np.stack raises on an empty batch
+                    continue
                 m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 a = np.argmin(
                     ((m[:, None, :] - _c[None, :, :]) ** 2).sum(axis=2)
@@ -618,9 +621,9 @@ def kmeans_assign(
 
     @F.pandas_udf("int")
     def assign(vs: pd.Series) -> pd.Series:
-        m = np.stack(vs.to_numpy()).astype(np.float64)
-        if len(m) == 0:
+        if len(vs) == 0:  # np.stack raises before a post-hoc len check
             return pd.Series([], dtype="int32")
+        m = np.stack(vs.to_numpy()).astype(np.float64)
         d = -2.0 * (m @ c.T) + c_sq[None, :]
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
@@ -652,8 +655,7 @@ def semantic_dedup(
     method (raise k for finer boundaries, or run :func:`ann_pairs_lsh`
     for boundary-oblivious recall).
     """
-    dim = len(df.select(vec_col).first()[0])
-    cents = kmeans_fit(df, k, dim, iters, id_col, vec_col, seed)
+    cents = kmeans_fit(df, k, None, iters, id_col, vec_col, seed)
     tagged = scoped_persist(
         "semantic_dedup",
         kmeans_assign(df, cents, id_col, vec_col)
