@@ -934,6 +934,40 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @qdef(
+    "llm_doc_chunks",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), c AS (
+        SELECT doc_id, toks,
+               1 + CAST(FLOOR((GREATEST(len(toks) - 64, 0) + 47) / 48.0)
+                        AS INT) AS nch
+        FROM t
+    ), e AS (
+        SELECT doc_id, toks, UNNEST(range(nch)) AS chunk_idx FROM c
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64])
+                AS INT) AS n_tokens,
+           md5(array_to_string(
+               toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '
+           )) AS chunk_digest
+    FROM e
+    """,
+    "LLM-chunking", "context-window",
+)
+def llm_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows at stride 48 (16-token
+    overlap) over every document — the slice-before-embed/train step.
+    Pure JVM sequence+explode+slice, a narrow 1→N flatMap with no
+    shuffle; the oracle replays the identical slicing with DuckDB list
+    slices, so chunk boundaries, tail handling, and digests are
+    value-checked exactly."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    return text.chunk_documents(docs, window=64, stride=48)
+
+
+@qdef(
     "llm_semantic_dedup",
     # rows-only ON PURPOSE: cluster assignment comes out of an iterative
     # k-means fit no single SQL statement expresses — the numpy-replica

@@ -206,6 +206,58 @@ def ngrams(toks: Column, n: int) -> Column:
     return grams
 
 
+def chunk_documents(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with stride overlap
+    — the context-window preprocessing step before embedding or training.
+    Returns (id, chunk_idx, n_tokens, chunk_digest).
+
+    Pure JVM: tokenize once, ``sequence``+``explode`` the chunk indexes,
+    ``slice`` each window out of the shared token array — no Python, no
+    shuffle (a narrow 1→N flatMap; at 100 TB the output partitioning
+    inherits the scan's). Chunk count is 1 + ceil(max(n-window,0)/stride)
+    so a final short tail window is kept (it still holds otherwise-lost
+    tokens) and sub-window documents produce exactly one chunk. Digest
+    over the joined chunk text keeps the output narrow — callers who
+    need the text itself can re-slice by (id, chunk_idx)."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # integer ceil((n-window)/stride) without float rounding hazards
+    extra = F.greatest(n - F.lit(window), F.lit(0))
+    nch = (extra + F.lit(stride - 1)).cast("long") / F.lit(stride)
+    nch = F.floor(nch).cast("int") + F.lit(1)
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"), nch.alias("__nch"))
+        .select(
+            id_col,
+            "__toks",
+            F.explode(
+                F.sequence(F.lit(0), F.col("__nch") - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.slice(
+                F.col("__toks"), F.col("chunk_idx") * stride + 1, window
+            ).alias("__chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("__chunk").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", "__chunk")).alias("chunk_digest"),
+        )
+    )
+
+
 def fingerprint(col: Column | str, ngram: int = 3) -> Column:
     """Deterministic document fingerprint: minimum md5 over word ``ngram``
     shingles of the normalized text (a 1-perm MinHash — stable under small

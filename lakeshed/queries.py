@@ -599,6 +599,10 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
     "pivot_segment_priority",  # PIVOT compiles to the same Expand+agg
                            # shape gated via multi_grain_rollup; demoted
                            # to admit llm_pca_embeddings to the head
+    "explode_top_tokens",  # generator/explode+agg shape gated via
+                           # llm_doc_chunks (sequence+explode+slice) and
+                           # llm_decontaminate (5-gram explode semi-join);
+                           # demoted to admit llm_doc_chunks to the head
     "count_distinct_by_segment",  # A4 distinct-agg gated via
                            # approx_distinct_quantiles' exact twin
                            # columns; demoted to admit llm_semantic_dedup

@@ -591,3 +591,30 @@ def test_ivf_trained_lists_align_with_structure(spark):
         df.where(F.col("vec_id") != 0), qv, k=5,
         n_lists=3, nprobe=1, train_iters=3).collect()]
     assert all(blobs[i] == blobs[0] for i in got)
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunking edges: a sub-window doc yields ONE full-copy chunk; an
+    exact multiple ends on a full window with no empty tail; a remainder
+    doc keeps a short tail chunk holding the leftover tokens; every token
+    index is covered by at least one chunk."""
+    from lakeshed.llm import text
+
+    def doc(i, n):
+        return (i, " ".join(f"w{j}" for j in range(n)))
+
+    # n=10 (< window), n=160 (=64+2*48 exact), n=100 (remainder tail)
+    df = spark.createDataFrame(
+        [doc(1, 10), doc(2, 160), doc(3, 100)], "doc_id bigint, text string"
+    )
+    out = {(r.doc_id, r.chunk_idx): r.n_tokens
+           for r in text.chunk_documents(df, window=64, stride=48).collect()}
+    assert {k[1] for k in out if k[0] == 1} == {0}
+    assert out[(1, 0)] == 10
+    # 160 tokens: chunks at 0..63, 48..111, 96..159 — 3 chunks, all full
+    assert {k[1] for k in out if k[0] == 2} == {0, 1, 2}
+    assert all(out[(2, i)] == 64 for i in range(3))
+    # 100 tokens: 0..63 full, 48..99 tail of 52
+    assert {k[1] for k in out if k[0] == 3} == {0, 1}
+    assert out[(3, 0)] == 64 and out[(3, 1)] == 52
+    # coverage: last chunk of doc 3 reaches token 99 (48 + 52 = 100)
