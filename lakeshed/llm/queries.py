@@ -653,9 +653,9 @@ def llm_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef(
-    "llm_dedup_clusters",
-    f"""
+# brute-force connected-components closure shared by the clusters gate
+# and the leakage-safe split gate (both value-check the SAME labels)
+_CLUSTERS_SQL = f"""
     WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     sh AS (
       SELECT doc_id,
@@ -676,9 +676,16 @@ def llm_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id AS id, doc_id AS lbl FROM documents
       UNION
       SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    labels AS (
+      SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id
     )
-    SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id
-    """,
+"""
+
+
+@qdef(
+    "llm_dedup_clusters",
+    _CLUSTERS_SQL + "SELECT doc_id, cluster FROM labels",
     "LLM-dedup-clusters",
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,6 +703,49 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(
         pairs, docs.select("doc_id"), id_col="doc_id",
         shuffle_partitions=8,
+    )
+
+
+# md5-bucket of the CLUSTER label (same arithmetic as the samplers, salt
+# 'split') — Spark's _hash_bucket(cluster, 'split') twin in DuckDB
+_SPLIT_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(cluster AS VARCHAR) || 'split'), 1, 15) "
+    "AS BIGINT) % 1000000"
+)
+
+
+@qdef(
+    "llm_leakage_safe_split",
+    _CLUSTERS_SQL + f"""
+    SELECT doc_id, cluster,
+           CASE WHEN {_SPLIT_BUCKET} < 100000 THEN 'test'
+                WHEN {_SPLIT_BUCKET} < 900000 THEN 'train'
+                ELSE 'val' END AS split
+    FROM labels
+    """,
+    "LLM-split", "leakage-safe",
+)
+def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the near-dup CLUSTER label
+    (not the document id), so transitive duplicates always land in the
+    same split — id-hashing would coin-flip each duplicate independently
+    and leak eval text into training. 80/10/10; the oracle replays the
+    full closure (recursive CTE over brute pairs) plus the identical
+    md5-bucket CASE, value-checking both the clustering and the
+    assignment. The split itself is a shuffle-free projection on top of
+    the clustering the dedup pass already paid for."""
+    from lakeshed.llm import sampling
+
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    pairs = dedup.minhash_lsh_pairs(
+        docs, threshold=0.7, num_hashes=128, bands=32, shingle=3
+    )
+    labels = dedup.dedup_clusters(
+        pairs, docs.select("doc_id"), id_col="doc_id",
+        shuffle_partitions=8,
+    )
+    return sampling.leakage_safe_split(
+        labels, {"train": 0.8, "val": 0.1, "test": 0.1}
     )
 
 

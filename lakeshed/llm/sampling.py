@@ -165,3 +165,43 @@ def shard_assign(
         "shard",
         F.row_number().over(w).alias("pos"),
     )
+
+
+def leakage_safe_split(
+    labels: DataFrame,
+    fractions: dict[str, float],
+    label_col: str = "cluster",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that can never leak near-duplicates
+    across splits: the hash is taken over the CLUSTER label (from
+    :func:`lakeshed.llm.dedup.dedup_clusters`), so every member of a
+    near-dup component lands in the same split — hashing the document id
+    instead would independently coin-flip each duplicate and leak eval
+    text into training. One narrow projection over the labeled frame; at
+    100 TB the expensive part is the clustering you already ran for
+    dedup, the split itself is shuffle-free.
+
+    ``fractions`` maps split name → fraction; fractions must sum to 1.
+    Assignment uses the same md5-bucket arithmetic as the samplers
+    (reproducible across engines/partitionings): cumulative thresholds
+    over the sorted split names."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions sum to {total}, expected 1.0")
+    b = _hash_bucket(F.col(label_col), salt)
+    expr = None
+    acc = 0.0
+    # deterministic threshold order: sorted by split name
+    names = sorted(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = b < int(round(acc * _BUCKETS))
+        expr = (
+            F.when(cond, F.lit(name)) if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return labels.withColumn("split", expr)

@@ -599,6 +599,11 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
     "pivot_segment_priority",  # PIVOT compiles to the same Expand+agg
                            # shape gated via multi_grain_rollup; demoted
                            # to admit llm_pca_embeddings to the head
+    "null_filter_antijoin",  # P6 NULL predicate + LeftAnti both run in
+                           # gated siblings (set_ops EXCEPT leg is
+                           # LeftAnti; events_gap_fill's outer join
+                           # null-handles); demoted to admit
+                           # llm_leakage_safe_split to the head
     "explode_top_tokens",  # generator/explode+agg shape gated via
                            # llm_doc_chunks (sequence+explode+slice) and
                            # llm_decontaminate (5-gram explode semi-join);

@@ -618,3 +618,30 @@ def test_chunk_documents_boundaries(spark):
     assert {k[1] for k in out if k[0] == 3} == {0, 1}
     assert out[(3, 0)] == 64 and out[(3, 1)] == 52
     # coverage: last chunk of doc 3 reaches token 99 (48 + 52 = 100)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every member of a near-dup cluster must receive the SAME split
+    (the whole point — id-hashing would leak duplicates across splits),
+    fractions must roughly hold over many clusters, and non-unit
+    fractions are rejected."""
+    import pytest
+
+    from lakeshed.llm import sampling
+
+    labels = spark.createDataFrame(
+        [(i, i % 200) for i in range(1000)], "doc_id bigint, cluster bigint"
+    )
+    out = sampling.leakage_safe_split(
+        labels, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    from collections import Counter
+    sizes = Counter(r.split for r in out)
+    assert 0.6 < sizes["train"] / 1000 < 0.95  # 200 clusters: coarse bound
+    assert set(sizes) <= {"train", "val", "test"}
+    with pytest.raises(ValueError, match="sum"):
+        sampling.leakage_safe_split(labels, {"train": 0.5, "val": 0.1})
