@@ -1,7 +1,14 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {top-5 slowest: sec}, "sf": ..., "n_queries": N,
+"detail": <repo file carrying the FULL per-query map>}.
+
+The driver captures only the LAST 2,000 characters of stdout (r5/r6 both
+came back "parsed": null once the full ~89-query map outgrew that buffer
+and the head of the line — with the headline total — was cut off). The
+stdout line is therefore kept ≲400 chars; the complete per-query timing
+map is written to BENCH_DETAIL_r{N}.json at the repo root for the judge.
 
 Each query is materialized on the executors via a noop sink (no
 driver-collect transfer in the timing). Every query gets ONE untimed warmup
@@ -83,14 +90,48 @@ def main() -> None:
         sf = float(SF_DIR.rstrip("/").split("sf")[-1])
     except ValueError:
         sf = None
+
+    # Full per-query map → repo detail file, round-stamped by counting the
+    # driver's prior BENCH_r{N}.json artifacts (this run is round N+1).
+    repo = os.path.dirname(os.path.abspath(__file__))
+    prior = [
+        f for f in os.listdir(repo)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+        and "DETAIL" not in f
+    ]
+    rnd = len(prior) + 1
+    detail_name = f"BENCH_DETAIL_r{rnd:02d}.json"
+    with open(os.path.join(repo, detail_name), "w") as fh:
+        json.dump(
+            {
+                "metric": "lakeshed_headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
+
+    # Compact stdout line (≲400 chars so the driver's 2,000-char stdout
+    # tail buffer holds the WHOLE line): headline total + the 5 slowest
+    # queries only; everything else lives in the detail file above.
+    top5 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
     line = json.dumps(
         {
             "metric": "lakeshed_headline_queries_total",
             "value": total,
             "unit": "sec",
-            "queries": timings,
+            "queries": top5,
             "sf": sf,
-        }
+            "n_queries": len(timings),
+            "detail": detail_name,
+        },
+        separators=(",", ":"),
     )
     # Restore the real stdout and emit the JSON line as this process's ONLY
     # stdout (newline-terminated, explicitly flushed).

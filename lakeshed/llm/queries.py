@@ -779,9 +779,11 @@ _PII_AUG = """
                AS n_urls,
            len(regexp_extract_all(text, '{_PII_P}', {text.PII_MATCH_GROUP}))
                AS n_phones,
-           md5(regexp_replace(regexp_replace(regexp_replace(text,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text,
                '{_PII_E}', '\\1<EMAIL>\\3', 'g'),
                '{_PII_U}', '\\1<URL>\\3', 'g'),
+               '{_PII_P}', '\\1<PHONE>\\3', 'g'),
                '{_PII_P}', '\\1<PHONE>\\3', 'g')) AS redacted_md5
     FROM aug
     """,
@@ -1054,10 +1056,22 @@ def llm_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over the embedding corpus: one-pass partial-moment
     reduction (count/Σx/Σxxᵀ per Arrow batch → driver combine → d×d
     eigh), then a batched projection to 8 components. The whitening /
-    compression step before ANN indexing or clustering at scale."""
+    compression step before ANN indexing or clustering at scale.
+
+    The projection is flattened into 8 scalar double columns c0..c7
+    (rounded to 4 places) rather than one ``array<float>``: the driver's
+    rows-only canonicalizer sorts the pandas frame, and list-valued
+    cells are unhashable/unsortable there (r6's one red gate)."""
     emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
     dim = len(emb.select("embedding").first()[0])
     model = similarity.pca_fit(emb, dim=dim, k=8)
-    return similarity.pca_transform(
+    proj = similarity.pca_transform(
         emb.select("vec_id", "embedding"), model
+    )
+    return proj.select(
+        "vec_id",
+        *[
+            F.round(F.col("pca")[i].cast("double"), 4).alias(f"c{i}")
+            for i in range(8)
+        ],
     )

@@ -492,6 +492,8 @@ def pca_fit(df: DataFrame, dim: int, k: int = 8,
         s = np.zeros(dim)
         ss = np.zeros((dim, dim))
         for pdf in batches:
+            if len(pdf) == 0:  # np.stack raises on an empty batch
+                continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             n += m.shape[0]
             s += m.sum(axis=0)
@@ -701,6 +703,8 @@ def pca_transform(df: DataFrame, model: dict, vec_col: str = "embedding",
 
     @F.pandas_udf("array<float>")
     def project(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # np.stack raises before a post-hoc len check
+            return pd.Series([], dtype="object")
         m = np.stack(vs.to_numpy()).astype(np.float64) - mean
         out = m @ comps.T
         return pd.Series(list(out.astype(np.float32)))

@@ -289,6 +289,17 @@ PII_PATTERNS = {
 }
 PII_MATCH_GROUP = 2
 
+# Redaction pass ORDER, shared by pii_features, the llm_pii_scan oracle,
+# and tests/test_pii_contract.py. The phone pass runs TWICE: its consuming
+# suffix guard eats the single separator between two adjacent phones
+# ("...-4567,555-..."), so one pass leaves the second neighbor's REAL PII
+# unredacted; the second pass catches it identically in Java regex and
+# RE2. Extraction COUNTS stay single-pass (see pii_features docstring).
+PII_REDACTION_PASSES: list[tuple[str, str]] = [
+    *PII_PATTERNS.items(),
+    ("phones", PII_PATTERNS["phones"]),
+]
+
 
 def pii_features(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
@@ -297,7 +308,14 @@ def pii_features(df: DataFrame, text_col: str = "text",
     replaced by a typed tag (``<EMAIL>``/``<URL>``/``<PHONE>``) — the
     scrub-before-training step. One narrow JVM regex projection, no
     shuffle, no Python; the digest lets a pipeline verify the redacted
-    corpus byte-for-byte without storing it twice."""
+    corpus byte-for-byte without storing it twice.
+
+    Count semantics: ``n_*`` columns are SINGLE-pass extraction counts,
+    so the second of two phones separated by one non-digit character is
+    not counted (the first match's consuming suffix guard ate the
+    separator) — identical in both engines. REDACTION runs the phone
+    pass twice (``PII_REDACTION_PASSES``), so that neighbor IS redacted;
+    counts may therefore undercount redacted phones by design."""
     c = F.col(text_col)
     cols = [F.col(id_col)]
     for name, pat in PII_PATTERNS.items():
@@ -307,7 +325,7 @@ def pii_features(df: DataFrame, text_col: str = "text",
             ).alias(f"n_{name}")
         )
     red = c
-    for name, pat in PII_PATTERNS.items():
+    for name, pat in PII_REDACTION_PASSES:
         red = F.regexp_replace(red, pat, f"$1<{name[:-1].upper()}>$3")
     cols.append(F.md5(red.cast("binary")).alias("redacted_md5"))
     return df.select(*cols)

@@ -286,13 +286,20 @@ def _file_stats(abs_path: str, dict_cols: tuple = (),
         import pyarrow as pa  # second footer read on the default path
 
         schema = pf.schema_arrow
+        # a column listed in BOTH properties still gets its bloom
+        # considered: if its distinct count exceeds _MAX_DICT the dict is
+        # dropped, and excluding it here would leave the high-cardinality
+        # column — exactly the case blooms exist for — with neither index.
+        # The bloom is skipped below only when a dict WAS emitted (a dict
+        # is exact, so the bloom would add nothing).
         bwant = [
             c for c in bloom_cols
-            if c in names and c not in want
-            and pa.types.is_string(schema.field(c).type)
+            if c in names and pa.types.is_string(schema.field(c).type)
         ]
     if (want or bwant) and md.num_rows:
-        tbl = pq.read_table(abs_path, columns=[*want, *bwant])
+        tbl = pq.read_table(
+            abs_path, columns=sorted({*want, *bwant})
+        )
         for c in want:
             uniq = tbl.column(c).unique().to_pylist()
             vals = sorted(str(v) for v in uniq if v is not None)
@@ -301,6 +308,8 @@ def _file_stats(abs_path: str, dict_cols: tuple = (),
         from lakeshed.pruning import bloom_encode
 
         for c in bwant:
+            if c in dicts:
+                continue
             uniq = [v for v in tbl.column(c).unique().to_pylist()
                     if v is not None]
             if uniq:
@@ -764,6 +773,16 @@ class LakeTable:
     def schema_ddl(self) -> str:
         return _ddl(self.schema_fields())
 
+    @staticmethod
+    def _next_field_id(schemas: dict[str, list[Field]]) -> int:
+        """Next fresh field id — max over ALL schema versions + 1,
+        Iceberg-style. Allocating from only the CURRENT version would
+        reuse the id of a previously dropped column, and field-id
+        projection would then read old files' dropped-column data as the
+        new column instead of NULL — silent corruption after an
+        add/drop/add (or drop/merge-evolve) sequence."""
+        return max(f.id for fields in schemas.values() for f in fields) + 1
+
     def _evolve(self, operation: str, new_fields: list[Field],
                 summary: dict[str, Any]) -> Commit:
         head_commit = self._read_commit(self.head())
@@ -827,7 +846,10 @@ class LakeTable:
                   for f in self.schema_fields()]
         if any(f.name == name for f in fields):
             raise TableError(f"column {name!r} exists")
-        new = Field(max(f.id for f in fields) + 1, name, type, True, comment)
+        new = Field(
+            self._next_field_id(self._read_commit(self.head()).schemas),
+            name, type, True, comment,
+        )
         if first:
             fields.insert(0, new)
         elif after is not None:
@@ -1433,7 +1455,7 @@ class LakeTable:
         added_cols: list[Field] = []
         if evolve_schema:
             existing = {f.name for f in fields}
-            next_id = max(f.id for f in fields) + 1
+            next_id = self._next_field_id(head_commit.schemas)
             for sf in source.schema.fields:
                 if (sf.name in existing or sf.name == source_order
                         or sf.name.startswith("__")):
@@ -1745,6 +1767,15 @@ class LakeTable:
         head_commit, live = self._state(self.head())
         total = sum(a.bytes for a in live)
         n = max(1, -(-total // target_size_bytes))  # ceil
+        # Compaction shapes its own distribution, so _write_files' default
+        # hash repartition must NOT run afterwards: on a partitioned table
+        # it would re-shuffle the range-partitioned+sorted output by
+        # partition value, silently destroying the sort/z-order clustering
+        # (and the target-files count) this operation promises. The
+        # size-only path on a partitioned table instead DELEGATES to the
+        # hash distribution (file count of a partitioned compaction tracks
+        # partitions, and a prior repartition(n) would only be undone).
+        dist = "none"
         if zorder_by is not None:
             zcols = [zorder_by] if isinstance(zorder_by, str) \
                 else list(zorder_by)
@@ -1762,10 +1793,14 @@ class LakeTable:
                 .repartitionByRange(n, *cols)
                 .sortWithinPartitions(*cols)
             )
+        elif head_commit.partition_spec:
+            df = self.read()
+            dist = "hash"
         else:
             df = self.read().repartition(n)
         adds = self._write_files(
-            df, head_commit.partition_spec, head_commit.schema_version
+            df, head_commit.partition_spec, head_commit.schema_version,
+            distribution_mode=dist,
         )
         summary = {"rewritten-bytes": total, "target-files": n}
         if sort_by is not None:

@@ -19,7 +19,11 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from lakeshed.llm.text import PII_MATCH_GROUP, PII_PATTERNS
+from lakeshed.llm.text import (
+    PII_MATCH_GROUP,
+    PII_PATTERNS,
+    PII_REDACTION_PASSES,
+)
 
 # Each string targets a known Java-vs-RE2 divergence risk or a
 # leftmost-longest ambiguity; several contain matches of multiple
@@ -46,6 +50,10 @@ ADVERSARIAL_CORPUS = [
     # empty-ish and no-PII strings keep both engines honest on zero matches
     "",
     "no pii here, just 12345 and at-sign-free text @ alone . com",
+    # two phones separated by ONE non-digit: the first match's consuming
+    # suffix guard eats the comma, so single-pass extraction sees only the
+    # first — but the SECOND redaction pass must tag the neighbor too
+    "pair 555-123-4567,555-987-6543 tail",
 ]
 
 
@@ -86,19 +94,20 @@ def test_extraction_sequences_identical(spark, duck, name):
 
 
 def test_redacted_text_identical(spark, duck):
-    """Full redaction pipeline — same replacement ORDER as pii_features and
-    the llm_pii_scan oracle (emails, then urls, then phones), compared on
-    the raw redacted text so a divergence is readable, not a hash."""
+    """Full redaction pipeline — same replacement PASSES as pii_features
+    and the llm_pii_scan oracle (emails, urls, phones, phones-again),
+    compared on the raw redacted text so a divergence is readable, not a
+    hash."""
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(ADVERSARIAL_CORPUS)], "i int, s string"
     )
     red = F.col("s")
-    for name, pat in PII_PATTERNS.items():
+    for name, pat in PII_REDACTION_PASSES:
         red = F.regexp_replace(red, pat, f"$1<{name[:-1].upper()}>$3")
     via_spark = {r.i: r.r for r in df.select("i", red.alias("r")).collect()}
 
     sql_red = "s"
-    for name, pat in PII_PATTERNS.items():
+    for name, pat in PII_REDACTION_PASSES:
         tag = f"\\1<{name[:-1].upper()}>\\3"
         sql_red = f"regexp_replace({sql_red}, '{pat}', '{tag}', 'g')"
     via_duck = {
@@ -117,3 +126,18 @@ def test_redacted_text_identical(spark, duck):
     assert "<URL>" in via_spark[0] and "<EMAIL>" not in via_spark[0]
     assert "<PHONE>" in via_spark[2]
     assert via_spark[7] == "<EMAIL> middle text <EMAIL>"
+    # the double phone pass tags BOTH adjacent phones (single-pass
+    # extraction still counts only the first — pinned just below)
+    assert via_spark[10] == "pair <PHONE>,<PHONE> tail"
+
+
+def test_adjacent_phone_counts_stay_single_pass(spark):
+    """pii_features' documented count semantics: the guard-consumed
+    neighbor is NOT counted, even though redaction (double pass) tags it."""
+    from lakeshed.llm.text import pii_features
+
+    df = spark.createDataFrame(
+        [(1, "pair 555-123-4567,555-987-6543 tail")], "doc_id int, text string"
+    )
+    row = pii_features(df).collect()[0]
+    assert row.n_phones == 1

@@ -919,3 +919,72 @@ def test_manifests_numeric_partition_bounds(cat, spark):
     s = {x.field: (x.lower_bound, x.upper_bound)
          for r in rows for x in r.partition_summaries}
     assert s["grp"] == ("2", "15")
+
+
+def test_field_ids_never_reused_after_drop(cat, spark):
+    """Field ids must be allocated from the max id across ALL schema
+    versions (Iceberg-style), never just the current one: reusing a
+    dropped column's id would make field-id projection read old files'
+    dropped-column DATA as the newly added column instead of NULL —
+    silent corruption after an add/drop/add sequence (ADVICE r6)."""
+    t = cat.create_table(
+        "default.fid",
+        spark.createDataFrame([(1, "secret")], "k int, c1 string"),
+    )
+    c1_id = next(f.id for f in t.schema_fields() if f.name == "c1")
+    t.drop_column("c1")
+
+    # add_column path: fresh id, old file reads NULL (not 'secret')
+    t.add_column("c2", "string")
+    c2_id = next(f.id for f in t.schema_fields() if f.name == "c2")
+    assert c2_id > c1_id
+    assert [r.c2 for r in t.read().collect()] == [None]
+
+    # merge-evolve path: same contract after ANOTHER drop
+    t.drop_column("c2")
+    src = spark.createDataFrame([(2, "fresh")], "k int, c3 string")
+    t.merge(src, on="k", evolve_schema=True)
+    c3_id = next(f.id for f in t.schema_fields() if f.name == "c3")
+    assert c3_id > c2_id > c1_id
+    assert {r.k: r.c3 for r in t.read().collect()} == {1: None, 2: "fresh"}
+
+
+def test_compact_sort_clusters_on_partitioned_table(spark, tmp_path):
+    """compact(sort_by) on a PARTITIONED table must keep its range
+    clustering: _write_files' default hash distribution would re-shuffle
+    the repartitionByRange+sortWithinPartitions output by partition value
+    and silently destroy the per-file min/max narrowing the operation
+    promises (ADVICE r6 — prior tests only covered unpartitioned)."""
+    from pyspark.sql import functions as F
+
+    from lakeshed.catalog import Catalog
+
+    df = (
+        spark.range(0, 20_000)
+        .select(
+            (F.col("id") % 2).cast("string").alias("p"),
+            F.xxhash64("id").alias("k"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(8)
+    )
+    t = Catalog(spark, str(tmp_path / "whpc")).create_table(
+        "default.pzt", df, partition_by=("p",)
+    )
+    probe = "k >= 0 AND k < 1000000000000000000"  # ~5% of int64 range
+
+    t.compact(target_size_bytes=16 * 1024, sort_by="k")
+    after_all = len(t.plan_files())
+    after_hit = len(t.plan_files(probe))
+    assert after_all >= 8
+    # range-clustered: the 5%-range probe prunes to a few files; a
+    # partition-value re-shuffle would make every file span the full range
+    assert after_hit <= max(2, after_all // 4)
+    assert t.read().count() == 20_000
+    assert t.read().where(probe).count() == df.where(probe).count()
+
+    # size-only compaction on a partitioned table delegates to the hash
+    # distribution: file count tracks partitions, not a repartition(n)
+    t.compact(target_size_bytes=1024 * 1024 * 1024)
+    assert len(t.plan_files()) == 2
+    assert t.read().count() == 20_000
