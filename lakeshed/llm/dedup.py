@@ -592,6 +592,50 @@ def dedup_clusters(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def build_cluster_table(
+    docs: DataFrame,
+    catalog,
+    name: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle: int = 1,
+    seed: int = 42,
+    shuffle_partitions: int | None = None,
+    mode: str = "error",
+):
+    """Materialize near-dup cluster labels (``id_col``, ``cluster``) to an
+    ACID ``LakeTable`` — the production shape at 100 TB: MinHash-LSH +
+    connected components run ONCE when a corpus lands, and every
+    downstream consumer (leakage-safe split, representative selection,
+    dedup reporting) reads the stored labels instead of re-paying the
+    clustering. Mirrors :func:`build_signature_table`; the LSH/clustering
+    parameters are stamped as table properties so a reader can validate
+    the labels' provenance before trusting them."""
+    pairs = minhash_lsh_pairs(
+        docs, text_col=text_col, id_col=id_col, threshold=threshold,
+        num_hashes=num_hashes, bands=bands, shingle=shingle, seed=seed,
+    )
+    labels = dedup_clusters(
+        pairs, docs.select(id_col), id_col=id_col,
+        shuffle_partitions=shuffle_partitions,
+    )
+    return catalog.create_table(
+        name, labels, mode=mode,
+        properties={
+            "lakeshed.clusters.kind": "minhash-lsh-cc",
+            "lakeshed.clusters.threshold": str(threshold),
+            "lakeshed.clusters.num_hashes": str(num_hashes),
+            "lakeshed.clusters.bands": str(bands),
+            "lakeshed.clusters.shingle": str(shingle),
+            "lakeshed.clusters.seed": str(seed),
+        },
+    )
+
+
 class _Ckpt:
     """Storage-checkpoint harness for iterative jobs: parquet round-trips
     truncate plan lineage; ``keep_only`` deletes every round but the

@@ -114,6 +114,9 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # built signature tables, one per sf_dir (llm_incremental_minhash)
 _SIG_TABLE_CACHE: dict = {}
 
+# materialized cluster-label tables, one per sf_dir (llm_leakage_safe_split)
+_CLUSTER_TABLE_CACHE: dict = {}
+
 # brute all-pairs 3-gram Jaccard ≥ 0.7 — the ground truth BOTH LSH
 # entries (full-corpus and incremental-signature-table) must reproduce
 _MINHASH_ORACLE = f"""
@@ -732,18 +735,30 @@ def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     and leak eval text into training. 80/10/10; the oracle replays the
     full closure (recursive CTE over brute pairs) plus the identical
     md5-bucket CASE, value-checking both the clustering and the
-    assignment. The split itself is a shuffle-free projection on top of
-    the clustering the dedup pass already paid for."""
+    assignment.
+
+    The split consumes a MATERIALIZED cluster-labels table
+    (``dedup.build_cluster_table``, cached per sf_dir like the
+    incremental-signature gate) — the production shape at 100 TB: nobody
+    re-runs LSH + connected components to assign splits; the clustering
+    is paid once when the corpus lands and the split itself is a
+    shuffle-free projection over the stored (doc_id, cluster) rows that
+    never touches corpus text (plan-pinned in tests/test_plans.py)."""
+    import tempfile
+
+    from lakeshed.catalog import Catalog
     from lakeshed.llm import sampling
 
-    docs = load_star(spark, sf_dir, "documents")["documents"]
-    pairs = dedup.minhash_lsh_pairs(
-        docs, threshold=0.7, num_hashes=128, bands=32, shingle=3
-    )
-    labels = dedup.dedup_clusters(
-        pairs, docs.select("doc_id"), id_col="doc_id",
-        shuffle_partitions=8,
-    )
+    if (sf_dir not in _CLUSTER_TABLE_CACHE
+            or not _CLUSTER_TABLE_CACHE[sf_dir].exists()):
+        docs = load_star(spark, sf_dir, "documents")["documents"]
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="lakeshed-clusters-"))
+        _CLUSTER_TABLE_CACHE[sf_dir] = dedup.build_cluster_table(
+            docs, cat, "default.doc_clusters",
+            threshold=0.7, num_hashes=128, bands=32, shingle=3,
+            shuffle_partitions=8,
+        )
+    labels = _CLUSTER_TABLE_CACHE[sf_dir].read()
     return sampling.leakage_safe_split(
         labels, {"train": 0.8, "val": 0.1, "test": 0.1}
     )
