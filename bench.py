@@ -38,6 +38,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # by design — the LSH variants are the benchmarked scale paths).
 SKIP: set[str] = {"llm_embedding_neardup"}
 
+# Methodology disclosures carried into BENCH_DETAIL so per-query numbers
+# stay comparable across rounds (r7 ADVICE: a workload redefinition must
+# be labeled as such, not read as a speedup).
+BENCH_NOTES: dict[str, str] = {
+    "llm_leakage_safe_split": (
+        "Times the split projection over a cluster-labels table "
+        "materialized ONCE at warmup (the production shape: clustering is "
+        "paid at corpus landing, not per split). The one-time LSH + "
+        "connected-components build cost is NOT in this number; it is "
+        "benchmarked separately as llm_dedup_clusters. r6 and earlier "
+        "rounds timed the full recompute here — cross-round deltas for "
+        "this entry are a workload redefinition, not a plan speedup."
+    ),
+}
+
 
 def main() -> None:
     # The driver records bench output from a BOUNDED tail capture of this
@@ -91,29 +106,40 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    # Full per-query map → repo detail file, round-stamped by counting the
-    # driver's prior BENCH_r{N}.json artifacts (this run is round N+1).
+    # Full per-query map → repo detail file. Round stamp: explicit
+    # $SPARK_GRAFT_ROUND when set; fallback counts the driver's prior
+    # BENCH_r{N}.json artifacts (this run is round N+1). Local verify runs
+    # at other scale factors (the verify recipe uses sf0.01) must NOT leave
+    # a wrongly-stamped detail file behind — only the headline sf writes.
     repo = os.path.dirname(os.path.abspath(__file__))
-    prior = [
-        f for f in os.listdir(repo)
-        if f.startswith("BENCH_r") and f.endswith(".json")
-        and "DETAIL" not in f
-    ]
-    rnd = len(prior) + 1
+    rnd_env = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd_env is not None:
+        rnd = int(rnd_env)
+    else:
+        prior = [
+            f for f in os.listdir(repo)
+            if f.startswith("BENCH_r") and f.endswith(".json")
+            and "DETAIL" not in f
+        ]
+        rnd = len(prior) + 1
     detail_name = f"BENCH_DETAIL_r{rnd:02d}.json"
-    with open(os.path.join(repo, detail_name), "w") as fh:
-        json.dump(
-            {
-                "metric": "lakeshed_headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            },
-            fh,
-            indent=1,
-        )
-        fh.write("\n")
+    if sf == 0.1:
+        with open(os.path.join(repo, detail_name), "w") as fh:
+            json.dump(
+                {
+                    "metric": "lakeshed_headline_queries_total",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "notes": BENCH_NOTES,
+                },
+                fh,
+                indent=1,
+            )
+            fh.write("\n")
+    else:
+        detail_name = None
 
     # Compact stdout line (≲400 chars so the driver's 2,000-char stdout
     # tail buffer holds the WHOLE line): headline total + the 5 slowest

@@ -1802,7 +1802,13 @@ class LakeTable:
             df, head_commit.partition_spec, head_commit.schema_version,
             distribution_mode=dist,
         )
-        summary = {"rewritten-bytes": total, "target-files": n}
+        # Commit metadata records what actually ran: the size-only path on
+        # a partitioned table delegates to hash distribution, where n is
+        # NOT the operative file count (files track partition values) —
+        # recording "target-files": n there would be misleading.
+        summary = {"rewritten-bytes": total, "distribution": dist}
+        if dist != "hash":
+            summary["target-files"] = n
         if sort_by is not None:
             summary["sort-by"] = ",".join(cols)
         if zorder_by is not None:

@@ -988,3 +988,124 @@ def test_compact_sort_clusters_on_partitioned_table(spark, tmp_path):
     t.compact(target_size_bytes=1024 * 1024 * 1024)
     assert len(t.plan_files()) == 2
     assert t.read().count() == 20_000
+
+
+def test_sql_router_namedarg_call_procedures(cat, nation):
+    """D17/D18 named-arg CALL forms — the verbatim notebook cells
+    (Table Maintenance Spark Procedures.ipynb cells 9/13): catalog-prefixed
+    procedure names (``demo.system.``), ``name => value`` arrows, a
+    ``TIMESTAMP '...'`` literal, and an ``options => map(...)`` literal."""
+    cat.create_database("nyc")
+    t = cat.create_table("nyc.taxis_sample", nation)
+    for _ in range(3):
+        t.append(nation.limit(2))
+    files_before = t.files().count()
+
+    out = cat.sql(
+        "CALL demo.system.rewrite_data_files(table => 'nyc.taxis_sample', "
+        "options => map('target-file-size-bytes','52428800'))"
+    )
+    row = out.first()
+    assert row["rewritten_data_files_count"] == files_before
+    assert row["added_data_files_count"] >= 1
+    assert t.read().count() == nation.count() + 6
+
+    # expire everything older than "now" but retain the last snapshot —
+    # exactly the notebook's post-compaction cleanup cell
+    import time as _time
+
+    now_str = _time.strftime("%Y-%m-%d %H:%M:%S") + ".000"
+    # the TIMESTAMP literal is wall-clock "now": commits made this test run
+    # are older than it, so everything but the retained head expires
+    _time.sleep(0.01)
+    out = cat.sql(
+        "CALL demo.system.expire_snapshots(table => 'nyc.taxis_sample', "
+        f"older_than => TIMESTAMP '{now_str}', retain_last => 1)"
+    )
+    assert out.first()["deleted_snapshots_count"] >= 1
+    assert t.snapshots().count() == 1
+    assert t.read().count() == nation.count() + 6
+
+    # positional forms still route (Integrated Audits Demo.ipynb cell 52)
+    t.append(nation.limit(1))
+    ms = int(_time.time() * 1000) + 1000
+    out = cat.sql(f"CALL system.expire_snapshots('nyc.taxis_sample', {ms}, 1)")
+    assert out.first()["deleted_snapshots_count"] == 1
+
+    # sort-strategy named form clusters the rewrite
+    out = cat.sql(
+        "CALL demo.system.rewrite_data_files(table => 'nyc.taxis_sample', "
+        "strategy => 'sort', sort_order => 'n_nationkey')"
+    )
+    assert out.first()["added_data_files_count"] >= 1
+    head = t._read_commit(t.head())
+    assert head.summary.get("sort-by") == "n_nationkey"
+    assert head.summary.get("distribution") == "none"
+
+
+def test_sql_merge_into_matches_api_merge(cat, spark):
+    """W5/W6 — MERGE INTO SQL text ≡ the API merge on the changelog
+    fixture: UPDATE SET * / conditional DELETE / INSERT *, including the
+    within-batch netting caveat (the SQL source here is pre-deduped per
+    key, the shape a Spark MERGE requires)."""
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k int, name string, v int",
+    )
+    src_rows = [(2, "b2", 21, "U"), (3, "c", 30, "D"), (4, "d", 40, "I")]
+    src = spark.createDataFrame(src_rows, "k int, name string, v int, op string")
+
+    cat.create_database("db")
+    t_sql = cat.create_table("db.target_sql", base)
+    t_api = cat.create_table("db.target_api", base)
+    src.createOrReplaceTempView("changes")
+
+    cat.sql("""
+        MERGE INTO db.target_sql AS t
+        USING changes AS c
+        ON t.k = c.k
+        WHEN MATCHED AND c.op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED AND c.op <> 'D' THEN INSERT *
+    """)
+    t_api.merge(
+        src, on="k",
+        when_matched_update="*",
+        when_matched_delete="op = 'D'",
+        when_not_matched_insert="op <> 'D'",
+    )
+    got = sorted(map(tuple, t_sql.read().select("k", "name", "v").collect()))
+    want = sorted(map(tuple, t_api.read().select("k", "name", "v").collect()))
+    assert got == want == [(1, "a", 10), (2, "b2", 21), (4, "d", 40)]
+
+
+def test_sql_merge_into_subquery_source_and_assignments(cat, spark):
+    """MERGE variants: parenthesized SELECT source, explicit SET
+    assignments with expressions over both aliases, and a conditional
+    UPDATE (compiled to CASE WHEN so unmatched-condition rows keep their
+    target values)."""
+    base = spark.createDataFrame(
+        [(1, 100, "keep"), (2, 200, "keep"), (3, 300, "keep")],
+        "k int, v int, tag string",
+    )
+    src = spark.createDataFrame(
+        [(1, 5, True), (2, 7, False), (9, 9, True)],
+        "k int, delta int, apply boolean",
+    )
+    cat.create_database("db")
+    t = cat.create_table("db.tgt", base)
+    src.createOrReplaceTempView("deltas")
+
+    cat.sql("""
+        MERGE INTO db.tgt
+        USING (SELECT k, delta, apply FROM deltas) AS d
+        ON db.tgt.k = d.k
+        WHEN MATCHED AND d.apply THEN UPDATE SET v = db.tgt.v + d.delta,
+                                                  tag = 'bumped'
+    """)
+    got = {r.k: (r.v, r.tag) for r in t.read().collect()}
+    assert got[1] == (105, "bumped")     # condition true: updated
+    assert got[2] == (200, "keep")       # condition false: untouched
+    assert got[3] == (300, "keep")       # unmatched target: untouched
+    assert 9 not in got                  # no INSERT clause: source-only row
+    assert len(got) == 3
