@@ -72,8 +72,15 @@ class Catalog:
         parts = name.split(".")
         if len(parts) == 1:
             parts = ["default", parts[0]]
+        if len(parts) == 3:
+            # catalog-qualified names — the reference notebooks address
+            # tables as ``demo.nyc.taxis_sample`` (``spark.sql("CREATE
+            # TABLE demo.nyc.taxis_sample ...")`` in Table Maintenance
+            # Spark Procedures.ipynb); this Catalog instance IS the
+            # catalog, so the leading part only names it
+            parts = parts[1:]
         if len(parts) != 2:
-            raise TableError(f"table name {name!r} is not [db.]table")
+            raise TableError(f"table name {name!r} is not [catalog.][db.]table")
         return os.path.join(self.warehouse, *parts)
 
     def table(self, name: str) -> LakeTable:

@@ -810,7 +810,17 @@ def llm_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     The md5 of the redacted text value-checks the REDACTION itself, not
     just the counts; patterns are shared constants so Spark (Java regex)
     and the oracle (RE2) provably run the same scan. Narrow projection,
-    no shuffle."""
+    no shuffle.
+
+    Count/redaction asymmetry (deliberate, test-pinned): ``n_phones``
+    counts matches in a SINGLE regex pass, while redaction runs the
+    phone pass TWICE so the second of two ADJACENT phone numbers —
+    invisible to pass one because the first match consumed its boundary
+    context — is still tagged. A consumer reconciling ``n_*`` counts
+    against ``<PHONE>`` tags in the redacted text may therefore see more
+    tags than counted phones on adjacent-phone rows; counts answer "how
+    much PII did the scan find", the redacted text answers "is it all
+    gone", and the latter is the privacy guarantee."""
     docs = load_star(spark, sf_dir, "documents")["documents"]
     did = F.col("doc_id").cast("string")
     aug = docs.select(
@@ -1089,4 +1099,36 @@ def llm_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pca")[i].cast("double"), 4).alias(f"c{i}")
             for i in range(8)
         ],
+    )
+
+@qdef(
+    "llm_kmeans_clusters",
+    # rows-only ON PURPOSE: the centroids come out of an iterative
+    # Lloyd's fit no single SQL statement expresses — value correctness
+    # is pinned by tests/test_llm.py::test_kmeans_matches_numpy_lloyds
+    # (trainer ≡ numpy replica, partitioning-independent) and
+    # test_kmeans_clusters_query_matches_numpy (this query's assignments
+    # + distances ≡ the numpy replica end to end)
+    None,
+    "LLM-kmeans", "clustering",
+)
+def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means clustering of the embedding corpus — the
+    IVF coarse quantizer / SemDeDup granularity step as a first-class
+    output: (vec_id, cluster, dist). Each Lloyd's round is ONE corpus
+    pass reducing to k×(d+1) partial moments (count, Σx) per partition —
+    driver combine is metadata-scale, independent of row count — and
+    assignment is one Arrow matmul per batch against the broadcast k×d
+    centroid matrix (``similarity.kmeans_fit``/``kmeans_assign``).
+    Distances are rounded to 4 places and the frame is ordered so the
+    rows-only canonicalizer sees a stable shape."""
+    emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
+    cents = similarity.kmeans_fit(emb, k=8, iters=3)
+    return (
+        similarity.kmeans_assign(emb, cents, dist_col="dist")
+        .select(
+            "vec_id", "cluster",
+            F.round(F.col("dist"), 4).alias("dist"),
+        )
+        .orderBy("vec_id")
     )

@@ -615,21 +615,46 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "cluster",
+    dist_col: str | None = None,
 ) -> DataFrame:
     """Tag every vector with its nearest (Euclidean) centroid — one Arrow
-    matmul per batch against the broadcast k×d matrix."""
+    matmul per batch against the broadcast k×d matrix. ``dist_col`` also
+    emits the Euclidean distance to that centroid (same matmul — the
+    min is read off the distance matrix the argmin already built)."""
     c = np.asarray(centroids, dtype=np.float64)
     c_sq = (c * c).sum(axis=1)
 
-    @F.pandas_udf("int")
-    def assign(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:  # np.stack raises before a post-hoc len check
-            return pd.Series([], dtype="int32")
-        m = np.stack(vs.to_numpy()).astype(np.float64)
-        d = -2.0 * (m @ c.T) + c_sq[None, :]
-        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+    if dist_col is None:
+        @F.pandas_udf("int")
+        def assign(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:  # np.stack raises before a post-hoc len check
+                return pd.Series([], dtype="int32")
+            m = np.stack(vs.to_numpy()).astype(np.float64)
+            d = -2.0 * (m @ c.T) + c_sq[None, :]
+            return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
-    return df.withColumn(out_col, assign(F.col(vec_col)))
+        return df.withColumn(out_col, assign(F.col(vec_col)))
+
+    @F.pandas_udf("cluster int, dist double")
+    def assign_d(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"cluster": pd.Series([], dtype="int32"),
+                                 "dist": pd.Series([], dtype="float64")})
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        # ||x-c||² = ||x||² - 2x·c + ||c||² ; the matmul form never
+        # materializes the n×k×d difference tensor
+        d = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + c_sq[None, :]
+        a = np.argmin(d, axis=1)
+        dist = np.sqrt(np.maximum(d[np.arange(len(a)), a], 0.0))
+        return pd.DataFrame({"cluster": a.astype("int32"), "dist": dist})
+
+    tmp = f"__{out_col}_assign"
+    return (
+        df.withColumn(tmp, assign_d(F.col(vec_col)))
+        .withColumn(out_col, F.col(f"{tmp}.cluster"))
+        .withColumn(dist_col, F.col(f"{tmp}.dist"))
+        .drop(tmp)
+    )
 
 
 def semantic_dedup(

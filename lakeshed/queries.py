@@ -618,6 +618,12 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
     # differential at the driver's sf:
     "unpivot_part_measures",
     "string_agg_nations",
+    # round-8 rotation: admits llm_kmeans_clusters (the k-means/IVF
+    # trainer's driver-gated row, VERDICT r07 #1) to the head. Demoted:
+    "llm_hash_rank_sample",  # md5-bucket hash-rank arithmetic gated via
+                             # llm_shard_assign (same bucket kernel) and
+                             # llm_leakage_safe_split (md5-bucket CASE
+                             # oracle-checked end to end)
 )
 
 

@@ -645,3 +645,40 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert set(sizes) <= {"train", "val", "test"}
     with pytest.raises(ValueError, match="sum"):
         sampling.leakage_safe_split(labels, {"train": 0.5, "val": 0.1})
+
+
+def test_kmeans_clusters_query_matches_numpy(spark):
+    """End-to-end value pin for the rows-only llm_kmeans_clusters gate:
+    the query's (cluster, dist) per vector must equal a plain numpy
+    Lloyd's replica run from the same deterministic hash-sample init on
+    the same sf0.001 corpus."""
+    import numpy as np
+
+    from lakeshed.io import load_star
+    from lakeshed.llm.queries import llm_kmeans_clusters
+
+    sf_dir = os.environ.get("LAKESHED_TEST_SF", "/root/testdata/sf0.001")
+    emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+
+    k, iters = 8, 3
+    c = np.array(similarity.kmeans_fit(emb, k, X.shape[1], iters=0))
+    for _ in range(iters):
+        d = ((X[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)
+        for j in range(k):
+            if (a == j).any():
+                c[j] = X[a == j].mean(axis=0)
+    d = ((X[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(d, axis=1)
+    dist = np.sqrt(d[np.arange(len(a)), a])
+
+    got = llm_kmeans_clusters(spark, sf_dir).collect()
+    assert len(got) == len(ids)
+    want = {int(i): (int(cl), float(dd)) for i, cl, dd in zip(ids, a, dist)}
+    for r in got:
+        wc, wd = want[r.vec_id]
+        assert r.cluster == wc, (r.vec_id, r.cluster, wc)
+        assert abs(r.dist - wd) < 5e-4, (r.vec_id, r.dist, wd)

@@ -390,3 +390,15 @@ def test_semantic_dedup_pairs_join_on_cluster_key(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_chunks_no_exchange_between_scan_and_explode(spark):
+    """llm_doc_chunks claims a shuffle-free 1→N flatMap (sequence +
+    explode + slice): the whole plan must contain NO Exchange at all —
+    chunking is embarrassingly parallel over input partitions, and any
+    shuffle here would move the full corpus text at 100 TB."""
+    from lakeshed.llm.queries import llm_doc_chunks
+
+    plan = _plan(llm_doc_chunks(spark, SF))
+    assert "Generate" in plan or "Explode" in plan  # the 1→N generator
+    assert "Exchange" not in plan

@@ -459,3 +459,86 @@ def test_changelog_gate_runs_on_real_tcp_socket(spark, monkeypatch):
     assert sq.LAST_CHANGELOG_SOURCE == "file"
     assert {(r.block_number, r.hash) for r in via_file.collect()} == \
         socket_rows
+
+
+def test_restart_recovery_mid_stream_crash_exactly_once(spark, tmp_path):
+    """T2 exactly-once across PROCESS restarts (not just batch replay):
+    the query is killed mid-stream — after batch 0's MERGE landed in the
+    table but BEFORE Structured Streaming wrote that batch's checkpoint
+    commit — then restarted from the same checkpointLocation over
+    OVERLAPPING input (the already-applied file still sits in the source
+    directory). Recovery must (a) replay the uncommitted batch, which the
+    last-wins MERGE absorbs idempotently, (b) never reprocess a
+    checkpoint-committed file, and (c) process the remaining file once —
+    final state == the single-application python replay."""
+    import pytest as _pytest
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    table = cat.create_table(
+        "default.blocks_rr",
+        schema="block_number int, hash string, type string",
+    )
+    batch1 = ["I,1,a", "I,2,b", "I,3,c"]
+    batch2 = ["D,2,x", "I,3,c2", "I,4,d"]
+    (src_dir / "b0.txt").write_text("\n".join(batch1) + "\n")
+    (src_dir / "b1.txt").write_text("\n".join(batch2) + "\n")
+    # the file source orders batches by modification time; force distinct
+    # mtimes so b0 is deterministically the first micro-batch
+    now = os.stat(src_dir / "b1.txt").st_mtime
+    os.utime(src_dir / "b0.txt", (now - 10, now - 10))
+
+    def crash_hook(batch, batch_id):
+        # runs AFTER table.merge() inside foreachBatch: the table mutation
+        # is durable, the streaming commit for this batch is not — the
+        # exact crash window that breaks naive at-least-once sinks
+        raise RuntimeError("injected mid-stream crash")
+
+    def lines_df():
+        return (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src_dir))
+        )
+
+    q = changelog_upsert(
+        parse_changelog(lines_df()).drop("ts"), table,
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+        batch_hook=crash_hook,
+    )
+    with _pytest.raises(Exception, match="injected mid-stream crash"):
+        q.awaitTermination(120)
+    # the crash hit mid-stream: batch 0's merge landed, batch 1 never ran
+    assert {r.block_number: r.hash for r in table.read().collect()} == \
+        {1: "a", 2: "b", 3: "c"}
+    head_after_crash = table.head()
+
+    # process "restart": a NEW query object over the same checkpoint +
+    # source directory, no crash hook, overlapping input still present
+    q2 = changelog_upsert(
+        parse_changelog(lines_df()).drop("ts"), table,
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(120)
+
+    assert {r.block_number: r.hash for r in table.read().collect()} == \
+        {1: "a", 3: "c2", 4: "d"}
+    # recovery replayed exactly the uncommitted batch + the new file:
+    # two merge commits after the crash head, not three (b0 was NOT
+    # reprocessed a second time after its checkpoint commit landed)
+    merges_after = [
+        v for v in table._versions() if v > head_after_crash
+    ]
+    assert len(merges_after) == 2
+
+    # a further restart with no new input is a clean no-op
+    q3 = changelog_upsert(
+        parse_changelog(lines_df()).drop("ts"), table,
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q3.awaitTermination(120)
+    assert table.head() == max(merges_after)

@@ -1109,3 +1109,25 @@ def test_sql_merge_into_subquery_source_and_assignments(cat, spark):
     assert got[3] == (300, "keep")       # unmatched target: untouched
     assert 9 not in got                  # no INSERT clause: source-only row
     assert len(got) == 3
+
+
+def test_catalog_qualified_three_part_names(cat, nation):
+    """The reference notebooks address tables catalog-qualified
+    (``demo.nyc.taxis_sample`` — Table Maintenance Spark Procedures
+    .ipynb creates and CALLs with that exact name). The Catalog instance
+    is the catalog, so the leading part resolves to the same table."""
+    cat.create_database("nyc")
+    cat.sql("""
+        CREATE TABLE demo.nyc.taxis_sample (
+            VendorID BIGINT, fare DOUBLE
+        ) USING iceberg
+    """)
+    t = cat.table("nyc.taxis_sample")          # 2-part sees the 3-part DDL
+    t.insert_values((1, 9.5))
+    assert cat.sql(
+        "SELECT count(*) AS c FROM nyc.taxis_sample"
+    ).first()["c"] == 1
+    out = cat.sql(
+        "CALL demo.system.rewrite_data_files(table => 'demo.nyc.taxis_sample')"
+    )
+    assert out.first()["added_data_files_count"] >= 1
