@@ -1157,14 +1157,23 @@ def datetime_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @qdef(
     "approx_distinct_quantiles",
-    # No SQL oracle ON PURPOSE: HLL++ and t-digest/GK estimates are
-    # engine-specific by construction (DuckDB's sketches produce different
-    # values), so a hash compare is impossible for a genuinely approximate
-    # operator. The query is self-validating instead — it computes the
-    # EXACT answers alongside and emits per-row error-bound booleans that
-    # tests/test_queries_ext.py pins to all-true; the driver records the
-    # rows-only check.
-    None,
+    # The raw HLL++/percentile-sketch ESTIMATES are engine-specific by
+    # construction (DuckDB's sketches produce different values), so they
+    # cannot appear in a hash-compared output. What IS cross-engine
+    # checkable — and what this oracle checks — is (a) the exact twin
+    # aggregates, value-for-value, and (b) the sketch error-bound
+    # PROPERTY: Spark computes `|approx − exact| ≤ bound` per row and the
+    # oracle asserts the literal TRUE. A sketch drifting out of its
+    # declared bound turns the driver's gate red. The raw estimates stay
+    # observable via _approx_sketch_frame / tests/test_queries_ext.py.
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           round(quantile_cont(value, 0.50), 4) AS exact_p50,
+           TRUE AS hll_in_bound,
+           TRUE AS quantile_in_bound
+    FROM events GROUP BY event_type
+    """,
     "A-approx", "HLL", "quantile-sketch",
 )
 def approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1173,7 +1182,18 @@ def approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of every key) and approx percentiles (one pass, mergeable
     partial sketches) per event type, with exact twins and in-bound
     flags. At scale you drop the exact twins; they exist here to make
-    the error bound an assertable output instead of a docstring claim."""
+    the error bound an assertable, oracle-checked output instead of a
+    docstring claim."""
+    return _approx_sketch_frame(spark, sf_dir).select(
+        "event_type", "exact_users", "exact_p50",
+        "hll_in_bound", "quantile_in_bound",
+    )
+
+
+def _approx_sketch_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches + exact twins + error-bound flags, raw estimates
+    included (pytest pins estimate-vs-exact here; the gated projection
+    above drops the engine-specific raw values)."""
     ev = load_star(spark, sf_dir, "events")["events"]
     # Sketches and exact twins in SEPARATE aggregations, joined on the
     # tiny group key: one combined agg plans count(distinct) via a

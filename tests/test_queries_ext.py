@@ -17,18 +17,27 @@ SF_DRIVER = os.environ.get("LAKESHED_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 def test_approx_sketches_within_declared_bounds(spark):
-    """approx_distinct_quantiles is rows-only at the gate (HLL/t-digest
-    values are engine-specific), so the error bound is pinned HERE, at
-    both the local and the driver's scale factor."""
-    q = spark_queries()["approx_distinct_quantiles"]
+    """The gated approx_distinct_quantiles hash-checks exact twins +
+    error-bound flags (raw sketch values are engine-specific and
+    excluded from the compared output); the RAW estimates are pinned
+    HERE against their exact twins, at both the local and the driver's
+    scale factor."""
+    from lakeshed.queries import _approx_sketch_frame
+
     for sf in (SF, SF_DRIVER):
-        rows = q(spark, sf).collect()
+        rows = _approx_sketch_frame(spark, sf).collect()
         assert rows
         assert all(r.hll_in_bound for r in rows), sf
         assert all(r.quantile_in_bound for r in rows), sf
         # the sketch columns must be genuine estimates of the exact twins
         for r in rows:
             assert abs(r.approx_users - r.exact_users) <= r.exact_users
+    # the gated projection drops the raw estimates and keeps the flags
+    gated = spark_queries()["approx_distinct_quantiles"](spark, SF)
+    assert set(gated.columns) == {
+        "event_type", "exact_users", "exact_p50",
+        "hll_in_bound", "quantile_in_bound",
+    }
 
 
 def test_quality_rules_discriminate_and_conjoin(spark):
