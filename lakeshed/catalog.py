@@ -159,6 +159,28 @@ class Catalog:
             self.create_database(m.group(1))
             return None
         m = re.match(
+            r"create table (?:if not exists )?([\w.]+)\s*"
+            r"(?:using \w+\s*)?(?:partitioned by \((.*?)\)\s*)?"
+            r"(?:tblproperties \((.*?)\)\s*)?as\s+(select\b.+)$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # W1 — CTAS: the SQL twin of ``df.write.saveAsTable``
+            # (Getting Started.ipynb's create-then-insert collapsed to the
+            # statement a Spark SQL user types first)
+            name, part, props, select = m.groups()
+            if "if not exists" in low and self._exists(name):
+                return None
+            self.create_table(
+                name,
+                df=self.sql(select),
+                partition_by=tuple(
+                    p.strip() for p in _split_top(part or "") if p.strip()
+                ),
+                properties=_parse_props(props),
+            )
+            return None
+        m = re.match(
             r"create table (?:if not exists )?([\w.]+)\s*\((.*?)\)\s*"
             r"(?:using \w+\s*)?(?:partitioned by \((.*?)\)\s*)?"
             r"(?:tblproperties \((.*?)\)\s*)?$",
@@ -239,6 +261,24 @@ class Catalog:
         )
         if m:
             self.table(m.group(1)).drop_constraint(m.group(2))
+            return None
+        m = re.match(
+            r"insert overwrite (?:table )?([\w.]+)\s+(select\b.+|values\b.+)$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # INSERT OVERWRITE — one ATOMIC commit swapping the live file
+            # set (Iceberg dynamic-overwrite semantics on an unpartitioned
+            # spec; readers pin the old snapshot until the commit lands,
+            # and time travel still reaches it)
+            tbl, rest = m.group(1), m.group(2)
+            df = (
+                self.sql(rest) if rest.lower().startswith("select")
+                else self.spark.sql(f"SELECT * FROM {rest}")
+            )
+            t = self.table(tbl)
+            df = df.toDF(*[f.name for f in t.schema_fields()])
+            t.overwrite(df, branch=self.write_branch())
             return None
         m = re.match(
             r"insert into ([\w.]+) (select .+|values .+)$", s,
@@ -340,6 +380,12 @@ class Catalog:
                 self.table(m.group(1)).alter_column(
                     m.group(2), after=m.group(4)
                 )
+            return None
+        m = re.match(r"alter table ([\w.]+) drop column (\w+)$", low)
+        if m:
+            # D6-D8 family — DROP COLUMN (field-id projection keeps old
+            # files readable; the id is never reused)
+            self.table(m.group(1)).drop_column(m.group(2))
             return None
         m = re.match(
             r"alter table ([\w.]+) rename column (\w+) to (\w+)", low

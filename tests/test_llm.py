@@ -405,6 +405,31 @@ def test_dedup_clusters_star_equals_label_and_converges_fast(spark):
     assert {r.id: r.cluster for r in public.collect()} == want
 
 
+def test_star_round_count_scales_logarithmically(spark):
+    """When to prefer algorithm='star': round count. On a 200-node path
+    (diameter 199 — the adversarial shape for min-label propagation,
+    which needs O(diameter) rounds) large-star/small-star must converge
+    in O(log n) rounds. 4× the 50-path above, the round count may grow
+    by ~2 (log2 scaling), not ~4× (linear scaling) — documenting the
+    crossover: label for shallow near-dup clusters (diameter ≤ a few
+    hops, fewer shuffles per round), star for chain-shaped components."""
+    from lakeshed.llm import dedup
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    star, rounds = dedup._star_clusters_impl(
+        pairs, ids, "id_a", "id_b", "id", 30
+    )
+    got = {r.id: r.cluster for r in star.collect()}
+    assert got == {i: 0 for i in range(n)}
+    # log2(200) ≈ 7.6; the 50-path above converges in ≤12 — allow the
+    # same slack factor here. Linear scaling would need ~199 rounds.
+    assert rounds <= 16, f"star took {rounds} rounds on a {n}-path"
+
+
 def test_dedup_clusters_checkpoint_lifecycle(spark):
     """Intermediate label rounds and the edge checkpoint are deleted
     before the call returns; only the converged frame's files survive,

@@ -1131,3 +1131,50 @@ def test_catalog_qualified_three_part_names(cat, nation):
         "CALL demo.system.rewrite_data_files(table => 'demo.nyc.taxis_sample')"
     )
     assert out.first()["added_data_files_count"] >= 1
+
+
+def test_sql_ctas_and_insert_overwrite(cat, nation):
+    """W1 SQL twin (CREATE TABLE ... AS SELECT, with PARTITIONED BY and
+    TBLPROPERTIES) and atomic INSERT OVERWRITE — one commit swaps the
+    live set; the pre-overwrite snapshot stays time-travel readable."""
+    cat.create_database("nyc")
+    cat.create_table("nyc.src", nation)
+    cat.sql("""
+        CREATE TABLE nyc.big_nations
+        USING lakeshed
+        PARTITIONED BY (n_regionkey)
+        TBLPROPERTIES ('owner'='etl')
+        AS SELECT * FROM nyc.src WHERE n_nationkey >= 10
+    """)
+    t = cat.table("nyc.big_nations")
+    want = nation.where("n_nationkey >= 10").count()
+    assert t.read().count() == want
+    assert t.properties().get("owner") == "etl"
+    spec = t._read_commit(t.head()).partition_spec
+    assert any("n_regionkey" in p for p in spec)
+    v0 = t.head()
+
+    # IF NOT EXISTS on an existing table: silent no-op, state unchanged
+    cat.sql("CREATE TABLE IF NOT EXISTS nyc.big_nations AS "
+            "SELECT * FROM nyc.src")
+    assert t.read().count() == want
+
+    cat.sql("INSERT OVERWRITE nyc.big_nations "
+            "SELECT * FROM nyc.src WHERE n_nationkey < 5")
+    assert t.read().count() == nation.where("n_nationkey < 5").count()
+    # exactly ONE commit; the old snapshot still reads in full
+    assert t.head() == v0 + 1
+    assert t.read(version=v0).count() == want
+
+
+def test_sql_alter_drop_column(cat, nation):
+    """ALTER TABLE ... DROP COLUMN routes to the field-id drop: the
+    column disappears from reads, old data stays readable, and a
+    re-added column with the same NAME gets a fresh field id (never
+    resurrects the dropped column's values)."""
+    t = cat.create_table("default.dropcol", nation)
+    cat.sql("ALTER TABLE default.dropcol DROP COLUMN n_regionkey")
+    assert t.read().columns == ["n_nationkey", "n_name"]
+    assert t.read().count() == nation.count()
+    cat.sql("ALTER TABLE default.dropcol ADD COLUMN n_regionkey bigint")
+    assert t.read().where(F.col("n_regionkey").isNotNull()).count() == 0
