@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -112,9 +113,10 @@ def main() -> None:
     # at other scale factors (the verify recipe uses sf0.01) must NOT leave
     # a wrongly-stamped detail file behind — only the headline sf writes.
     repo = os.path.dirname(os.path.abspath(__file__))
-    rnd_env = os.environ.get("SPARK_GRAFT_ROUND")
-    if rnd_env is not None:
-        rnd = int(rnd_env)
+    rnd_env = os.environ.get("SPARK_GRAFT_ROUND", "")
+    m = re.search(r"\d+", rnd_env)
+    if m:  # tolerant parse ("8", "r8", "round-8"): a malformed env var
+        rnd = int(m.group())  # must never crash the run after the queries
     else:
         prior = [
             f for f in os.listdir(repo)

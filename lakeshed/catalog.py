@@ -159,7 +159,7 @@ class Catalog:
             self.create_database(m.group(1))
             return None
         m = re.match(
-            r"create table (?:if not exists )?([\w.]+)\s*"
+            r"create table (if not exists )?([\w.]+)\s*"
             r"(?:using \w+\s*)?(?:partitioned by \((.*?)\)\s*)?"
             r"(?:tblproperties \((.*?)\)\s*)?as\s+(select\b.+)$",
             s, re.IGNORECASE | re.DOTALL,
@@ -167,9 +167,11 @@ class Catalog:
         if m:
             # W1 — CTAS: the SQL twin of ``df.write.saveAsTable``
             # (Getting Started.ipynb's create-then-insert collapsed to the
-            # statement a Spark SQL user types first)
-            name, part, props, select = m.groups()
-            if "if not exists" in low and self._exists(name):
+            # statement a Spark SQL user types first). IF NOT EXISTS is a
+            # capture group, not a substring test — the SELECT text may
+            # legitimately contain those words.
+            ine, name, part, props, select = m.groups()
+            if ine and self._exists(name):
                 return None
             self.create_table(
                 name,
@@ -181,7 +183,7 @@ class Catalog:
             )
             return None
         m = re.match(
-            r"create table (?:if not exists )?([\w.]+)\s*\((.*?)\)\s*"
+            r"create table (if not exists )?([\w.]+)\s*\((.*?)\)\s*"
             r"(?:using \w+\s*)?(?:partitioned by \((.*?)\)\s*)?"
             r"(?:tblproperties \((.*?)\)\s*)?$",
             s, re.IGNORECASE | re.DOTALL,
@@ -189,8 +191,8 @@ class Catalog:
         if m:
             # D2 — CREATE TABLE (typed cols, PARTITIONED BY transform,
             # TBLPROPERTIES) (PyIceberg...ipynb:75; Table Maintenance:42)
-            name, cols, part, props = m.groups()
-            if "if not exists" in low and self._exists(name):
+            ine, name, cols, part, props = m.groups()
+            if ine and self._exists(name):
                 return None
             self.create_table(
                 name,
@@ -278,7 +280,13 @@ class Catalog:
             )
             t = self.table(tbl)
             df = df.toDF(*[f.name for f in t.schema_fields()])
-            t.overwrite(df, branch=self.write_branch())
+            # same D14 staging contract as INSERT INTO below — the
+            # full-table swap must not bypass a pinned WAP audit
+            wap_id = self._conf.get("spark.wap.id")
+            if wap_id and t.properties().get("write.wap.enabled") == "true":
+                t.overwrite(df, wap_id=wap_id)
+            else:
+                t.overwrite(df, branch=self.write_branch())
             return None
         m = re.match(
             r"insert into ([\w.]+) (select .+|values .+)$", s,
@@ -381,10 +389,14 @@ class Catalog:
                     m.group(2), after=m.group(4)
                 )
             return None
-        m = re.match(r"alter table ([\w.]+) drop column (\w+)$", low)
+        m = re.match(r"alter table ([\w.]+) drop column (\w+)$", s,
+                     re.IGNORECASE)
         if m:
             # D6-D8 family — DROP COLUMN (field-id projection keeps old
-            # files readable; the id is never reused)
+            # files readable; the id is never reused). Matched against
+            # the original-case statement: column names are case-
+            # sensitive in the schema, and drop_column now raises on an
+            # unknown name instead of committing a no-op.
             self.table(m.group(1)).drop_column(m.group(2))
             return None
         m = re.match(
@@ -536,6 +548,7 @@ class Catalog:
                     break
             src_df = self.sql(rest[1:i].strip())
             rest = rest[i + 1:].lstrip()
+            salias = "s"
         else:
             mm = re.match(r"([\w.]+)", rest)
             src_name = mm.group(1)
@@ -544,8 +557,8 @@ class Catalog:
                 else self.spark.table(src_name)
             )
             rest = rest[mm.end():].lstrip()
+            salias = src_name  # unaliased: conditions use the name itself
         mm = re.match(r"(?:as\s+)?(?!on\b)(\w+)\s+", rest, re.IGNORECASE)
-        salias = "s"
         if mm:
             salias = mm.group(1)
             rest = rest[mm.end():].lstrip()
@@ -558,11 +571,20 @@ class Catalog:
             raise TableError("MERGE INTO needs ON ... WHEN [NOT] MATCHED")
         on_cond, when_text = mm.group(1), mm.group(2)
 
+        # single simultaneous substitution: sequential replaces would
+        # cascade when one side's alias is literally "t" or "s" (the
+        # other side's canonical prefix)
+        alias_pat = re.compile(
+            rf"\b(?:{re.escape(talias)}|{re.escape(salias)})\.",
+            re.IGNORECASE,
+        )
+
         def norm(expr: str) -> str:
-            e = re.sub(rf"\b{re.escape(talias)}\.", "t.", expr,
-                       flags=re.IGNORECASE)
-            return re.sub(rf"\b{re.escape(salias)}\.", "s.", e,
-                          flags=re.IGNORECASE)
+            return alias_pat.sub(
+                lambda mm: "t."
+                if mm.group(0)[:-1].lower() == talias.lower() else "s.",
+                expr,
+            )
 
         keys: list[str] = []
         for part in re.split(r"(?i)\s+and\s+", norm(on_cond)):
@@ -622,6 +644,11 @@ class Catalog:
             when_matched_update=upd,
             when_matched_delete=dele,
             when_not_matched_insert=ins,
+            # standard SQL MERGE scope: matched-clause conditions never
+            # apply to unmatched rows (the changelog netting default
+            # would silently drop an unmatched row satisfying the
+            # DELETE condition instead of inserting it)
+            net_unmatched_deletes=False,
         )
 
     def _run_select(self, s: str) -> DataFrame:
@@ -630,6 +657,15 @@ class Catalog:
             for tbl in self.tables(db):
                 base = f"{db}.{tbl}"
                 t = self.table(base)
+                # catalog-qualified reads — strip a single leading
+                # ``catalog.`` segment so ``SELECT ... FROM
+                # demo.nyc.taxis_sample`` resolves like the write path's
+                # 3-part handling in _path (the rewrite below would
+                # otherwise mangle only the trailing two parts)
+                s = re.sub(
+                    rf"\b\w+\.(?={re.escape(base)}\b)", "", s,
+                    flags=re.IGNORECASE,
+                )
                 # D20/S6 — time travel: FROM t VERSION AS OF <id|'branch'>
                 # (WAP...ipynb:272 uses a branch name; Iceberg also takes
                 # snapshot ids)
@@ -656,10 +692,7 @@ class Catalog:
                     if m.group(1):
                         ts_ms = int(m.group(1))
                     else:
-                        dt = datetime.fromisoformat(m.group(2))
-                        if dt.tzinfo is None:
-                            dt = dt.replace(tzinfo=timezone.utc)
-                        ts_ms = round(dt.timestamp() * 1000)
+                        ts_ms = _ts_ms(m.group(2))
                     pinned = t.read(as_of_ms=ts_ms)
                     view = f"__lakeshed_{db}_{tbl}_ts_{ts_ms}"
                     pinned.createOrReplaceTempView(view)
@@ -682,6 +715,16 @@ class Catalog:
         return self.spark.sql(s)
 
 
+def _ts_ms(literal: str) -> int:
+    """Timestamp literal → epoch ms; naive means UTC. The ONE shared
+    convention for ``TIMESTAMP AS OF`` and CALL ``older_than`` — keep
+    these from drifting apart."""
+    dt = datetime.fromisoformat(literal)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return round(dt.timestamp() * 1000)
+
+
 def _call_value(v: str) -> object:
     """One CALL argument value → python: quoted string, integer,
     ``TIMESTAMP '...'`` (→ epoch ms, naive = UTC like TIMESTAMP AS OF),
@@ -689,10 +732,7 @@ def _call_value(v: str) -> object:
     v = v.strip()
     m = re.match(r"timestamp\s+'([^']+)'$", v, re.IGNORECASE)
     if m:
-        dt = datetime.fromisoformat(m.group(1))
-        if dt.tzinfo is None:
-            dt = dt.replace(tzinfo=timezone.utc)
-        return round(dt.timestamp() * 1000)
+        return _ts_ms(m.group(1))
     m = re.match(r"map\s*\((.*)\)$", v, re.IGNORECASE | re.DOTALL)
     if m:
         items = [_call_value(x) for x in _split_top(m.group(1))]

@@ -864,6 +864,10 @@ class LakeTable:
         return self._evolve("add-column", fields, {"add": name})
 
     def drop_column(self, name: str) -> Commit:
+        if name not in {f.name for f in self.schema_fields()}:
+            # rename/alter raise on unknown columns; a silent no-op
+            # commit here would hide a typo'd (or wrong-case) name
+            raise TableError(f"no column {name!r}")
         fields = [f for f in self.schema_fields() if f.name != name]
         return self._evolve("drop-column", fields, {"drop": name})
 
@@ -1280,8 +1284,12 @@ class LakeTable:
             )
         return self._commit("append", adds, [], branch=branch)
 
-    def overwrite(self, df: DataFrame, *, branch: str = MAIN) -> Commit:
-        """Full-table overwrite = remove all live files + add new, one commit."""
+    def overwrite(self, df: DataFrame, *, branch: str = MAIN,
+                  wap_id: str | None = None) -> Commit:
+        """Full-table overwrite = remove all live files + add new, one
+        commit. ``wap_id`` stages the commit exactly like :meth:`append`
+        — the most destructive write is the one that most needs the
+        audit gate, so the WAP pin must not be bypassable here."""
         head = self.head(branch)
         head_commit, live = self._state(head)
         fields = head_commit.schemas[str(head_commit.schema_version)]
@@ -1289,9 +1297,15 @@ class LakeTable:
         adds = self._write_files(
             aligned, head_commit.partition_spec, head_commit.schema_version
         )
-        return self._commit(
-            "overwrite", adds, [a.path for a in live], branch=branch
-        )
+        removes = [a.path for a in live]
+        if wap_id is not None:
+            wb = f"wap-{wap_id}"
+            parent = self._refs().get(wb, self.head(branch))
+            return self._commit(
+                "overwrite", adds, removes, branch=wb, parent=parent,
+                summary={"wap.id": wap_id},
+            )
+        return self._commit("overwrite", adds, removes, branch=branch)
 
     def insert_values(self, *rows: tuple, branch: str = MAIN) -> Commit:
         """W3 — SQL INSERT VALUES (Integrated Audits...ipynb:471)."""
@@ -1417,6 +1431,7 @@ class LakeTable:
         when_not_matched_insert: str | None = "*",
         source_order: str | None = None,
         evolve_schema: bool = False,
+        net_unmatched_deletes: bool = True,
     ) -> Commit:
         """J2/W5/W6 — MERGE INTO: the changelog upsert of
         ``IcebergStream.java:116-120`` (equality-delete sink) and the Paimon
@@ -1437,6 +1452,11 @@ class LakeTable:
           the source schema) before the merge runs; existing rows read
           them as NULL via field-id projection. The ``source_order``
           column and ``__``-prefixed helpers never evolve.
+        - ``net_unmatched_deletes``: the changelog contract (default) also
+          applies ``when_matched_delete`` to UNMATCHED source rows — a
+          D record for an absent key must not insert. Standard SQL MERGE
+          semantics scope matched-clause conditions to matched rows only;
+          the SQL-text router passes ``False`` to get them.
 
         Scale: source is deduped with one window shuffle, target-file
         discovery is a semi-join (broadcast when the source is small —
@@ -1610,7 +1630,8 @@ class LakeTable:
                 unmatched = src.alias("s")
             inserts = (
                 unmatched
-                .where(insert_pred & ~delete_cond)
+                .where(insert_pred & ~delete_cond
+                       if net_unmatched_deletes else insert_pred)
                 .select(*[
                     F.col(f"`{c}`").cast(
                         next(f.type for f in fields if f.name == c)

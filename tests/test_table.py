@@ -1011,10 +1011,14 @@ def test_sql_router_namedarg_call_procedures(cat, nation):
     assert t.read().count() == nation.count() + 6
 
     # expire everything older than "now" but retain the last snapshot —
-    # exactly the notebook's post-compaction cleanup cell
+    # exactly the notebook's post-compaction cleanup cell. The literal
+    # must be UTC: naive TIMESTAMP literals are interpreted as UTC, so a
+    # local-time string would silently shift the cutoff on any host not
+    # running UTC.
     import time as _time
+    from datetime import datetime, timezone
 
-    now_str = _time.strftime("%Y-%m-%d %H:%M:%S") + ".000"
+    now_str = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S.000")
     # the TIMESTAMP literal is wall-clock "now": commits made this test run
     # are older than it, so everything but the retained head expires
     _time.sleep(0.01)
@@ -1178,3 +1182,108 @@ def test_sql_alter_drop_column(cat, nation):
     assert t.read().count() == nation.count()
     cat.sql("ALTER TABLE default.dropcol ADD COLUMN n_regionkey bigint")
     assert t.read().where(F.col("n_regionkey").isNotNull()).count() == 0
+
+
+def test_sql_merge_into_unaliased_source_and_alias_collision(cat, spark):
+    """MERGE parsing hardening: (a) an unaliased named source is
+    addressable by its own name in conditions; (b) a target aliased
+    literally 's' with a source aliased 't' (the canonical prefixes,
+    swapped) must not cascade during alias normalization."""
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    src = spark.createDataFrame([(2, 99), (5, 50)], "k int, v int")
+    cat.create_database("db")
+    src.createOrReplaceTempView("changes")
+
+    cat.create_table("db.t1", base)
+    cat.sql("""
+        MERGE INTO db.t1 USING changes
+        ON db.t1.k = changes.k
+        WHEN MATCHED THEN UPDATE SET v = changes.v
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert {r.k: r.v for r in cat.table("db.t1").read().collect()} == \
+        {1: 10, 2: 99, 5: 50}
+
+    cat.create_table("db.t2", base)
+    cat.sql("""
+        MERGE INTO db.t2 AS s USING changes AS t
+        ON s.k = t.k
+        WHEN MATCHED THEN UPDATE SET v = s.v + t.v
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert {r.k: r.v for r in cat.table("db.t2").read().collect()} == \
+        {1: 10, 2: 119, 5: 50}
+
+
+def test_review_fixes_round8(cat, nation, spark):
+    """Regression pins for the round-8 review findings: DROP COLUMN
+    case-sensitivity + unknown-column error, catalog-qualified SELECT,
+    INSERT OVERWRITE honoring the WAP pin, standard-SQL scope for a
+    conditional MERGE DELETE, and CTAS IF-NOT-EXISTS anchoring."""
+    cat.create_database("nyc")
+    cat.sql("CREATE TABLE demo.nyc.cased (VendorID BIGINT, fare DOUBLE)")
+    t = cat.table("nyc.cased")
+    t.insert_values((7, 1.25))
+
+    # catalog-qualified SELECT resolves like the write path
+    assert cat.sql(
+        "SELECT count(*) AS c FROM demo.nyc.cased"
+    ).first()["c"] == 1
+
+    # mixed-case column drops; a wrong-case name raises, never a silent
+    # no-op commit
+    head = t.head()
+    with pytest.raises(TableError):
+        cat.sql("ALTER TABLE nyc.cased DROP COLUMN vendorid")
+    assert t.head() == head
+    cat.sql("ALTER TABLE nyc.cased DROP COLUMN VendorID")
+    assert t.read().columns == ["fare"]
+
+    # CTAS IF NOT EXISTS must be the statement prefix, not a substring of
+    # the SELECT: this plain CTAS on an existing table raises
+    cat.sql("CREATE TABLE nyc.src2 AS SELECT n_name FROM nyc.cased, "
+            "(SELECT 1) WHERE 'if not exists' = 'if not exists'"
+            .replace("n_name", "fare"))
+    with pytest.raises(TableError):
+        cat.sql("CREATE TABLE nyc.src2 AS SELECT fare FROM nyc.cased "
+                "WHERE 'x' <> 'if not exists'")
+
+    # INSERT OVERWRITE stages under a pinned wap.id instead of swapping
+    # main directly
+    t2 = cat.create_table("nyc.wap_ow", nation)
+    n0 = t2.read().count()
+    t2.set_properties(**{"write.wap.enabled": "true"})
+    cat.set_conf("spark.wap.id", "ow-audit")
+    cat.sql("INSERT OVERWRITE nyc.wap_ow SELECT * FROM nyc.wap_ow "
+            "WHERE n_nationkey < 3")
+    assert t2.read().count() == n0          # main untouched until publish
+    staged = t2.snapshots().where(
+        F.col("summary")["wap.id"] == "ow-audit").first()
+    assert staged is not None
+    t2.cherrypick_snapshot(staged.snapshot_id)
+    assert t2.read().count() == 3
+    cat.set_conf("spark.wap.id", None)
+
+    # SQL MERGE: a matched-DELETE condition must not suppress unmatched
+    # inserts (standard clause scoping), unlike the changelog API default
+    base = spark.createDataFrame([(1, "a", "U")],
+                                 "k int, v string, op string")
+    t3 = cat.create_table("nyc.scope", base)
+    spark.createDataFrame(
+        [(9, "new", "D")], "k int, v string, op string"
+    ).createOrReplaceTempView("scope_src")
+    cat.sql("""
+        MERGE INTO nyc.scope t USING scope_src s ON t.k = s.k
+        WHEN MATCHED AND s.op = 'D' THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r.k for r in t3.read().collect()}
+    assert got == {1, 9}                     # 9 inserted despite op='D'
+    # ... while the API changelog contract still nets it out
+    t4 = cat.create_table("nyc.scope_api", base)
+    t4.merge(
+        spark.table("scope_src"), on="k",
+        when_matched_delete="s.op = 'D'",
+        when_not_matched_insert="*",
+    )
+    assert {r.k for r in t4.read().collect()} == {1}
