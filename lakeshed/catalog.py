@@ -226,6 +226,28 @@ class Catalog:
                 [(db, t) for t in sorted(self.tables(db))],
                 "namespace string, tableName string",
             )
+        m = re.match(r"show create table ([\w.]+)$", low)
+        if m:
+            # DDL round-trip: the emitted statement re-executes through
+            # this same router to an equivalent table (tested)
+            t = self.table(m.group(1))
+            c = t._read_commit(t.head())
+            cols = ",\n  ".join(
+                f"{f.name} {f.type}" for f in t.schema_fields()
+            )
+            stmt = f"CREATE TABLE {m.group(1)} (\n  {cols})\nUSING lakeshed"
+            if c.partition_spec:
+                stmt += (
+                    "\nPARTITIONED BY ("
+                    + ", ".join(c.partition_spec) + ")"
+                )
+            if c.properties:
+                stmt += "\nTBLPROPERTIES (" + ", ".join(
+                    f"'{k}'='{v}'" for k, v in sorted(c.properties.items())
+                ) + ")"
+            return self.spark.createDataFrame(
+                [(stmt,)], "createtab_stmt string"
+            )
         m = re.match(r"show tblproperties ([\w.]+)$", low)
         if m:
             props = self.table(m.group(1)).properties()
@@ -601,17 +623,36 @@ class Catalog:
         upd: dict[str, str] | str | None = None
         dele: str | None = None
         ins: str | None = None
+        bysrc: str | None = None
         target_cols = [f.name for f in self.table(tbl).schema_fields()]
         for cm in re.finditer(
-            r"when\s+(not\s+)?matched(?:\s+and\s+(.+?))?\s+then\s+"
+            r"when\s+(not\s+)?matched(\s+by\s+source)?"
+            r"(?:\s+and\s+(.+?))?\s+then\s+"
             r"(update\s+set\s+.+?|delete|insert\s+.+?)\s*"
             r"(?=when\s+(?:not\s+)?matched\b|$)",
             when_text, re.IGNORECASE | re.DOTALL,
         ):
-            unmatched, cond, action = cm.groups()
+            unmatched, by_source, cond, action = cm.groups()
             cond = norm(cond.strip()) if cond else None
             act = " ".join(action.lower().split())
-            if unmatched:
+            if by_source:
+                # Spark 4 / Delta: WHEN NOT MATCHED BY SOURCE acts on
+                # TARGET-only rows; the predicate may reference target
+                # columns only (there is no source row to read)
+                if not unmatched or act != "delete":
+                    raise TableError(
+                        "only WHEN NOT MATCHED BY SOURCE THEN DELETE "
+                        "is supported"
+                    )
+                if cond and re.search(r"\bs\.", cond):
+                    raise TableError(
+                        "NOT MATCHED BY SOURCE condition cannot "
+                        "reference source columns"
+                    )
+                # merge() evaluates this on target-only frames with bare
+                # column names — strip the normalized target prefix
+                bysrc = re.sub(r"\bt\.", "", cond) if cond else "true"
+            elif unmatched:
                 if act not in ("insert *", "insert row"):
                     raise TableError(
                         "only WHEN NOT MATCHED THEN INSERT * is supported"
@@ -649,6 +690,7 @@ class Catalog:
             # would silently drop an unmatched row satisfying the
             # DELETE condition instead of inserting it)
             net_unmatched_deletes=False,
+            when_not_matched_by_source_delete=bysrc,
         )
 
     def _run_select(self, s: str) -> DataFrame:

@@ -1432,6 +1432,7 @@ class LakeTable:
         source_order: str | None = None,
         evolve_schema: bool = False,
         net_unmatched_deletes: bool = True,
+        when_not_matched_by_source_delete: str | None = None,
     ) -> Commit:
         """J2/W5/W6 — MERGE INTO: the changelog upsert of
         ``IcebergStream.java:116-120`` (equality-delete sink) and the Paimon
@@ -1457,6 +1458,13 @@ class LakeTable:
           D record for an absent key must not insert. Standard SQL MERGE
           semantics scope matched-clause conditions to matched rows only;
           the SQL-text router passes ``False`` to get them.
+        - ``when_not_matched_by_source_delete``: Spark 4 / Delta's
+          ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` — target rows with
+          no source key match AND satisfying this predicate (bare target
+          column names; ``"true"`` for unconditional full-sync) are
+          removed. The rewrite set grows to the files the predicate can
+          touch (stats-pruned via :meth:`plan_files`), which is the
+          semantic cost of a full sync — bound it with a predicate.
 
         Scale: source is deduped with one window shuffle, target-file
         discovery is a semi-join (broadcast when the source is small —
@@ -1606,15 +1614,61 @@ class LakeTable:
                     c: F.expr(e) for c, e in when_matched_update.items()
                 }
             surviving = joined.where(~(match & delete_cond))
-            rewritten_parts.append(
-                surviving.select(*[
-                    F.when(match, upd_cols[c]).otherwise(F.col(f"t.`{c}`"))
-                    .cast(next(f.type for f in fields if f.name == c))
-                    .alias(c)
-                    if c in upd_cols else F.col(f"t.`{c}`").alias(c)
-                    for c in target_cols
-                ])
-            )
+            proj_cols = [
+                F.when(match, upd_cols[c]).otherwise(F.col(f"t.`{c}`"))
+                .cast(next(f.type for f in fields if f.name == c))
+                .alias(c)
+                if c in upd_cols else F.col(f"t.`{c}`").alias(c)
+                for c in target_cols
+            ]
+            if when_not_matched_by_source_delete is None:
+                rewritten_parts.append(surviving.select(*proj_cols))
+            else:
+                # by-source deletes inside hit files: the predicate (bare
+                # target column names) evaluates on the projected frame,
+                # where names are unambiguous; it applies to UNMATCHED
+                # rows only, whose projected values are the original
+                # target values
+                rewritten_parts.append(
+                    surviving.select(*proj_cols, match.alias("__matched"))
+                    .where(~(
+                        ~F.col("__matched")
+                        & F.expr(when_not_matched_by_source_delete)
+                    ))
+                    .drop("__matched")
+                )
+
+        bysrc_adds: list[AddFile] = []
+        if when_not_matched_by_source_delete is not None and live:
+            # target-only rows outside the hit set: any live file the
+            # predicate can touch may hold rows to delete. Stats pruning
+            # bounds the rewrite to the predicate's file set — a
+            # full-sync over a time-partitioned table with a bounded
+            # predicate rewrites a sliver, not the table. Files outside
+            # the source-key candidate set contain NO key matches (the
+            # pruning is conservative-keep), so every row here is
+            # unmatched by construction and the filter is just ~pred.
+            pruned = {
+                a.path
+                for a in self.plan_files(when_not_matched_by_source_delete)
+            }
+            bysrc_adds = [
+                a for a in live if a.path in pruned and a.path not in hit
+            ]
+            if bysrc_adds:
+                extra = self._read_files(bysrc_adds, head_commit)
+                for f in added_cols:
+                    extra = extra.withColumn(f.name, F.lit(None).cast(f.type))
+                rewritten_parts.append(
+                    extra.where(
+                        ~F.expr(when_not_matched_by_source_delete)
+                    ).select(*[
+                        F.col(f"`{c}`")
+                        .cast(next(f.type for f in fields if f.name == c))
+                        .alias(c)
+                        for c in target_cols
+                    ])
+                )
 
         if when_not_matched_insert is not None:
             # any target key equal to a source key lives in a HIT file (the
@@ -1656,8 +1710,12 @@ class LakeTable:
             summary["evolved-columns"] = ",".join(
                 f.name for f in added_cols
             )
+        removes = sorted(hit)
+        if bysrc_adds:
+            summary["by-source-files"] = len(bysrc_adds)
+            removes = sorted(hit | {a.path for a in bysrc_adds})
         return self._commit(
-            "merge", adds, sorted(hit),
+            "merge", adds, removes,
             schema_version=evolved_sv, schemas=evolved_schemas,
             summary=summary,
         )

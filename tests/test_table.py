@@ -1287,3 +1287,119 @@ def test_review_fixes_round8(cat, nation, spark):
         when_not_matched_insert="*",
     )
     assert {r.k for r in t4.read().collect()} == {1}
+
+
+def test_merge_not_matched_by_source_delete(cat, spark):
+    """Spark 4 / Delta WHEN NOT MATCHED BY SOURCE THEN DELETE: the
+    full-sync merge. API semantics + predicate scoping + the scale
+    contract (files the predicate excludes are never rewritten)."""
+    def chunk(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"v{i}") for i in range(lo, hi)], "k int, payload string"
+        ).coalesce(1)
+
+    # --- unconditional full sync ---
+    t = cat.create_table("default.sync", chunk(0, 5))
+    src = spark.createDataFrame(
+        [(2, "two"), (7, "seven")], "k int, payload string"
+    )
+    c = t.merge(
+        src, on="k",
+        when_matched_update="*",
+        when_not_matched_insert="*",
+        when_not_matched_by_source_delete="true",
+    )
+    got = {r.k: r.payload for r in t.read().collect()}
+    assert got == {2: "two", 7: "seven"}   # mirror of the source
+
+    # --- predicate-scoped: untouched files stay out of the rewrite ---
+    t2 = cat.create_table("default.sync2", chunk(0, 10))
+    t2.append(chunk(100, 110))
+    t2.append(chunk(200, 210))
+    files_before = {f.path for f in t2._state(t2.head())[1]}
+    src2 = spark.createDataFrame([(105, "kept")], "k int, payload string")
+    c2 = t2.merge(
+        src2, on="k",
+        when_matched_update="*",
+        when_not_matched_insert=None,
+        when_not_matched_by_source_delete="k >= 100 AND k <= 120",
+    )
+    # rows: 100..104,106..109 deleted (unmatched, in range); 105 updated;
+    # 0..9 and 200..209 untouched
+    got = {r.k: r.payload for r in t2.read().collect()}
+    assert got[105] == "kept"
+    assert all(k not in got for k in range(100, 105))
+    assert all(k in got for k in range(0, 10))
+    assert all(k in got for k in range(200, 210))
+    assert len(got) == 21
+    # only the 100-file was rewritten: the 0-file and 200-file survive
+    untouched = {p for p in files_before if p in
+                 {f.path for f in t2._state(t2.head())[1]}}
+    assert len(untouched) == 2
+    assert c2.summary.get("by-source-files", 0) == 0  # 100-file was a HIT
+    assert c2.summary["matched-files"] == 1
+
+    # by-source-only file rewrite (no key match in it): source hits
+    # nothing, predicate touches one file
+    c3 = t2.merge(
+        spark.createDataFrame([], "k int, payload string"), on="k",
+        when_matched_update="*",
+        when_not_matched_insert=None,
+        when_not_matched_by_source_delete="k >= 200",
+    )
+    assert c3.summary["matched-files"] == 0
+    assert c3.summary["by-source-files"] == 1
+    got = {r.k for r in t2.read().collect()}
+    assert all(k not in got for k in range(200, 210))
+    assert all(k in got for k in range(0, 10))
+
+
+def test_sql_merge_not_matched_by_source(cat, spark):
+    """The SQL full-sync statement end to end, with a target-column
+    condition; a source-column reference in the BY SOURCE condition is
+    rejected."""
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    cat.create_database("db")
+    t = cat.create_table("db.fullsync", base)
+    spark.createDataFrame([(2, "b2"), (9, "i")], "k int, v string") \
+        .createOrReplaceTempView("sync_src")
+    cat.sql("""
+        MERGE INTO db.fullsync t USING sync_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.k > 1 THEN DELETE
+    """)
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {1: "a", 2: "b2", 9: "i"}   # 3 deleted, 1 kept by cond
+
+    with pytest.raises(TableError, match="source columns"):
+        cat.sql("""
+            MERGE INTO db.fullsync t USING sync_src s ON t.k = s.k
+            WHEN NOT MATCHED BY SOURCE AND s.v = 'x' THEN DELETE
+        """)
+
+
+def test_show_create_table_roundtrip(cat, spark):
+    """SHOW CREATE TABLE emits DDL that re-executes through the router
+    into an equivalent table (schema, partition spec, properties)."""
+    cat.create_database("nyc")
+    cat.sql("""
+        CREATE TABLE nyc.ddl_rt (
+            id bigint, borough string, issued timestamp
+        ) USING lakeshed
+        PARTITIONED BY (days(issued))
+        TBLPROPERTIES ('write.wap.enabled'='true')
+    """)
+    stmt = cat.sql("SHOW CREATE TABLE nyc.ddl_rt").first()["createtab_stmt"]
+    assert "PARTITIONED BY" in stmt and "days(issued)" in stmt
+    clone_stmt = stmt.replace("nyc.ddl_rt", "nyc.ddl_rt2")
+    cat.sql(clone_stmt)
+    a, b = cat.table("nyc.ddl_rt"), cat.table("nyc.ddl_rt2")
+    assert [(f.name, f.type) for f in a.schema_fields()] == \
+        [(f.name, f.type) for f in b.schema_fields()]
+    ca = a._read_commit(a.head())
+    cb = b._read_commit(b.head())
+    assert ca.partition_spec == cb.partition_spec
+    assert cb.properties.get("write.wap.enabled") == "true"
