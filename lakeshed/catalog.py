@@ -624,6 +624,8 @@ class Catalog:
         dele: str | None = None
         ins: str | None = None
         bysrc: str | None = None
+        bysrc_upd: dict[str, str] | None = None
+        bysrc_upd_cond: str | None = None
         target_cols = [f.name for f in self.table(tbl).schema_fields()]
         for cm in re.finditer(
             r"when\s+(not\s+)?matched(\s+by\s+source)?"
@@ -637,21 +639,43 @@ class Catalog:
             act = " ".join(action.lower().split())
             if by_source:
                 # Spark 4 / Delta: WHEN NOT MATCHED BY SOURCE acts on
-                # TARGET-only rows; the predicate may reference target
-                # columns only (there is no source row to read)
-                if not unmatched or act != "delete":
+                # TARGET-only rows; conditions and assignments may
+                # reference target columns only (there is no source row
+                # to read). merge() evaluates them on target-only frames
+                # with bare column names — strip the normalized prefix.
+                if not unmatched or (
+                    act != "delete" and not act.startswith("update set")
+                ):
                     raise TableError(
-                        "only WHEN NOT MATCHED BY SOURCE THEN DELETE "
-                        "is supported"
+                        "WHEN NOT MATCHED BY SOURCE supports THEN "
+                        "DELETE / THEN UPDATE SET only"
                     )
                 if cond and re.search(r"\bs\.", cond):
                     raise TableError(
                         "NOT MATCHED BY SOURCE condition cannot "
                         "reference source columns"
                     )
-                # merge() evaluates this on target-only frames with bare
-                # column names — strip the normalized target prefix
-                bysrc = re.sub(r"\bt\.", "", cond) if cond else "true"
+                bare = (
+                    lambda e: re.sub(r"\bt\.", "", e) if e else e
+                )
+                if act == "delete":
+                    bysrc = bare(cond) or "true"
+                else:
+                    assigns = {}
+                    body = re.sub(r"(?is)^update\s+set\s*", "",
+                                  action.strip())
+                    for a in _split_top(body):
+                        col, _, expr = a.partition("=")
+                        expr = norm(expr.strip())
+                        if re.search(r"\bs\.", expr):
+                            raise TableError(
+                                "NOT MATCHED BY SOURCE assignment cannot "
+                                "reference source columns"
+                            )
+                        assigns[col.strip().strip("`").split(".")[-1]] = \
+                            bare(expr)
+                    bysrc_upd = assigns
+                    bysrc_upd_cond = bare(cond)
             elif unmatched:
                 if act not in ("insert *", "insert row"):
                     raise TableError(
@@ -661,7 +685,8 @@ class Catalog:
             elif act == "delete":
                 dele = cond or "true"
             elif act.startswith("update set"):
-                body = action.strip()[len("update set"):].strip()
+                body = re.sub(r"(?is)^update\s+set\s*", "",
+                              action.strip()).strip()
                 if body == "*":
                     upd = "*" if cond is None else {
                         c: f"CASE WHEN {cond} THEN s.`{c}` ELSE t.`{c}` END"
@@ -691,6 +716,8 @@ class Catalog:
             # DELETE condition instead of inserting it)
             net_unmatched_deletes=False,
             when_not_matched_by_source_delete=bysrc,
+            when_not_matched_by_source_update=bysrc_upd,
+            when_not_matched_by_source_condition=bysrc_upd_cond,
         )
 
     def _run_select(self, s: str) -> DataFrame:

@@ -1433,6 +1433,8 @@ class LakeTable:
         evolve_schema: bool = False,
         net_unmatched_deletes: bool = True,
         when_not_matched_by_source_delete: str | None = None,
+        when_not_matched_by_source_update: dict[str, str] | None = None,
+        when_not_matched_by_source_condition: str | None = None,
     ) -> Commit:
         """J2/W5/W6 — MERGE INTO: the changelog upsert of
         ``IcebergStream.java:116-120`` (equality-delete sink) and the Paimon
@@ -1465,6 +1467,13 @@ class LakeTable:
           removed. The rewrite set grows to the files the predicate can
           touch (stats-pruned via :meth:`plan_files`), which is the
           semantic cost of a full sync — bound it with a predicate.
+        - ``when_not_matched_by_source_update`` (+ ``..._condition``):
+          the UPDATE form — target-only rows satisfying the condition
+          (default: all of them) get the assignments applied (bare
+          target column names; the soft-delete ``SET active = false``
+          pattern). When both by-source actions are given, DELETE
+          evaluates first. An unconditional update must rewrite every
+          live file — pass the condition to let stats pruning bound it.
 
         Scale: source is deduped with one window shuffle, target-file
         discovery is a semi-join (broadcast when the source is small —
@@ -1577,6 +1586,37 @@ class LakeTable:
             else F.expr(when_not_matched_insert)
         )
 
+        bysrc_active = (
+            when_not_matched_by_source_delete is not None
+            or when_not_matched_by_source_update is not None
+        )
+
+        def apply_by_source(frame: DataFrame, unmatched) -> DataFrame:
+            """Apply the by-source DELETE-then-UPDATE actions to a bare
+            target-column frame; ``unmatched`` is the boolean Column
+            marking target-only rows (lit(True) for files with provably
+            no key matches)."""
+            if when_not_matched_by_source_delete is not None:
+                frame = frame.where(~(
+                    unmatched & F.expr(when_not_matched_by_source_delete)
+                ))
+            if when_not_matched_by_source_update is not None:
+                cond = unmatched & F.expr(
+                    when_not_matched_by_source_condition or "true"
+                )
+                frame = frame.select(*[
+                    F.when(
+                        cond,
+                        F.expr(when_not_matched_by_source_update[c]),
+                    ).otherwise(F.col(f"`{c}`"))
+                    .cast(next(f.type for f in fields if f.name == c))
+                    .alias(c)
+                    if c in when_not_matched_by_source_update
+                    else F.col(f"`{c}`")
+                    for c in frame.columns
+                ])
+            return frame
+
         rewritten_parts: list[DataFrame] = []
         # One persisted frame serves both the rewrite join and the insert
         # anti-join below — the touched slice is scanned from parquet once,
@@ -1621,37 +1661,39 @@ class LakeTable:
                 if c in upd_cols else F.col(f"t.`{c}`").alias(c)
                 for c in target_cols
             ]
-            if when_not_matched_by_source_delete is None:
+            if not bysrc_active:
                 rewritten_parts.append(surviving.select(*proj_cols))
             else:
-                # by-source deletes inside hit files: the predicate (bare
-                # target column names) evaluates on the projected frame,
-                # where names are unambiguous; it applies to UNMATCHED
-                # rows only, whose projected values are the original
-                # target values
-                rewritten_parts.append(
-                    surviving.select(*proj_cols, match.alias("__matched"))
-                    .where(~(
-                        ~F.col("__matched")
-                        & F.expr(when_not_matched_by_source_delete)
-                    ))
-                    .drop("__matched")
-                )
+                # by-source actions inside hit files: predicates and
+                # assignments (bare target column names) evaluate on the
+                # projected frame, where names are unambiguous; they
+                # apply to UNMATCHED rows only, whose projected values
+                # are the original target values
+                frame = surviving.select(*proj_cols, match.alias("__matched"))
+                frame = apply_by_source(frame, ~F.col("__matched"))
+                rewritten_parts.append(frame.drop("__matched"))
 
         bysrc_adds: list[AddFile] = []
-        if when_not_matched_by_source_delete is not None and live:
-            # target-only rows outside the hit set: any live file the
-            # predicate can touch may hold rows to delete. Stats pruning
-            # bounds the rewrite to the predicate's file set — a
-            # full-sync over a time-partitioned table with a bounded
-            # predicate rewrites a sliver, not the table. Files outside
-            # the source-key candidate set contain NO key matches (the
-            # pruning is conservative-keep), so every row here is
-            # unmatched by construction and the filter is just ~pred.
-            pruned = {
-                a.path
-                for a in self.plan_files(when_not_matched_by_source_delete)
-            }
+        if bysrc_active and live:
+            # target-only rows outside the hit set: any live file a
+            # by-source predicate can touch may hold rows to act on.
+            # Stats pruning bounds the rewrite to each predicate's file
+            # set — a full-sync over a time-partitioned table with a
+            # bounded predicate rewrites a sliver, not the table. Files
+            # outside the source-key candidate set contain NO key
+            # matches (the pruning is conservative-keep), so every row
+            # here is unmatched by construction.
+            pruned: set[str] = set()
+            if when_not_matched_by_source_delete is not None:
+                pruned |= {
+                    a.path for a in
+                    self.plan_files(when_not_matched_by_source_delete)
+                }
+            if when_not_matched_by_source_update is not None:
+                pruned |= {
+                    a.path for a in
+                    self.plan_files(when_not_matched_by_source_condition)
+                }
             bysrc_adds = [
                 a for a in live if a.path in pruned and a.path not in hit
             ]
@@ -1659,16 +1701,13 @@ class LakeTable:
                 extra = self._read_files(bysrc_adds, head_commit)
                 for f in added_cols:
                     extra = extra.withColumn(f.name, F.lit(None).cast(f.type))
-                rewritten_parts.append(
-                    extra.where(
-                        ~F.expr(when_not_matched_by_source_delete)
-                    ).select(*[
-                        F.col(f"`{c}`")
-                        .cast(next(f.type for f in fields if f.name == c))
-                        .alias(c)
-                        for c in target_cols
-                    ])
-                )
+                extra = extra.select(*[
+                    F.col(f"`{c}`")
+                    .cast(next(f.type for f in fields if f.name == c))
+                    .alias(c)
+                    for c in target_cols
+                ])
+                rewritten_parts.append(apply_by_source(extra, F.lit(True)))
 
         if when_not_matched_insert is not None:
             # any target key equal to a source key lives in a HIT file (the

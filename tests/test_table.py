@@ -1403,3 +1403,75 @@ def test_show_create_table_roundtrip(cat, spark):
     cb = b._read_commit(b.head())
     assert ca.partition_spec == cb.partition_spec
     assert cb.properties.get("write.wap.enabled") == "true"
+
+
+def test_merge_not_matched_by_source_update(cat, spark):
+    """BY SOURCE UPDATE — the soft-delete pattern: target-only rows get
+    assignments applied (API + SQL), matched rows keep MERGE semantics,
+    DELETE-then-UPDATE ordering holds when both clauses appear, and the
+    condition bounds the rewrite file set."""
+    base = spark.createDataFrame(
+        [(1, "a", True), (2, "b", True), (3, "c", True)],
+        "k int, v string, active boolean",
+    )
+    src = spark.createDataFrame(
+        [(2, "b2", True)], "k int, v string, active boolean"
+    )
+    # --- API: unconditional soft delete of unmatched rows ---
+    t = cat.create_table("default.soft", base)
+    t.merge(
+        src, on="k",
+        when_matched_update="*",
+        when_not_matched_insert=None,
+        when_not_matched_by_source_update={"active": "false"},
+    )
+    got = {r.k: (r.v, r.active) for r in t.read().collect()}
+    assert got == {1: ("a", False), 2: ("b2", True), 3: ("c", False)}
+
+    # --- SQL: condition + assignment referencing target columns ---
+    t2 = cat.create_table("default.soft2", base)
+    src.createOrReplaceTempView("soft_src")
+    cat.sql("""
+        MERGE INTO default.soft2 t USING soft_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE AND t.k > 1
+            THEN UPDATE SET active = false, v = concat(t.v, '-stale')
+    """)
+    got = {r.k: (r.v, r.active) for r in t2.read().collect()}
+    assert got == {1: ("a", True),            # condition false: untouched
+                   2: ("b2", True),           # matched: normal update
+                   3: ("c-stale", False)}     # unmatched + cond: soft-deleted
+
+    # --- both by-source clauses: DELETE first, UPDATE on survivors ---
+    t3 = cat.create_table("default.soft3", base)
+    cat.sql("""
+        MERGE INTO default.soft3 t USING soft_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE AND t.k = 3 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET active = false
+    """)
+    got = {r.k: (r.v, r.active) for r in t3.read().collect()}
+    assert got == {1: ("a", False), 2: ("b2", True)}   # 3 deleted
+
+    # --- condition prunes the by-source rewrite file set ---
+    def chunk(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"v{i}", True) for i in range(lo, hi)],
+            "k int, v string, active boolean",
+        ).coalesce(1)
+    t4 = cat.create_table("default.soft4", chunk(0, 10))
+    t4.append(chunk(200, 210))
+    files_before = {f.path for f in t4._state(t4.head())[1]}
+    t4.merge(
+        spark.createDataFrame([], "k int, v string, active boolean"),
+        on="k",
+        when_matched_update="*",
+        when_not_matched_insert=None,
+        when_not_matched_by_source_update={"active": "false"},
+        when_not_matched_by_source_condition="k >= 200",
+    )
+    after = {f.path for f in t4._state(t4.head())[1]}
+    assert len(files_before & after) == 1     # 0..9 file untouched
+    got = {r.k: r.active for r in t4.read().collect()}
+    assert all(got[k] for k in range(0, 10))
+    assert not any(got[k] for k in range(200, 210))
