@@ -43,6 +43,11 @@ SKIP: set[str] = {"llm_embedding_neardup"}
 # stay comparable across rounds (r7 ADVICE: a workload redefinition must
 # be labeled as such, not read as a speedup).
 BENCH_NOTES: dict[str, str] = {
+    "llm_kmeans_clusters": (
+        "New in r8 (the k-means trainer's driver-gated row): 3 Lloyd's "
+        "corpus passes + one Arrow assignment pass. Adds ~1.2 s to the "
+        "headline total at sf0.1 relative to r7's 86-query surface."
+    ),
     "llm_leakage_safe_split": (
         "Times the split projection over a cluster-labels table "
         "materialized ONCE at warmup (the production shape: clustering is "

@@ -1475,3 +1475,25 @@ def test_merge_not_matched_by_source_update(cat, spark):
     got = {r.k: r.active for r in t4.read().collect()}
     assert all(got[k] for k in range(0, 10))
     assert not any(got[k] for k in range(200, 210))
+
+
+def test_sql_merge_multi_column_key_and_three_part_target(cat, spark):
+    """MERGE parser edges: composite ON keys (both orders of the
+    equality) and a catalog-qualified 3-part target name."""
+    base = spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 20), (2, "x", 30)],
+        "a int, b string, v int",
+    )
+    cat.create_database("db")
+    t = cat.create_table("db.multikey", base)
+    spark.createDataFrame(
+        [(1, "y", 99), (3, "z", 70)], "a int, b string, v int"
+    ).createOrReplaceTempView("mk_src")
+    cat.sql("""
+        MERGE INTO demo.db.multikey t USING mk_src s
+        ON t.a = s.a AND s.b = t.b
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {(r.a, r.b): r.v for r in t.read().collect()}
+    assert got == {(1, "x"): 10, (1, "y"): 99, (2, "x"): 30, (3, "z"): 70}
