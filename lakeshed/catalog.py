@@ -255,15 +255,19 @@ class Catalog:
                 sorted(props.items()), "key string, value string"
             )
         m = re.match(
-            r"update ([\w.]+) set (.+?)(?: where (.+))?$", s,
+            r"update ([\w.]+) set (.+)$", s,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
+            # split SET list from WHERE with a quote-aware scan — a lazy
+            # regex would cut at a "where" INSIDE a string literal
+            # (``SET msg = 'a where b'``)
+            body, where = _split_where(m.group(2))
             assigns = {}
-            for part in _split_top(m.group(2)):
+            for part in _split_top(body):
                 col, _, expr = part.partition("=")
                 assigns[col.strip().strip("`")] = expr.strip()
-            self.table(m.group(1)).update(assigns, where=m.group(3))
+            self.table(m.group(1)).update(assigns, where=where)
             return None
         m = re.match(
             r"delete from ([\w.]+) where (.+)$", s, re.IGNORECASE | re.DOTALL
@@ -827,6 +831,32 @@ def _parse_call_args(argstr: str) -> tuple[list[object], dict[str, object]]:
         else:
             pos.append(_call_value(part))
     return pos, named
+
+
+def _split_where(s: str) -> tuple[str, str | None]:
+    """Split ``<expr list> [WHERE <pred>]`` at the first top-level WHERE
+    keyword OUTSIDE quotes/parens; returns (head, predicate-or-None)."""
+    depth, quote = 0, None
+    low = s.lower()
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (depth == 0 and low.startswith("where", i)
+              and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+              and (i + 5 == len(s)
+                   or not (s[i + 5].isalnum() or s[i + 5] == "_"))):
+            return s[:i].strip(), s[i + 5:].strip() or None
+        i += 1
+    return s.strip(), None
 
 
 def _split_top(s: str) -> list[str]:

@@ -1497,3 +1497,99 @@ def test_sql_merge_multi_column_key_and_three_part_target(cat, spark):
     """)
     got = {(r.a, r.b): r.v for r in t.read().collect()}
     assert got == {(1, "x"): 10, (1, "y"): 99, (2, "x"): 30, (3, "z"): 70}
+
+
+def test_sql_update_where_inside_string_literal(cat, spark):
+    """The UPDATE route must not split at a WHERE that lives inside a
+    string literal — quote-aware scan, not a lazy regex."""
+    t = cat.create_table(
+        "default.strlit",
+        spark.createDataFrame([(1, "x"), (2, "y")], "k int, msg string"),
+    )
+    cat.sql("UPDATE default.strlit SET msg = 'a where b' WHERE k = 1")
+    got = {r.k: r.msg for r in t.read().collect()}
+    assert got == {1: "a where b", 2: "y"}
+    # no WHERE at all still updates every row
+    cat.sql("UPDATE default.strlit SET msg = 'all'")
+    assert {r.msg for r in t.read().collect()} == {"all"}
+
+
+def test_sql_merge_parser_formatting_invariance(cat, spark, monkeypatch):
+    """The MERGE regexes must be invariant to keyword case and
+    whitespace/newline layout: 40 randomized reformattings of one
+    canonical statement must all parse to the identical merge() call
+    (merge stubbed — parse-only, no jobs)."""
+    import random
+
+    base = spark.createDataFrame([(1, "a", "U")],
+                                 "k int, v string, op string")
+    cat.create_database("db")
+    cat.create_table("db.fmt", base)
+    spark.createDataFrame([(2, "b", "D")], "k int, v string, op string") \
+        .createOrReplaceTempView("fmt_src")
+
+    calls = []
+
+    def ws(v):
+        # SQL whitespace inside expressions is insignificant — compare
+        # the parse modulo interior spacing (no literals contain spaces
+        # in this fixture)
+        return " ".join(v.split()) if isinstance(v, str) else v
+
+    def spy(self, source, on, **kw):
+        calls.append((tuple(on) if isinstance(on, list) else (on,),
+                      ws(kw.get("when_matched_update")),
+                      ws(kw.get("when_matched_delete")),
+                      ws(kw.get("when_not_matched_insert")),
+                      ws(kw.get("when_not_matched_by_source_delete"))))
+
+    monkeypatch.setattr(LakeTable, "merge", spy)
+
+    tokens = ("MERGE INTO db.fmt AS t USING fmt_src AS c "
+              "ON t.k = c.k "
+              "WHEN MATCHED AND c.op = 'D' THEN DELETE "
+              "WHEN MATCHED THEN UPDATE SET * "
+              "WHEN NOT MATCHED AND c.op <> 'D' THEN INSERT * "
+              "WHEN NOT MATCHED BY SOURCE THEN DELETE").split(" ")
+    rng = random.Random(42)
+    for trial in range(40):
+        parts = []
+        for tok in tokens:
+            if "'" not in tok and "." not in tok and rng.random() < 0.5:
+                tok = tok.lower() if rng.random() < 0.5 else tok.upper()
+            parts.append(tok)
+            parts.append(rng.choice([" ", "  ", "\n", "\n  ", " \t"]))
+        cat.sql("".join(parts))
+    assert len(calls) == 40
+    assert len(set(map(repr, calls))) == 1, set(map(repr, calls))
+    keys, upd, dele, ins, bysrc = calls[0]
+    assert keys == ("k",)
+    assert upd == "*"
+    assert dele == "s.op = 'D'"
+    assert ins == "s.op <> 'D'"
+    assert bysrc == "true"
+
+
+def test_sql_call_namedarg_order_invariance(cat, nation, monkeypatch):
+    """Named-arg CALL: argument order, catalog prefixes, keyword case,
+    and arrow spacing are all insignificant — every permutation
+    dispatches the identical expire_snapshots call (stubbed)."""
+    import itertools
+
+    cat.create_database("nyc")
+    cat.create_table("nyc.t", nation)
+    calls = []
+    monkeypatch.setattr(
+        LakeTable, "expire_snapshots",
+        lambda self, **kw: (calls.append(kw), [])[1],
+    )
+    args = ["table => 'nyc.t'",
+            "older_than => TIMESTAMP '2024-06-01 00:00:00.000'",
+            "retain_last => 2"]
+    for perm in itertools.permutations(args):
+        for prefix in ("", "system.", "demo.system."):
+            cat.sql(f"CALL {prefix}expire_snapshots({', '.join(perm)})")
+    assert len(calls) == 18
+    assert all(c == calls[0] for c in calls)
+    assert calls[0]["retain_last"] == 2
+    assert calls[0]["older_than_ms"] == 1717200000000
