@@ -735,9 +735,8 @@ class Catalog:
                 # demo.nyc.taxis_sample`` resolves like the write path's
                 # 3-part handling in _path (the rewrite below would
                 # otherwise mangle only the trailing two parts)
-                s = re.sub(
+                s = _sub_outside_quotes(
                     rf"\b\w+\.(?={re.escape(base)}\b)", "", s,
-                    flags=re.IGNORECASE,
                 )
                 # D20/S6 — time travel: FROM t VERSION AS OF <id|'branch'>
                 # (WAP...ipynb:272 uses a branch name; Iceberg also takes
@@ -775,15 +774,17 @@ class Catalog:
                     if re.search(re.escape(dotted), s, re.IGNORECASE):
                         view = f"__lakeshed_{db}_{tbl}_{meta}"
                         getattr(t, meta)().createOrReplaceTempView(view)
-                        s = re.sub(
-                            re.escape(dotted), view, s, flags=re.IGNORECASE
+                        s = _sub_outside_quotes(
+                            re.escape(dotted), view, s
                         )
                         registered.add(dotted)
                 if re.search(rf"\b{re.escape(base)}\b", s, re.IGNORECASE):
                     view = f"__lakeshed_{db}_{tbl}"
                     t.read().createOrReplaceTempView(view)
-                    s = re.sub(
-                        rf"\b{re.escape(base)}\b", view, s, flags=re.IGNORECASE
+                    # quote-aware: a table name inside a string literal
+                    # (WHERE src = 'nyc.taxis') is DATA, not a relation
+                    s = _sub_outside_quotes(
+                        rf"\b{re.escape(base)}\b", view, s
                     )
         return self.spark.sql(s)
 
@@ -831,6 +832,30 @@ def _parse_call_args(argstr: str) -> tuple[list[object], dict[str, object]]:
         else:
             pos.append(_call_value(part))
     return pos, named
+
+
+def _sub_outside_quotes(pattern: str, repl: str, s: str) -> str:
+    """``re.sub(..., flags=IGNORECASE)`` applied ONLY to the segments of
+    ``s`` outside single-/double-quoted literals — a table name inside a
+    string literal is data, not a relation reference."""
+    spans: list[tuple[int, int]] = []
+    quote, start = None, 0
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                spans.append((start, i + 1))
+                quote = None
+        elif ch in "'\"":
+            quote, start = ch, i
+    if quote:
+        spans.append((start, len(s)))
+    out, pos = [], 0
+    for a, b in spans:
+        out.append(re.sub(pattern, repl, s[pos:a], flags=re.IGNORECASE))
+        out.append(s[a:b])
+        pos = b
+    out.append(re.sub(pattern, repl, s[pos:], flags=re.IGNORECASE))
+    return "".join(out)
 
 
 def _split_where(s: str) -> tuple[str, str | None]:

@@ -1593,3 +1593,16 @@ def test_sql_call_namedarg_order_invariance(cat, nation, monkeypatch):
     assert all(c == calls[0] for c in calls)
     assert calls[0]["retain_last"] == 2
     assert calls[0]["older_than_ms"] == 1717200000000
+
+
+def test_select_table_name_inside_string_literal_is_data(cat, nation):
+    """A table name appearing inside a string literal in a SELECT must
+    stay literal text — the view rewrite only touches relation
+    references outside quotes."""
+    cat.create_database("nyc")
+    cat.create_table("nyc.taxis", nation)
+    row = cat.sql(
+        "SELECT 'nyc.taxis' AS src, count(*) AS c FROM nyc.taxis"
+    ).first()
+    assert row["src"] == "nyc.taxis"
+    assert row["c"] == nation.count()
