@@ -267,13 +267,19 @@ class Catalog:
             for part in _split_top(body):
                 col, _, expr = part.partition("=")
                 assigns[col.strip().strip("`")] = expr.strip()
-            self.table(m.group(1)).update(assigns, where=where)
+            # D14 — the spark.wap.branch pin scopes DML too
+            # (WAP...ipynb cell 21 DELETEs against the staged branch)
+            self.table(m.group(1)).update(
+                assigns, where=where, branch=self.write_branch()
+            )
             return None
         m = re.match(
             r"delete from ([\w.]+) where (.+)$", s, re.IGNORECASE | re.DOTALL
         )
         if m:
-            self.table(m.group(1)).delete(m.group(2))
+            self.table(m.group(1)).delete(
+                m.group(2), branch=self.write_branch()
+            )
             return None
         m = re.match(
             r"alter table ([\w.]+) add constraint (\w+) check \((.+)\)$",
@@ -769,6 +775,15 @@ class Catalog:
                     view = f"__lakeshed_{db}_{tbl}_ts_{ts_ms}"
                     pinned.createOrReplaceTempView(view)
                     s = s.replace(m.group(0), view)
+                # S6 — branch-suffix relation: FROM nyc.permits.branch_etl_job_42
+                # (WAP...ipynb:294); resolves to a branch-pinned read
+                for m in re.finditer(
+                    rf"{re.escape(base)}\.branch_(\w+)", s, re.IGNORECASE,
+                ):
+                    branch = m.group(1)
+                    view = f"__lakeshed_{db}_{tbl}_br_{branch}"
+                    t.read(branch=branch).createOrReplaceTempView(view)
+                    s = _sub_outside_quotes(re.escape(m.group(0)), view, s)
                 for meta in _META_TABLES:
                     dotted = f"{base}.{meta}"
                     if re.search(re.escape(dotted), s, re.IGNORECASE):
@@ -780,7 +795,15 @@ class Catalog:
                         registered.add(dotted)
                 if re.search(rf"\b{re.escape(base)}\b", s, re.IGNORECASE):
                     view = f"__lakeshed_{db}_{tbl}"
-                    t.read().createOrReplaceTempView(view)
+                    # D14 — spark.wap.branch redirects plain READS too
+                    # (WAP...ipynb cells 18-26: with the pin set, SELECT
+                    # FROM nyc.permits shows the staged branch); tables
+                    # without that branch read main as usual
+                    wb = self._conf.get("spark.wap.branch")
+                    pinned_branch = (
+                        wb if wb and wb in t.branches() else None
+                    )
+                    t.read(branch=pinned_branch).createOrReplaceTempView(view)
                     # quote-aware: a table name inside a string literal
                     # (WHERE src = 'nyc.taxis') is DATA, not a relation
                     s = _sub_outside_quotes(

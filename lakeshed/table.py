@@ -1356,16 +1356,19 @@ class LakeTable:
         return rel
 
     def update(self, set: dict[str, str | Column],  # noqa: A002
-               where: str | Column | None = None) -> Commit:
+               where: str | Column | None = None, *,
+               branch: str = MAIN) -> Commit:
         """D10 — ``UPDATE t SET col = expr [WHERE ...]``
         (Getting Started.ipynb:204). Copy-on-write: only files containing
         matching rows are rewritten; untouched files carry over by
-        reference."""
+        reference. ``branch`` scopes the read+commit (the
+        ``spark.wap.branch`` pin: WAP...ipynb:19-21 DELETEs against the
+        staged branch)."""
         cond = (
             F.lit(True) if where is None
             else (F.expr(where) if isinstance(where, str) else where)
         )
-        head_commit, live = self._state(self.head())
+        head_commit, live = self._state(self.head(branch))
         known = {
             f.name for f in head_commit.schemas[str(head_commit.schema_version)]
         }
@@ -1379,7 +1382,8 @@ class LakeTable:
             where_str=where if isinstance(where, str) else None,
         )
         if not hit:
-            return self._commit("update", [], [], summary={"updated-files": 0})
+            return self._commit("update", [], [], branch=branch,
+                                summary={"updated-files": 0})
         hit_adds = [a for a in live if a.path in hit]
         rewritten = self._read_files(hit_adds, head_commit)
         assigns = {
@@ -1394,28 +1398,30 @@ class LakeTable:
         adds = self._write_files(
             out, head_commit.partition_spec, head_commit.schema_version
         )
-        return self._commit("update", adds, sorted(hit),
+        return self._commit("update", adds, sorted(hit), branch=branch,
                             summary={"updated-files": len(hit)})
 
-    def delete(self, where: str | Column) -> Commit:
+    def delete(self, where: str | Column, *, branch: str = MAIN) -> Commit:
         """D11 — ``DELETE FROM t WHERE ...`` (Getting Started.ipynb:247,268).
         Files whose every row matches become metadata-only removes (the
         rewrite produces nothing for them); partial files are rewritten
-        without the matching rows."""
+        without the matching rows. ``branch`` scopes the read+commit
+        (the ``spark.wap.branch`` pin)."""
         cond = F.expr(where) if isinstance(where, str) else where
-        head_commit, live = self._state(self.head())
+        head_commit, live = self._state(self.head(branch))
         hit = self._match_files(
             cond, live, head_commit,
             where_str=where if isinstance(where, str) else None,
         )
         if not hit:
-            return self._commit("delete", [], [], summary={"deleted-files": 0})
+            return self._commit("delete", [], [], branch=branch,
+                                summary={"deleted-files": 0})
         hit_adds = [a for a in live if a.path in hit]
         kept = self._read_files(hit_adds, head_commit).where(~cond)
         adds = self._write_files(
             kept, head_commit.partition_spec, head_commit.schema_version
         )
-        return self._commit("delete", adds, sorted(hit),
+        return self._commit("delete", adds, sorted(hit), branch=branch,
                             summary={"deleted-files": len(hit)})
 
     def _read_files(self, adds: list[AddFile], commit: Commit) -> DataFrame:

@@ -1606,3 +1606,58 @@ def test_select_table_name_inside_string_literal_is_data(cat, nation):
     ).first()
     assert row["src"] == "nyc.taxis"
     assert row["c"] == nation.count()
+
+
+def test_select_branch_suffix_relation(cat, nation):
+    """S6 — the WAP notebook's branch-suffix relation form
+    (``SELECT * FROM nyc.permits.branch_etl_job_42``, WAP...ipynb:294)
+    reads the branch-pinned snapshot while the bare name reads main."""
+    cat.create_database("nyc")
+    t = cat.create_table("nyc.permits", nation)
+    n0 = nation.count()
+    t.create_branch("etl_job_42")
+    t.append(nation.limit(4), branch="etl_job_42")
+    assert cat.sql(
+        "SELECT count(*) AS c FROM nyc.permits.branch_etl_job_42"
+    ).first()["c"] == n0 + 4
+    assert cat.sql(
+        "SELECT count(*) AS c FROM nyc.permits"
+    ).first()["c"] == n0
+
+
+def test_wap_branch_pin_scopes_dml_and_reads(cat, nation):
+    """WAP...ipynb cells 18-35 end to end: with spark.wap.branch set,
+    DML (the notebook's DELETE) lands on the staged branch and plain
+    SELECTs read it; VERSION AS OF 'main' / unsetting the pin both show
+    the untouched table; publishing via fast-forward of main makes the
+    change visible to everyone."""
+    cat.create_database("nyc")
+    t = cat.create_table("nyc.permits", nation)
+    n0 = nation.count()
+    victims = nation.where("n_regionkey = 1").count()
+    assert 0 < victims < n0
+    t.create_branch("etl_job_42")
+    cat.set_conf("spark.wap.branch", "etl_job_42")
+
+    cat.sql("DELETE FROM nyc.permits WHERE n_regionkey = 1")
+
+    # pin redirects plain reads to the staged branch (cell 25)
+    assert cat.sql("SELECT count(*) AS c FROM nyc.permits").first()["c"] \
+        == n0 - victims
+    # ...equivalently via the branch-suffix relation (cell 29)
+    assert cat.sql(
+        "SELECT count(*) AS c FROM nyc.permits.branch_etl_job_42"
+    ).first()["c"] == n0 - victims
+    # main is untouched (cell 32)
+    assert cat.sql(
+        "SELECT count(*) AS c FROM nyc.permits VERSION AS OF 'main'"
+    ).first()["c"] == n0
+    # unsetting the pin restores main reads (cell 35)
+    cat.set_conf("spark.wap.branch", None)
+    assert cat.sql("SELECT count(*) AS c FROM nyc.permits").first()["c"] \
+        == n0
+    # publish: cherry-pick the staged delete onto main
+    staged_head = t.branches()["etl_job_42"]
+    t.cherrypick_snapshot(staged_head)
+    assert cat.sql("SELECT count(*) AS c FROM nyc.permits").first()["c"] \
+        == n0 - victims
