@@ -1661,3 +1661,27 @@ def test_wap_branch_pin_scopes_dml_and_reads(cat, nation):
     t.cherrypick_snapshot(staged_head)
     assert cat.sql("SELECT count(*) AS c FROM nyc.permits").first()["c"] \
         == n0 - victims
+
+
+def test_notebook_edge_sql_shapes(cat, spark):
+    """The last notebook SQL shapes not covered by the lifecycle tests:
+    a dotted CREATE DATABASE (Berlin Buzzwords cell 4 — Iceberg
+    multi-level namespace quirk; must not break the later nyc.taxis
+    table), INSERT VALUES with ISO-8601 timestamp strings into a
+    timestamp column (Integrated Audits cell 44), and DELETE with a
+    LIKE predicate (WAP cell 64)."""
+    cat.sql("CREATE DATABASE IF NOT EXISTS nyc.taxis;")
+    cat.sql("CREATE TABLE nyc.taxis (VendorID bigint, fare double, "
+            "ts timestamp)")
+    cat.sql("INSERT INTO nyc.taxis VALUES (1, 9.5, "
+            "'2021-11-24T23:00:00.000')")
+    row = cat.sql("SELECT * FROM nyc.taxis").first()
+    assert row["VendorID"] == 1 and row["ts"].year == 2021
+
+    cat.sql("CREATE TABLE nyc.permits (borough string, cnt int)")
+    cat.table("nyc.permits").insert_values(("Manhattan", 1), ("Queens", 2))
+    cat.sql("DELETE FROM nyc.permits WHERE borough LIKE 'Man%'")
+    assert [r.borough for r in
+            cat.sql("SELECT borough FROM nyc.permits").collect()] == ["Queens"]
+    cat.sql("DELETE FROM nyc.permits WHERE borough LIKE '%'")
+    assert cat.sql("SELECT count(*) AS c FROM nyc.permits").first()["c"] == 0
