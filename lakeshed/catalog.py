@@ -141,6 +141,19 @@ class Catalog:
     def write_branch(self) -> str:
         return self._conf.get("spark.wap.branch", MAIN)
 
+    def _dml_branch(self, t: LakeTable) -> str:
+        """The branch a DML statement lands on: the ``spark.wap.branch``
+        pin when set — created on the table at its current head if it
+        doesn't exist yet, matching Iceberg's wap.branch write behavior
+        (a session-wide pin must stage writes on EVERY table, not
+        hard-fail tables that never ran CREATE BRANCH) — else main."""
+        wb = self._conf.get("spark.wap.branch")
+        if not wb or wb == MAIN:
+            return MAIN
+        if wb not in t.branches():
+            t.create_branch(wb)
+        return wb
+
     # -------------------------------------------------------------- SQL
 
     def sql(self, statement: str, **fmt: object) -> DataFrame | None:
@@ -226,7 +239,7 @@ class Catalog:
                 [(db, t) for t in sorted(self.tables(db))],
                 "namespace string, tableName string",
             )
-        m = re.match(r"show create table ([\w.]+)$", low)
+        m = re.match(r"show create table ([\w.]+)$", s, re.IGNORECASE)
         if m:
             # DDL round-trip: the emitted statement re-executes through
             # this same router to an equivalent table (tested)
@@ -242,8 +255,12 @@ class Catalog:
                     + ", ".join(c.partition_spec) + ")"
                 )
             if c.properties:
+                # SQL-escape embedded quotes (doubled) so the emitted
+                # DDL round-trips through the router's property parser
+                esc = lambda x: str(x).replace("'", "''")  # noqa: E731
                 stmt += "\nTBLPROPERTIES (" + ", ".join(
-                    f"'{k}'='{v}'" for k, v in sorted(c.properties.items())
+                    f"'{esc(k)}'='{esc(v)}'"
+                    for k, v in sorted(c.properties.items())
                 ) + ")"
             return self.spark.createDataFrame(
                 [(stmt,)], "createtab_stmt string"
@@ -269,17 +286,15 @@ class Catalog:
                 assigns[col.strip().strip("`")] = expr.strip()
             # D14 — the spark.wap.branch pin scopes DML too
             # (WAP...ipynb cell 21 DELETEs against the staged branch)
-            self.table(m.group(1)).update(
-                assigns, where=where, branch=self.write_branch()
-            )
+            t = self.table(m.group(1))
+            t.update(assigns, where=where, branch=self._dml_branch(t))
             return None
         m = re.match(
             r"delete from ([\w.]+) where (.+)$", s, re.IGNORECASE | re.DOTALL
         )
         if m:
-            self.table(m.group(1)).delete(
-                m.group(2), branch=self.write_branch()
-            )
+            t = self.table(m.group(1))
+            t.delete(m.group(2), branch=self._dml_branch(t))
             return None
         m = re.match(
             r"alter table ([\w.]+) add constraint (\w+) check \((.+)\)$",
@@ -318,7 +333,7 @@ class Catalog:
             if wap_id and t.properties().get("write.wap.enabled") == "true":
                 t.overwrite(df, wap_id=wap_id)
             else:
-                t.overwrite(df, branch=self.write_branch())
+                t.overwrite(df, branch=self._dml_branch(t))
             return None
         m = re.match(
             r"insert into ([\w.]+) (select .+|values .+)$", s,
@@ -344,7 +359,7 @@ class Catalog:
             if wap_id and t.properties().get("write.wap.enabled") == "true":
                 t.append(df, wap_id=wap_id)
             else:
-                t.append(df, branch=self.write_branch())
+                t.append(df, branch=self._dml_branch(t))
             return None
         m = re.match(
             r"call\s+(?:[\w]+\.)*(\w+)\s*\((.*)\)$", s,
@@ -638,13 +653,17 @@ class Catalog:
         bysrc_upd_cond: str | None = None
         target_cols = [f.name for f in self.table(tbl).schema_fields()]
         for cm in re.finditer(
-            r"when\s+(not\s+)?matched(\s+by\s+source)?"
+            r"when\s+(not\s+)?matched(\s+by\s+(?:source|target))?"
             r"(?:\s+and\s+(.+?))?\s+then\s+"
             r"(update\s+set\s+.+?|delete|insert\s+.+?)\s*"
             r"(?=when\s+(?:not\s+)?matched\b|$)",
             when_text, re.IGNORECASE | re.DOTALL,
         ):
             unmatched, by_source, cond, action = cm.groups()
+            if by_source and by_source.split()[-1].lower() == "target":
+                # WHEN NOT MATCHED BY TARGET ≡ WHEN NOT MATCHED (Spark 4
+                # spells the source-only clause both ways)
+                by_source = None
             cond = norm(cond.strip()) if cond else None
             act = " ".join(action.lower().split())
             if by_source:
@@ -682,8 +701,15 @@ class Catalog:
                                 "NOT MATCHED BY SOURCE assignment cannot "
                                 "reference source columns"
                             )
-                        assigns[col.strip().strip("`").split(".")[-1]] = \
-                            bare(expr)
+                        col = col.strip().split(".")[-1].strip("`")
+                        if col not in target_cols:
+                            # update() raises for unknown columns; a
+                            # silent no-op assignment would hide a typo
+                            raise TableError(
+                                f"unknown column {col!r} in NOT MATCHED "
+                                "BY SOURCE UPDATE"
+                            )
+                        assigns[col] = bare(expr)
                     bysrc_upd = assigns
                     bysrc_upd_cond = bare(cond)
             elif unmatched:
@@ -706,8 +732,9 @@ class Catalog:
                     assigns: dict[str, str] = {}
                     for a in _split_top(body):
                         col, _, expr = a.partition("=")
-                        col = col.strip().strip("`")
-                        col = col.split(".")[-1]  # strip target alias
+                        # alias first, THEN backticks: t.`active` must
+                        # yield "active", not "`active"
+                        col = col.strip().split(".")[-1].strip("`")
                         expr = norm(expr.strip())
                         assigns[col] = expr if cond is None else (
                             f"CASE WHEN {cond} THEN {expr} ELSE t.`{col}` END"
@@ -715,7 +742,8 @@ class Catalog:
                     upd = assigns
             else:
                 raise TableError(f"unsupported MERGE action {action!r}")
-        self.table(tbl).merge(
+        t_obj = self.table(tbl)
+        t_obj.merge(
             src_df, keys,
             when_matched_update=upd,
             when_matched_delete=dele,
@@ -728,6 +756,9 @@ class Catalog:
             when_not_matched_by_source_delete=bysrc,
             when_not_matched_by_source_update=bysrc_upd,
             when_not_matched_by_source_condition=bysrc_upd_cond,
+            # D14 — MERGE respects the spark.wap.branch pin like every
+            # other DML statement (reads the branch state, commits to it)
+            branch=self._dml_branch(t_obj),
         )
 
     def _run_select(self, s: str) -> DataFrame:
@@ -776,14 +807,21 @@ class Catalog:
                     pinned.createOrReplaceTempView(view)
                     s = s.replace(m.group(0), view)
                 # S6 — branch-suffix relation: FROM nyc.permits.branch_etl_job_42
-                # (WAP...ipynb:294); resolves to a branch-pinned read
+                # (WAP...ipynb:294); resolves to a branch-pinned read.
+                # Detection runs on the quote-masked text: a literal
+                # mentioning '.branch_x' is data and must not trigger a
+                # branch read (which would error on unknown branches).
                 for m in re.finditer(
-                    rf"{re.escape(base)}\.branch_(\w+)", s, re.IGNORECASE,
+                    rf"{re.escape(base)}\.branch_(\w+)", _mask_quotes(s),
+                    re.IGNORECASE,
                 ):
                     branch = m.group(1)
                     view = f"__lakeshed_{db}_{tbl}_br_{branch}"
                     t.read(branch=branch).createOrReplaceTempView(view)
-                    s = _sub_outside_quotes(re.escape(m.group(0)), view, s)
+                    s = _sub_outside_quotes(
+                        rf"{re.escape(base)}\.branch_{re.escape(branch)}",
+                        view, s,
+                    )
                 for meta in _META_TABLES:
                     dotted = f"{base}.{meta}"
                     if re.search(re.escape(dotted), s, re.IGNORECASE):
@@ -857,23 +895,47 @@ def _parse_call_args(argstr: str) -> tuple[list[object], dict[str, object]]:
     return pos, named
 
 
-def _sub_outside_quotes(pattern: str, repl: str, s: str) -> str:
-    """``re.sub(..., flags=IGNORECASE)`` applied ONLY to the segments of
-    ``s`` outside single-/double-quoted literals — a table name inside a
-    string literal is data, not a relation reference."""
+def _quoted_spans(s: str) -> list[tuple[int, int]]:
+    """(start, end) spans of single-/double-quoted literals in ``s``.
+    The ONE quote scanner every helper shares. Handles backslash escapes
+    (``'it\\'s'``) and SQL doubled quotes (``'it''s'`` scans as two
+    adjacent literals — same spans for our purposes)."""
     spans: list[tuple[int, int]] = []
     quote, start = None, 0
-    for i, ch in enumerate(s):
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
         if quote:
+            if ch == "\\":
+                i += 2
+                continue
             if ch == quote:
                 spans.append((start, i + 1))
                 quote = None
         elif ch in "'\"":
             quote, start = ch, i
+        i += 1
     if quote:
-        spans.append((start, len(s)))
+        spans.append((start, n))
+    return spans
+
+
+def _mask_quotes(s: str) -> str:
+    """``s`` with every quoted literal replaced by spaces (same length)
+    — run detection regexes on the mask, slice/replace on the original."""
+    out = list(s)
+    for a, b in _quoted_spans(s):
+        for i in range(a, b):
+            out[i] = " "
+    return "".join(out)
+
+
+def _sub_outside_quotes(pattern: str, repl: str, s: str) -> str:
+    """``re.sub(..., flags=IGNORECASE)`` applied ONLY to the segments of
+    ``s`` outside quoted literals — a table name inside a string literal
+    is data, not a relation reference."""
     out, pos = [], 0
-    for a, b in spans:
+    for a, b in _quoted_spans(s):
         out.append(re.sub(pattern, repl, s[pos:a], flags=re.IGNORECASE))
         out.append(s[a:b])
         pos = b
@@ -884,63 +946,54 @@ def _sub_outside_quotes(pattern: str, repl: str, s: str) -> str:
 def _split_where(s: str) -> tuple[str, str | None]:
     """Split ``<expr list> [WHERE <pred>]`` at the first top-level WHERE
     keyword OUTSIDE quotes/parens; returns (head, predicate-or-None)."""
-    depth, quote = 0, None
-    low = s.lower()
-    i = 0
-    while i < len(s):
-        ch = s[i]
-        if quote:
-            if ch == quote:
-                quote = None
-        elif ch in "'\"":
-            quote = ch
-        elif ch == "(":
+    masked = _mask_quotes(s)
+    low = masked.lower()
+    depth = 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif (depth == 0 and low.startswith("where", i)
-              and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
-              and (i + 5 == len(s)
-                   or not (s[i + 5].isalnum() or s[i + 5] == "_"))):
+              and (i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_"))
+              and (i + 5 == len(low)
+                   or not (low[i + 5].isalnum() or low[i + 5] == "_"))):
             return s[:i].strip(), s[i + 5:].strip() or None
-        i += 1
     return s.strip(), None
 
 
 def _split_top(s: str) -> list[str]:
-    """Split on commas not nested in parens/quotes (UPDATE SET lists)."""
-    out, depth, cur, quote = [], 0, [], None
-    for ch in s:
-        if quote:
-            cur.append(ch)
-            if ch == quote:
-                quote = None
-            continue
-        if ch in "'\"":
-            quote = ch
-            cur.append(ch)
-        elif ch == "(":
+    """Split on commas not nested in parens/quotes (UPDATE SET lists) —
+    comma positions come from the quote-masked text (shared scanner, so
+    escaped quotes behave identically everywhere)."""
+    masked = _mask_quotes(s)
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
             depth += 1
-            cur.append(ch)
         elif ch == ")":
             depth -= 1
-            cur.append(ch)
         elif ch == "," and depth == 0:
-            out.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        out.append("".join(cur))
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
     return [p for p in (x.strip() for x in out) if p]
 
 
 def _parse_props(s: str | None) -> dict[str, str]:
-    """TBLPROPERTIES list — 'k'='v', 'k2'='v2' — to a dict."""
+    """TBLPROPERTIES list — 'k'='v', 'k2'='v2' — to a dict; doubled
+    quotes inside quoted values unescape (round-trips SHOW CREATE)."""
     out: dict[str, str] = {}
+
+    def unq(x: str) -> str:
+        x = x.strip()
+        if len(x) >= 2 and x[0] == x[-1] and x[0] in "'\"":
+            return x[1:-1].replace(x[0] * 2, x[0])
+        return x
+
     for part in _split_top(s or ""):
         if not part.strip():
             continue
         k, _, v = part.partition("=")
-        out[k.strip().strip("'\"")] = v.strip().strip("'\"")
+        out[unq(k)] = unq(v)
     return out

@@ -1417,7 +1417,12 @@ class LakeTable:
             return self._commit("delete", [], [], branch=branch,
                                 summary={"deleted-files": 0})
         hit_adds = [a for a in live if a.path in hit]
-        kept = self._read_files(hit_adds, head_commit).where(~cond)
+        # three-valued logic: a NULL predicate must KEEP the row (SQL
+        # deletes only where the condition is TRUE; ~NULL is NULL and a
+        # bare where(~cond) would silently drop NULL-condition rows)
+        kept = self._read_files(hit_adds, head_commit).where(
+            ~F.coalesce(cond, F.lit(False))
+        )
         adds = self._write_files(
             kept, head_commit.partition_spec, head_commit.schema_version
         )
@@ -1441,6 +1446,7 @@ class LakeTable:
         when_not_matched_by_source_delete: str | None = None,
         when_not_matched_by_source_update: dict[str, str] | None = None,
         when_not_matched_by_source_condition: str | None = None,
+        branch: str = MAIN,
     ) -> Commit:
         """J2/W5/W6 — MERGE INTO: the changelog upsert of
         ``IcebergStream.java:116-120`` (equality-delete sink) and the Paimon
@@ -1486,7 +1492,7 @@ class LakeTable:
         typical for a micro-batch), and only hit files rewrite.
         """
         keys = [on] if isinstance(on, str) else list(on)
-        head_commit, live = self._state(self.head())
+        head_commit, live = self._state(self.head(branch))
         fields = head_commit.schemas[str(head_commit.schema_version)]
         # Schema evolution is TRANSACTIONAL: the evolved schema rides the
         # merge's own commit (like Delta's withSchemaEvolution) instead of
@@ -1583,13 +1589,17 @@ class LakeTable:
         adds: list[AddFile] = []
         target_cols = [f.name for f in fields]
 
+        # three-valued logic everywhere a predicate gates a DELETE: a
+        # NULL condition must behave as FALSE (keep the row / don't act),
+        # never leak NULL through ~ and silently drop rows
         delete_cond = (
-            F.expr(when_matched_delete) if when_matched_delete else F.lit(False)
+            F.coalesce(F.expr(when_matched_delete), F.lit(False))
+            if when_matched_delete else F.lit(False)
         )
         insert_pred = (
             F.lit(True)
             if when_not_matched_insert in ("*", None)
-            else F.expr(when_not_matched_insert)
+            else F.coalesce(F.expr(when_not_matched_insert), F.lit(False))
         )
 
         bysrc_active = (
@@ -1604,11 +1614,15 @@ class LakeTable:
             no key matches)."""
             if when_not_matched_by_source_delete is not None:
                 frame = frame.where(~(
-                    unmatched & F.expr(when_not_matched_by_source_delete)
+                    unmatched & F.coalesce(
+                        F.expr(when_not_matched_by_source_delete),
+                        F.lit(False),
+                    )
                 ))
             if when_not_matched_by_source_update is not None:
-                cond = unmatched & F.expr(
-                    when_not_matched_by_source_condition or "true"
+                cond = unmatched & F.coalesce(
+                    F.expr(when_not_matched_by_source_condition or "true"),
+                    F.lit(False),
                 )
                 frame = frame.select(*[
                     F.when(
@@ -1693,12 +1707,14 @@ class LakeTable:
             if when_not_matched_by_source_delete is not None:
                 pruned |= {
                     a.path for a in
-                    self.plan_files(when_not_matched_by_source_delete)
+                    self.plan_files(when_not_matched_by_source_delete,
+                                    version=self.head(branch))
                 }
             if when_not_matched_by_source_update is not None:
                 pruned |= {
                     a.path for a in
-                    self.plan_files(when_not_matched_by_source_condition)
+                    self.plan_files(when_not_matched_by_source_condition,
+                                    version=self.head(branch))
                 }
             bysrc_adds = [
                 a for a in live if a.path in pruned and a.path not in hit
@@ -1760,7 +1776,7 @@ class LakeTable:
             summary["by-source-files"] = len(bysrc_adds)
             removes = sorted(hit | {a.path for a in bysrc_adds})
         return self._commit(
-            "merge", adds, removes,
+            "merge", adds, removes, branch=branch,
             schema_version=evolved_sv, schemas=evolved_schemas,
             summary=summary,
         )

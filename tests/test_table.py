@@ -1685,3 +1685,117 @@ def test_notebook_edge_sql_shapes(cat, spark):
             cat.sql("SELECT borough FROM nyc.permits").collect()] == ["Queens"]
     cat.sql("DELETE FROM nyc.permits WHERE borough LIKE '%'")
     assert cat.sql("SELECT count(*) AS c FROM nyc.permits").first()["c"] == 0
+
+
+def test_review_fixes_round8_wave2(cat, nation, spark):
+    """Second review wave: NULL three-valued logic in every DELETE
+    predicate, MERGE under the wap.branch pin, BY TARGET synonym,
+    branch auto-create for pinned DML, literal-safe branch-suffix
+    detection, by-source assignment validation, and SHOW CREATE
+    round-trip with embedded quotes."""
+    cat.create_database("db")
+
+    # --- NULL conditions never delete (plain DELETE + by-source) ---
+    t = cat.create_table(
+        "db.nulls",
+        spark.createDataFrame(
+            [(1, "old"), (2, None), (3, "new")], "k int, status string"
+        ),
+    )
+    cat.sql("DELETE FROM db.nulls WHERE status = 'old'")
+    assert {r.k for r in t.read().collect()} == {2, 3}   # NULL row kept
+
+    t2 = cat.create_table(
+        "db.nulls2",
+        spark.createDataFrame(
+            [(1, "x", "old"), (2, "y", None)], "k int, v string, tag string"
+        ),
+    )
+    spark.createDataFrame([(9, "z", "t")], "k int, v string, tag string") \
+        .createOrReplaceTempView("w2_src")
+    cat.sql("""
+        MERGE INTO db.nulls2 t USING w2_src s ON t.k = s.k
+        WHEN NOT MATCHED BY SOURCE AND t.tag = 'old' THEN DELETE
+    """)
+    assert {r.k for r in t2.read().collect()} == {2}     # NULL-tag kept
+
+    # --- WHEN NOT MATCHED BY TARGET THEN INSERT (Spark 4 spelling) ---
+    t3 = cat.create_table(
+        "db.bytgt", spark.createDataFrame([(1, "a")], "k int, v string")
+    )
+    spark.createDataFrame([(2, "b")], "k int, v string") \
+        .createOrReplaceTempView("bt_src")
+    cat.sql("""
+        MERGE INTO db.bytgt t USING bt_src s ON t.k = s.k
+        WHEN NOT MATCHED BY TARGET THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """)
+    assert {r.k: r.v for r in t3.read().collect()} == {2: "b"}
+
+    # --- MERGE respects the spark.wap.branch pin ---
+    t4 = cat.create_table(
+        "db.wapmerge", spark.createDataFrame([(1, "a")], "k int, v string")
+    )
+    cat.set_conf("spark.wap.branch", "stage_1")          # branch not created:
+    spark.createDataFrame([(1, "a2"), (5, "e")], "k int, v string") \
+        .createOrReplaceTempView("wm_src")
+    cat.sql("""
+        MERGE INTO db.wapmerge t USING wm_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    # auto-created by the pin; main untouched, branch has the merge
+    assert {r.k: r.v for r in t4.read().collect()} == {1: "a"}
+    assert {r.k: r.v for r in t4.read(branch="stage_1").collect()} == \
+        {1: "a2", 5: "e"}
+    cat.set_conf("spark.wap.branch", None)
+
+    # --- literal containing .branch_x is data, not a branch read ---
+    cat.create_table("db.littest", nation)
+    row = cat.sql(
+        "SELECT 'see db.littest.branch_old' AS note, count(*) AS c "
+        "FROM db.littest"
+    ).first()
+    assert row["note"] == "see db.littest.branch_old"
+    assert row["c"] == nation.count()
+
+    # --- by-source UPDATE validates columns; backticks resolve ---
+    t5 = cat.create_table(
+        "db.bsval", spark.createDataFrame([(1, True)], "k int, active boolean")
+    )
+    spark.createDataFrame([(9, True)], "k int, active boolean") \
+        .createOrReplaceTempView("bs_src")
+    with pytest.raises(TableError, match="unknown column"):
+        cat.sql("""
+            MERGE INTO db.bsval t USING bs_src s ON t.k = s.k
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET activ = false
+        """)
+    cat.sql("""
+        MERGE INTO db.bsval t USING bs_src s ON t.k = s.k
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.`active` = false
+    """)
+    assert t5.read().first()["active"] is False
+
+    # --- SHOW CREATE round-trips quoted property values + name case ---
+    cat.sql("CREATE TABLE db.Props (k int) "
+            "TBLPROPERTIES ('comment'='driver''s log')")
+    assert cat.table("db.Props").properties()["comment"] == "driver's log"
+    stmt = cat.sql("SHOW CREATE TABLE db.Props").first()["createtab_stmt"]
+    assert "db.Props" in stmt                      # case preserved
+    cat.sql(stmt.replace("db.Props", "db.Props2"))
+    assert cat.table("db.Props2").properties()["comment"] == "driver's log"
+
+
+def test_quote_scanner_handles_escapes():
+    """Backslash-escaped and doubled quotes must not desynchronize the
+    shared quote scanner (pure-python unit check)."""
+    from lakeshed.catalog import _split_where, _sub_outside_quotes
+
+    head, pred = _split_where(r"msg = 'don\'t stop' where k = 1")
+    assert head == r"msg = 'don\'t stop'" and pred == "k = 1"
+    head, pred = _split_where("msg = 'it''s a where clause'")
+    assert head == "msg = 'it''s a where clause'" and pred is None
+    out = _sub_outside_quotes(
+        r"\bnyc\.taxis\b", "VIEW", r"SELECT 'it\'s nyc.taxis' FROM nyc.taxis"
+    )
+    assert out == r"SELECT 'it\'s nyc.taxis' FROM VIEW"
