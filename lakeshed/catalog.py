@@ -138,21 +138,47 @@ class Catalog:
         else:
             self._conf[key] = value
 
-    def write_branch(self) -> str:
-        return self._conf.get("spark.wap.branch", MAIN)
-
-    def _dml_branch(self, t: LakeTable) -> str:
-        """The branch a DML statement lands on: the ``spark.wap.branch``
-        pin when set — created on the table at its current head if it
-        doesn't exist yet, matching Iceberg's wap.branch write behavior
-        (a session-wide pin must stage writes on EVERY table, not
-        hard-fail tables that never ran CREATE BRANCH) — else main."""
+    def _run_dml(self, t: LakeTable, fn):
+        """Execute one DML statement with the D14 pins applied
+        UNIFORMLY (Iceberg stages ALL writes under a pin, not just
+        inserts): under ``spark.wap.id`` + ``write.wap.enabled`` the
+        statement stages on the wap-<id> ref; under ``spark.wap.branch``
+        it lands on that branch — auto-created at the current head if
+        the table never ran CREATE BRANCH (Iceberg's wap.branch write
+        behavior), and dropped again if the STATEMENT fails, so a typo'd
+        statement can't leave a stale branch redirecting later pinned
+        reads. ``fn`` receives either ``wap_id=`` or ``branch=``."""
+        wap_id = self._conf.get("spark.wap.id")
+        if wap_id and t.properties().get("write.wap.enabled") == "true":
+            return fn(wap_id=wap_id)
         wb = self._conf.get("spark.wap.branch")
         if not wb or wb == MAIN:
-            return MAIN
-        if wb not in t.branches():
+            return fn(branch=MAIN)
+        created = wb not in t.branches()
+        if created:
             t.create_branch(wb)
-        return wb
+        try:
+            return fn(branch=wb)
+        except BaseException:
+            if created:
+                try:
+                    t.drop_branch(wb)
+                except TableError:
+                    pass
+            raise
+
+    def _dml_read_version(self, t: LakeTable) -> int | None:
+        """The snapshot a pinned DML statement READS (None = main head):
+        the staged wap-<id> chain head when one exists, else the pinned
+        branch head when the table has that branch."""
+        wap_id = self._conf.get("spark.wap.id")
+        if wap_id and t.properties().get("write.wap.enabled") == "true":
+            v = t._refs().get(f"wap-{wap_id}")
+            return v
+        wb = self._conf.get("spark.wap.branch")
+        if wb and wb in t.branches():
+            return t.head(wb)
+        return None
 
     # -------------------------------------------------------------- SQL
 
@@ -239,7 +265,8 @@ class Catalog:
                 [(db, t) for t in sorted(self.tables(db))],
                 "namespace string, tableName string",
             )
-        m = re.match(r"show create table ([\w.]+)$", s, re.IGNORECASE)
+        m = re.match(r"show\s+create\s+table\s+([\w.]+)$", s,
+                     re.IGNORECASE)
         if m:
             # DDL round-trip: the emitted statement re-executes through
             # this same router to an equivalent table (tested)
@@ -257,7 +284,8 @@ class Catalog:
             if c.properties:
                 # SQL-escape embedded quotes (doubled) so the emitted
                 # DDL round-trips through the router's property parser
-                esc = lambda x: str(x).replace("'", "''")  # noqa: E731
+                esc = lambda x: (str(x).replace("\\", "\\\\")  # noqa: E731
+                                 .replace("'", "''"))
                 stmt += "\nTBLPROPERTIES (" + ", ".join(
                     f"'{esc(k)}'='{esc(v)}'"
                     for k, v in sorted(c.properties.items())
@@ -284,17 +312,19 @@ class Catalog:
             for part in _split_top(body):
                 col, _, expr = part.partition("=")
                 assigns[col.strip().strip("`")] = expr.strip()
-            # D14 — the spark.wap.branch pin scopes DML too
-            # (WAP...ipynb cell 21 DELETEs against the staged branch)
+            # D14 — the wap pins scope DML too (WAP...ipynb cell 21
+            # DELETEs against the staged branch)
             t = self.table(m.group(1))
-            t.update(assigns, where=where, branch=self._dml_branch(t))
+            self._run_dml(
+                t, lambda **kw: t.update(assigns, where=where, **kw)
+            )
             return None
         m = re.match(
             r"delete from ([\w.]+) where (.+)$", s, re.IGNORECASE | re.DOTALL
         )
         if m:
             t = self.table(m.group(1))
-            t.delete(m.group(2), branch=self._dml_branch(t))
+            self._run_dml(t, lambda **kw: t.delete(m.group(2), **kw))
             return None
         m = re.match(
             r"alter table ([\w.]+) add constraint (\w+) check \((.+)\)$",
@@ -329,11 +359,7 @@ class Catalog:
             df = df.toDF(*[f.name for f in t.schema_fields()])
             # same D14 staging contract as INSERT INTO below — the
             # full-table swap must not bypass a pinned WAP audit
-            wap_id = self._conf.get("spark.wap.id")
-            if wap_id and t.properties().get("write.wap.enabled") == "true":
-                t.overwrite(df, wap_id=wap_id)
-            else:
-                t.overwrite(df, branch=self._dml_branch(t))
+            self._run_dml(t, lambda **kw: t.overwrite(df, **kw))
             return None
         m = re.match(
             r"insert into ([\w.]+) (select .+|values .+)$", s,
@@ -355,11 +381,7 @@ class Catalog:
             df = df.toDF(*[f.name for f in t.schema_fields()])
             # D14 — spark.wap.id pin + write.wap.enabled stages the write
             # (Integrated Audits...ipynb:191,461)
-            wap_id = self._conf.get("spark.wap.id")
-            if wap_id and t.properties().get("write.wap.enabled") == "true":
-                t.append(df, wap_id=wap_id)
-            else:
-                t.append(df, branch=self._dml_branch(t))
+            self._run_dml(t, lambda **kw: t.append(df, **kw))
             return None
         m = re.match(
             r"call\s+(?:[\w]+\.)*(\w+)\s*\((.*)\)$", s,
@@ -599,10 +621,16 @@ class Catalog:
         else:
             mm = re.match(r"([\w.]+)", rest)
             src_name = mm.group(1)
-            src_df = (
-                self.table(src_name).read() if self._exists(src_name)
-                else self.spark.table(src_name)
-            )
+            if self._exists(src_name):
+                # the pins redirect catalog-table SOURCE reads exactly
+                # like plain SELECTs (a subquery source routed through
+                # self.sql already does)
+                t_src = self.table(src_name)
+                src_df = t_src.read(
+                    version=self._dml_read_version(t_src)
+                )
+            else:
+                src_df = self.spark.table(src_name)
             rest = rest[mm.end():].lstrip()
             salias = src_name  # unaliased: conditions use the name itself
         mm = re.match(r"(?:as\s+)?(?!on\b)(\w+)\s+", rest, re.IGNORECASE)
@@ -651,7 +679,13 @@ class Catalog:
         bysrc: str | None = None
         bysrc_upd: dict[str, str] | None = None
         bysrc_upd_cond: str | None = None
-        target_cols = [f.name for f in self.table(tbl).schema_fields()]
+        t_obj = self.table(tbl)
+        # validate/expand against the schema the merge will READ — a
+        # pinned branch may have evolved past main
+        target_cols = [
+            f.name for f in
+            t_obj.schema_fields(version=self._dml_read_version(t_obj))
+        ]
         for cm in re.finditer(
             r"when\s+(not\s+)?matched(\s+by\s+(?:source|target))?"
             r"(?:\s+and\s+(.+?))?\s+then\s+"
@@ -742,8 +776,9 @@ class Catalog:
                     upd = assigns
             else:
                 raise TableError(f"unsupported MERGE action {action!r}")
-        t_obj = self.table(tbl)
-        t_obj.merge(
+        # D14 — MERGE respects the wap pins like every other DML
+        # statement (reads the pinned state, stages/commits accordingly)
+        self._run_dml(t_obj, lambda **kw: t_obj.merge(
             src_df, keys,
             when_matched_update=upd,
             when_matched_delete=dele,
@@ -756,10 +791,8 @@ class Catalog:
             when_not_matched_by_source_delete=bysrc,
             when_not_matched_by_source_update=bysrc_upd,
             when_not_matched_by_source_condition=bysrc_upd_cond,
-            # D14 — MERGE respects the spark.wap.branch pin like every
-            # other DML statement (reads the branch state, commits to it)
-            branch=self._dml_branch(t_obj),
-        )
+            **kw,
+        ))
 
     def _run_select(self, s: str) -> DataFrame:
         registered: set[str] = set()
@@ -988,7 +1021,10 @@ def _parse_props(s: str | None) -> dict[str, str]:
     def unq(x: str) -> str:
         x = x.strip()
         if len(x) >= 2 and x[0] == x[-1] and x[0] in "'\"":
-            return x[1:-1].replace(x[0] * 2, x[0])
+            inner = x[1:-1].replace(x[0] * 2, x[0])
+            # backslash escapes (the scanner treats \' as escaped, and
+            # SHOW CREATE emits \\ for a literal backslash)
+            return re.sub(r"\\(.)", r"\1", inner)
         return x
 
     for part in _split_top(s or ""):

@@ -1355,20 +1355,37 @@ class LakeTable:
             rel.add(os.path.abspath(p)[prefix_len:])
         return rel
 
+    def _dml_commit_args(
+        self, branch: str, wap_id: str | None
+    ) -> tuple[int, dict, dict]:
+        """(read_version, commit_kwargs, summary_extra) for a DML
+        statement: a plain branch commit, or — under a ``spark.wap.id``
+        pin — the same staged ``wap-<id>`` ref chain :meth:`append`
+        uses, so EVERY DML statement stages consistently (Iceberg stages
+        all writes under wap.id, not just inserts). Staged statements
+        read the staged chain's head, so pinned DML composes."""
+        if wap_id is None:
+            return self.head(branch), {"branch": branch}, {}
+        wb = f"wap-{wap_id}"
+        parent = self._refs().get(wb, self.head(branch))
+        return (parent, {"branch": wb, "parent": parent},
+                {"wap.id": wap_id})
+
     def update(self, set: dict[str, str | Column],  # noqa: A002
                where: str | Column | None = None, *,
-               branch: str = MAIN) -> Commit:
+               branch: str = MAIN, wap_id: str | None = None) -> Commit:
         """D10 — ``UPDATE t SET col = expr [WHERE ...]``
         (Getting Started.ipynb:204). Copy-on-write: only files containing
         matching rows are rewritten; untouched files carry over by
         reference. ``branch`` scopes the read+commit (the
         ``spark.wap.branch`` pin: WAP...ipynb:19-21 DELETEs against the
-        staged branch)."""
+        staged branch); ``wap_id`` stages like :meth:`append`."""
         cond = (
             F.lit(True) if where is None
             else (F.expr(where) if isinstance(where, str) else where)
         )
-        head_commit, live = self._state(self.head(branch))
+        read_v, ckw, sx = self._dml_commit_args(branch, wap_id)
+        head_commit, live = self._state(read_v)
         known = {
             f.name for f in head_commit.schemas[str(head_commit.schema_version)]
         }
@@ -1382,8 +1399,8 @@ class LakeTable:
             where_str=where if isinstance(where, str) else None,
         )
         if not hit:
-            return self._commit("update", [], [], branch=branch,
-                                summary={"updated-files": 0})
+            return self._commit("update", [], [], **ckw,
+                                summary={**sx, "updated-files": 0})
         hit_adds = [a for a in live if a.path in hit]
         rewritten = self._read_files(hit_adds, head_commit)
         assigns = {
@@ -1398,24 +1415,27 @@ class LakeTable:
         adds = self._write_files(
             out, head_commit.partition_spec, head_commit.schema_version
         )
-        return self._commit("update", adds, sorted(hit), branch=branch,
-                            summary={"updated-files": len(hit)})
+        return self._commit("update", adds, sorted(hit), **ckw,
+                            summary={**sx, "updated-files": len(hit)})
 
-    def delete(self, where: str | Column, *, branch: str = MAIN) -> Commit:
+    def delete(self, where: str | Column, *, branch: str = MAIN,
+               wap_id: str | None = None) -> Commit:
         """D11 — ``DELETE FROM t WHERE ...`` (Getting Started.ipynb:247,268).
         Files whose every row matches become metadata-only removes (the
         rewrite produces nothing for them); partial files are rewritten
         without the matching rows. ``branch`` scopes the read+commit
-        (the ``spark.wap.branch`` pin)."""
+        (the ``spark.wap.branch`` pin); ``wap_id`` stages like
+        :meth:`append`."""
         cond = F.expr(where) if isinstance(where, str) else where
-        head_commit, live = self._state(self.head(branch))
+        read_v, ckw, sx = self._dml_commit_args(branch, wap_id)
+        head_commit, live = self._state(read_v)
         hit = self._match_files(
             cond, live, head_commit,
             where_str=where if isinstance(where, str) else None,
         )
         if not hit:
-            return self._commit("delete", [], [], branch=branch,
-                                summary={"deleted-files": 0})
+            return self._commit("delete", [], [], **ckw,
+                                summary={**sx, "deleted-files": 0})
         hit_adds = [a for a in live if a.path in hit]
         # three-valued logic: a NULL predicate must KEEP the row (SQL
         # deletes only where the condition is TRUE; ~NULL is NULL and a
@@ -1426,8 +1446,8 @@ class LakeTable:
         adds = self._write_files(
             kept, head_commit.partition_spec, head_commit.schema_version
         )
-        return self._commit("delete", adds, sorted(hit), branch=branch,
-                            summary={"deleted-files": len(hit)})
+        return self._commit("delete", adds, sorted(hit), **ckw,
+                            summary={**sx, "deleted-files": len(hit)})
 
     def _read_files(self, adds: list[AddFile], commit: Commit) -> DataFrame:
         return self._read_adds(commit, adds)
@@ -1447,6 +1467,7 @@ class LakeTable:
         when_not_matched_by_source_update: dict[str, str] | None = None,
         when_not_matched_by_source_condition: str | None = None,
         branch: str = MAIN,
+        wap_id: str | None = None,
     ) -> Commit:
         """J2/W5/W6 — MERGE INTO: the changelog upsert of
         ``IcebergStream.java:116-120`` (equality-delete sink) and the Paimon
@@ -1492,7 +1513,8 @@ class LakeTable:
         typical for a micro-batch), and only hit files rewrite.
         """
         keys = [on] if isinstance(on, str) else list(on)
-        head_commit, live = self._state(self.head(branch))
+        read_v, ckw, sx = self._dml_commit_args(branch, wap_id)
+        head_commit, live = self._state(read_v)
         fields = head_commit.schemas[str(head_commit.schema_version)]
         # Schema evolution is TRANSACTIONAL: the evolved schema rides the
         # merge's own commit (like Delta's withSchemaEvolution) instead of
@@ -1708,13 +1730,13 @@ class LakeTable:
                 pruned |= {
                     a.path for a in
                     self.plan_files(when_not_matched_by_source_delete,
-                                    version=self.head(branch))
+                                    version=read_v)
                 }
             if when_not_matched_by_source_update is not None:
                 pruned |= {
                     a.path for a in
                     self.plan_files(when_not_matched_by_source_condition,
-                                    version=self.head(branch))
+                                    version=read_v)
                 }
             bysrc_adds = [
                 a for a in live if a.path in pruned and a.path not in hit
@@ -1776,9 +1798,9 @@ class LakeTable:
             summary["by-source-files"] = len(bysrc_adds)
             removes = sorted(hit | {a.path for a in bysrc_adds})
         return self._commit(
-            "merge", adds, removes, branch=branch,
+            "merge", adds, removes, **ckw,
             schema_version=evolved_sv, schemas=evolved_schemas,
-            summary=summary,
+            summary={**sx, **summary},
         )
 
     # --------------------------------------------------------- time travel

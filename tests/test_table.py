@@ -1799,3 +1799,75 @@ def test_quote_scanner_handles_escapes():
         r"\bnyc\.taxis\b", "VIEW", r"SELECT 'it\'s nyc.taxis' FROM nyc.taxis"
     )
     assert out == r"SELECT 'it\'s nyc.taxis' FROM VIEW"
+
+
+def test_review_fixes_round8_wave3(cat, nation, spark):
+    """Third review wave: whitespace-tolerant SHOW CREATE, backslash
+    property round-trip, pinned MERGE source reads, wap.id staging for
+    every DML statement, and rollback of branches auto-created by a
+    FAILED pinned statement."""
+    cat.create_database("db")
+
+    # --- SHOW CREATE tolerates newlines/extra spaces, case preserved ---
+    cat.sql("CREATE TABLE db.WsTest (k int) "
+            "TBLPROPERTIES ('path'='C:\\\\data')")
+    stmt = cat.sql("SHOW  CREATE\n TABLE  db.WsTest").first()["createtab_stmt"]
+    assert "db.WsTest" in stmt
+    # backslash-bearing property round-trips through the emitted DDL
+    cat.sql(stmt.replace("db.WsTest", "db.WsTest2"))
+    assert cat.table("db.WsTest2").properties()["path"] == "C:\\data"
+
+    # --- MERGE catalog-table source honors the branch pin ---
+    t = cat.create_table(
+        "db.tgt_ps", spark.createDataFrame([(1, "a")], "k int, v string")
+    )
+    src_t = cat.create_table(
+        "db.src_ps", spark.createDataFrame([(1, "main")], "k int, v string")
+    )
+    src_t.create_branch("stage_2")
+    src_t.append(spark.createDataFrame([(2, "staged")], "k int, v string"),
+                 branch="stage_2")
+    cat.set_conf("spark.wap.branch", "stage_2")
+    cat.sql("""
+        MERGE INTO db.tgt_ps t USING db.src_ps s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    # source read saw the staged row (k=2); target commit landed on the
+    # pin's branch (auto-created), main untouched
+    assert {r.k for r in t.read(branch="stage_2").collect()} == {1, 2}
+    assert {r.k for r in t.read().collect()} == {1}
+    cat.set_conf("spark.wap.branch", None)
+
+    # --- wap.id stages UPDATE/DELETE/MERGE, not just INSERT ---
+    t2 = cat.create_table(
+        "db.wid", spark.createDataFrame([(1, "a"), (2, "b")],
+                                        "k int, v string")
+    )
+    t2.set_properties(**{"write.wap.enabled": "true"})
+    cat.set_conf("spark.wap.id", "audit-9")
+    cat.sql("UPDATE db.wid SET v = 'a2' WHERE k = 1")
+    cat.sql("DELETE FROM db.wid WHERE k = 2")
+    # staged statements COMPOSE (the delete read the staged update) and
+    # main is untouched until publish
+    assert {r.k: r.v for r in t2.read().collect()} == {1: "a", 2: "b"}
+    staged = [r for r in t2.snapshots().collect()
+              if (r.summary or {}).get("wap.id") == "audit-9"]
+    assert len(staged) == 2
+    final = max(s.snapshot_id for s in staged)
+    # publish the staged chain head: fast-forward main
+    t2.rollback_to_snapshot(final)
+    assert {r.k: r.v for r in t2.read().collect()} == {1: "a2"}
+    cat.set_conf("spark.wap.id", None)
+
+    # --- a FAILED pinned statement rolls back its auto-created branch ---
+    t3 = cat.create_table(
+        "db.noleak", spark.createDataFrame([(1,)], "k int")
+    )
+    cat.set_conf("spark.wap.branch", "stage_3")
+    with pytest.raises(TableError):
+        cat.sql("UPDATE db.noleak SET nosuch = 1")
+    assert "stage_3" not in t3.branches()
+    # pinned reads on the table still see main (no stale branch redirect)
+    assert cat.sql("SELECT count(*) AS c FROM db.noleak").first()["c"] == 1
+    cat.set_conf("spark.wap.branch", None)
