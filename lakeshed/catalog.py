@@ -149,18 +149,30 @@ class Catalog:
         statement can't leave a stale branch redirecting later pinned
         reads. ``fn`` receives either ``wap_id=`` or ``branch=``."""
         wap_id = self._conf.get("spark.wap.id")
-        if wap_id and t.properties().get("write.wap.enabled") == "true":
-            return fn(wap_id=wap_id)
         wb = self._conf.get("spark.wap.branch")
+        if wap_id and t.properties().get("write.wap.enabled") == "true":
+            if wb and wb != MAIN:
+                # Iceberg raises when both pins are set — silently
+                # preferring one would stage writes somewhere the user
+                # doesn't expect
+                raise TableError(
+                    "both spark.wap.id and spark.wap.branch are set; "
+                    "unset one (Iceberg rejects this too)"
+                )
+            return fn(wap_id=wap_id)
         if not wb or wb == MAIN:
             return fn(branch=MAIN)
         created = wb not in t.branches()
         if created:
             t.create_branch(wb)
+            created_head = t.branches()[wb]
         try:
             return fn(branch=wb)
         except BaseException:
-            if created:
+            # drop the branch we auto-created ONLY if it still points at
+            # its creation head — a concurrent writer may have committed
+            # to it in the meantime, and their commits must survive
+            if created and t.branches().get(wb) == created_head:
                 try:
                     t.drop_branch(wb)
                 except TableError:
@@ -168,13 +180,12 @@ class Catalog:
             raise
 
     def _dml_read_version(self, t: LakeTable) -> int | None:
-        """The snapshot a pinned DML statement READS (None = main head):
-        the staged wap-<id> chain head when one exists, else the pinned
-        branch head when the table has that branch."""
-        wap_id = self._conf.get("spark.wap.id")
-        if wap_id and t.properties().get("write.wap.enabled") == "true":
-            v = t._refs().get(f"wap-{wap_id}")
-            return v
+        """The snapshot a pinned statement READS (None = main head): the
+        ``spark.wap.branch`` head when the table has that branch.
+        Deliberately branch-only — ``spark.wap.id``-staged data is
+        INVISIBLE to reads until published (the Integrated Audits flow
+        asserts main is unchanged); target-side chain composition is the
+        WRITE path's job (``LakeTable._dml_commit_args``)."""
         wb = self._conf.get("spark.wap.branch")
         if wb and wb in t.branches():
             return t.head(wb)
@@ -356,7 +367,11 @@ class Catalog:
                 else self.spark.sql(f"SELECT * FROM {rest}")
             )
             t = self.table(tbl)
-            df = df.toDF(*[f.name for f in t.schema_fields()])
+            df = df.toDF(*[
+                f.name for f in t.schema_fields(
+                    version=self._dml_read_version(t)
+                )
+            ])
             # same D14 staging contract as INSERT INTO below — the
             # full-table swap must not bypass a pinned WAP audit
             self._run_dml(t, lambda **kw: t.overwrite(df, **kw))
@@ -378,7 +393,11 @@ class Catalog:
             t = self.table(tbl)
             # SQL INSERT is positional (W2: df.write.insertInto,
             # Table Maintenance...ipynb:77) — rename to target schema
-            df = df.toDF(*[f.name for f in t.schema_fields()])
+            df = df.toDF(*[
+                f.name for f in t.schema_fields(
+                    version=self._dml_read_version(t)
+                )
+            ])
             # D14 — spark.wap.id pin + write.wap.enabled stages the write
             # (Integrated Audits...ipynb:191,461)
             self._run_dml(t, lambda **kw: t.append(df, **kw))
@@ -869,12 +888,12 @@ class Catalog:
                     # D14 — spark.wap.branch redirects plain READS too
                     # (WAP...ipynb cells 18-26: with the pin set, SELECT
                     # FROM nyc.permits shows the staged branch); tables
-                    # without that branch read main as usual
-                    wb = self._conf.get("spark.wap.branch")
-                    pinned_branch = (
-                        wb if wb and wb in t.branches() else None
-                    )
-                    t.read(branch=pinned_branch).createOrReplaceTempView(view)
+                    # without that branch read main as usual. One
+                    # resolver serves SELECTs, MERGE sources, and INSERT
+                    # schema alignment.
+                    t.read(
+                        version=self._dml_read_version(t)
+                    ).createOrReplaceTempView(view)
                     # quote-aware: a table name inside a string literal
                     # (WHERE src = 'nyc.taxis') is DATA, not a relation
                     s = _sub_outside_quotes(

@@ -1266,23 +1266,20 @@ class LakeTable:
         Audits...ipynb:191): the commit is STAGED — written to the log,
         tagged ``summary['wap.id']``, but no ref moves, so readers never
         see it until ``cherrypick_snapshot`` publishes it (D16)."""
-        head_commit = self._read_commit(self.head(branch))
+        # staged commits chain on their own wap-<id> ref (first one
+        # forks from the target branch); main never moves, and the
+        # sibling-conflict guard sees distinct parents per stage. The
+        # read state comes from the SAME chain head, so staged DML
+        # composes (a staged merge's evolved schema is visible here).
+        read_v, ckw, sx = self._dml_commit_args(branch, wap_id)
+        head_commit = self._read_commit(read_v)
         fields = head_commit.schemas[str(head_commit.schema_version)]
         aligned = df.select(*[F.col(f"`{f.name}`").cast(f.type) for f in fields])
         adds = self._write_files(
             aligned, head_commit.partition_spec, head_commit.schema_version
         )
-        if wap_id is not None:
-            # staged commits chain on their own wap-<id> ref (first one
-            # forks from the target branch); main never moves, and the
-            # sibling-conflict guard sees distinct parents per stage
-            wb = f"wap-{wap_id}"
-            parent = self._refs().get(wb, self.head(branch))
-            return self._commit(
-                "append", adds, [], branch=wb, parent=parent,
-                summary={"wap.id": wap_id},
-            )
-        return self._commit("append", adds, [], branch=branch)
+        return self._commit("append", adds, [], **ckw,
+                            summary=sx or None)
 
     def overwrite(self, df: DataFrame, *, branch: str = MAIN,
                   wap_id: str | None = None) -> Commit:
@@ -1290,22 +1287,19 @@ class LakeTable:
         commit. ``wap_id`` stages the commit exactly like :meth:`append`
         — the most destructive write is the one that most needs the
         audit gate, so the WAP pin must not be bypassable here."""
-        head = self.head(branch)
-        head_commit, live = self._state(head)
+        # like append: read live set + schema from the staged chain
+        # head when one exists, so a staged UPDATE's rewritten files are
+        # what this swap removes — not main's stale originals
+        read_v, ckw, sx = self._dml_commit_args(branch, wap_id)
+        head_commit, live = self._state(read_v)
         fields = head_commit.schemas[str(head_commit.schema_version)]
         aligned = df.select(*[F.col(f"`{f.name}`").cast(f.type) for f in fields])
         adds = self._write_files(
             aligned, head_commit.partition_spec, head_commit.schema_version
         )
         removes = [a.path for a in live]
-        if wap_id is not None:
-            wb = f"wap-{wap_id}"
-            parent = self._refs().get(wb, self.head(branch))
-            return self._commit(
-                "overwrite", adds, removes, branch=wb, parent=parent,
-                summary={"wap.id": wap_id},
-            )
-        return self._commit("overwrite", adds, removes, branch=branch)
+        return self._commit("overwrite", adds, removes, **ckw,
+                            summary=sx or None)
 
     def insert_values(self, *rows: tuple, branch: str = MAIN) -> Commit:
         """W3 — SQL INSERT VALUES (Integrated Audits...ipynb:471)."""

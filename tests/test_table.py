@@ -1871,3 +1871,57 @@ def test_review_fixes_round8_wave3(cat, nation, spark):
     # pinned reads on the table still see main (no stale branch redirect)
     assert cat.sql("SELECT count(*) AS c FROM db.noleak").first()["c"] == 1
     cat.set_conf("spark.wap.branch", None)
+
+
+def test_review_fixes_round8_wave4(cat, spark):
+    """Fourth review wave: staged INSERT OVERWRITE composes with prior
+    staged DML (reads the wap chain, not main), INSERT aligns to the
+    pinned branch's evolved schema, and setting both WAP pins raises."""
+    cat.create_database("db")
+
+    # --- staged UPDATE then staged INSERT OVERWRITE: the swap must
+    # remove the CHAIN's files; after publish only the overwrite rows
+    # remain (no resurrected updated copies) ---
+    t = cat.create_table(
+        "db.chain", spark.createDataFrame([(1, "a"), (2, "b")],
+                                          "k int, v string")
+    )
+    t.set_properties(**{"write.wap.enabled": "true"})
+    cat.set_conf("spark.wap.id", "ow-chain")
+    cat.sql("UPDATE db.chain SET v = 'a2' WHERE k = 1")
+    cat.sql("INSERT OVERWRITE db.chain SELECT 9 AS k, 'only' AS v")
+    staged = [r for r in t.snapshots().collect()
+              if (r.summary or {}).get("wap.id") == "ow-chain"]
+    assert len(staged) == 2
+    t.rollback_to_snapshot(max(s.snapshot_id for s in staged))
+    assert {(r.k, r.v) for r in t.read().collect()} == {(9, "only")}
+    cat.set_conf("spark.wap.id", None)
+
+    # --- INSERT under a branch pin aligns to the BRANCH schema ---
+    t2 = cat.create_table(
+        "db.evo", spark.createDataFrame([(1, "a")], "k int, v string")
+    )
+    t2.create_branch("wide")
+    cat.set_conf("spark.wap.branch", "wide")
+    # evolve the branch only: merge with schema evolution adds w there
+    t2.merge(
+        spark.createDataFrame([(2, "b", 9.5)], "k int, v string, w double"),
+        on="k", evolve_schema=True, branch="wide",
+    )
+    cat.sql("INSERT INTO db.evo VALUES (3, 'c', 1.5)")   # 3 cols: branch
+    assert {r.k: r.w for r in t2.read(branch="wide").collect()} == \
+        {1: None, 2: 9.5, 3: 1.5}
+    assert t2.read().columns == ["k", "v"]               # main: 2 cols
+    cat.set_conf("spark.wap.branch", None)
+
+    # --- both pins set on a wap-enabled table: explicit error ---
+    t3 = cat.create_table(
+        "db.bothpins", spark.createDataFrame([(1,)], "k int")
+    )
+    t3.set_properties(**{"write.wap.enabled": "true"})
+    cat.set_conf("spark.wap.id", "x")
+    cat.set_conf("spark.wap.branch", "y")
+    with pytest.raises(TableError, match="both"):
+        cat.sql("INSERT INTO db.bothpins VALUES (2)")
+    cat.set_conf("spark.wap.id", None)
+    cat.set_conf("spark.wap.branch", None)
