@@ -164,8 +164,11 @@ class Catalog:
             return fn(branch=MAIN)
         created = wb not in t.branches()
         if created:
+            # capture the creation point BEFORE creating: create_branch
+            # forks at the current main head, so any later value of the
+            # ref that differs from this head is someone else's commit
+            created_head = t.head()
             t.create_branch(wb)
-            created_head = t.branches()[wb]
         try:
             return fn(branch=wb)
         except BaseException:
@@ -187,9 +190,26 @@ class Catalog:
         asserts main is unchanged); target-side chain composition is the
         WRITE path's job (``LakeTable._dml_commit_args``)."""
         wb = self._conf.get("spark.wap.branch")
-        if wb and wb in t.branches():
-            return t.head(wb)
-        return None
+        return t.branches().get(wb) if wb else None
+
+    def _dml_write_version(self, t: LakeTable) -> int | None:
+        """The snapshot whose SCHEMA a pinned write must align to
+        (None = main head): unlike reads, the wap-<id> staged chain IS
+        visible here — a staged schema-evolving merge's columns must be
+        what the next staged INSERT/MERGE aligns and validates against,
+        or staged DML stops composing."""
+        wap_id = self._conf.get("spark.wap.id")
+        if wap_id and t.properties().get("write.wap.enabled") == "true":
+            return t.branches().get(f"wap-{wap_id}")
+        return self._dml_read_version(t)
+
+    def _align_to_target(self, t: LakeTable, df: DataFrame) -> DataFrame:
+        """Positional INSERT alignment against the schema the write
+        will see (one definition for both INSERT paths)."""
+        return df.toDF(*[
+            f.name
+            for f in t.schema_fields(version=self._dml_write_version(t))
+        ])
 
     # -------------------------------------------------------------- SQL
 
@@ -367,11 +387,7 @@ class Catalog:
                 else self.spark.sql(f"SELECT * FROM {rest}")
             )
             t = self.table(tbl)
-            df = df.toDF(*[
-                f.name for f in t.schema_fields(
-                    version=self._dml_read_version(t)
-                )
-            ])
+            df = self._align_to_target(t, df)
             # same D14 staging contract as INSERT INTO below — the
             # full-table swap must not bypass a pinned WAP audit
             self._run_dml(t, lambda **kw: t.overwrite(df, **kw))
@@ -393,11 +409,7 @@ class Catalog:
             t = self.table(tbl)
             # SQL INSERT is positional (W2: df.write.insertInto,
             # Table Maintenance...ipynb:77) — rename to target schema
-            df = df.toDF(*[
-                f.name for f in t.schema_fields(
-                    version=self._dml_read_version(t)
-                )
-            ])
+            df = self._align_to_target(t, df)
             # D14 — spark.wap.id pin + write.wap.enabled stages the write
             # (Integrated Audits...ipynb:191,461)
             self._run_dml(t, lambda **kw: t.append(df, **kw))
@@ -699,11 +711,11 @@ class Catalog:
         bysrc_upd: dict[str, str] | None = None
         bysrc_upd_cond: str | None = None
         t_obj = self.table(tbl)
-        # validate/expand against the schema the merge will READ — a
-        # pinned branch may have evolved past main
+        # validate/expand against the schema the merge will WRITE — a
+        # pinned branch or staged wap-id chain may have evolved past main
         target_cols = [
             f.name for f in
-            t_obj.schema_fields(version=self._dml_read_version(t_obj))
+            t_obj.schema_fields(version=self._dml_write_version(t_obj))
         ]
         for cm in re.finditer(
             r"when\s+(not\s+)?matched(\s+by\s+(?:source|target))?"

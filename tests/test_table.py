@@ -1925,3 +1925,30 @@ def test_review_fixes_round8_wave4(cat, spark):
         cat.sql("INSERT INTO db.bothpins VALUES (2)")
     cat.set_conf("spark.wap.id", None)
     cat.set_conf("spark.wap.branch", None)
+
+
+def test_staged_insert_after_staged_schema_evolution(cat, spark):
+    """Final review wave: a staged schema-evolving MERGE under wap.id
+    must make its evolved schema visible to the NEXT staged INSERT's
+    positional alignment (write-side schema resolver), while plain
+    reads keep seeing main's 2-column schema until publish."""
+    cat.create_database("db")
+    t = cat.create_table(
+        "db.evochain", spark.createDataFrame([(1, "a")], "k int, v string")
+    )
+    t.set_properties(**{"write.wap.enabled": "true"})
+    t.merge(
+        spark.createDataFrame([(2, "b", 9.5)], "k int, v string, w double"),
+        on="k", evolve_schema=True, wap_id="evo-x",
+    )
+    cat.set_conf("spark.wap.id", "evo-x")
+    cat.sql("INSERT INTO db.evochain VALUES (3, 'c', 1.5)")   # 3 cols
+    cat.set_conf("spark.wap.id", None)
+    # reads: main untouched, 2 columns
+    assert t.read().columns == ["k", "v"]
+    assert t.read().count() == 1
+    # publish the chain: full evolved state visible
+    chain_head = t.branches()["wap-evo-x"]
+    t.rollback_to_snapshot(chain_head)
+    assert {r.k: r.w for r in t.read().collect()} == \
+        {1: None, 2: 9.5, 3: 1.5}
