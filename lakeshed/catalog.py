@@ -30,8 +30,15 @@ _META_TABLES = (
 
 
 class Catalog:
-    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+    def __init__(self, spark: SparkSession, warehouse: str | None = None,
+                 name: str = "demo"):
         self.spark = spark
+        # the catalog's own name (Iceberg catalogs are named; the
+        # reference notebooks use ``demo``). Only THIS literal is
+        # stripped as a catalog qualifier in SELECT rewriting — a
+        # generic \w+ strip would mangle alias- or struct-qualified
+        # expressions like ``s.nyc.permits`` into table reads
+        self.name = name
         self.warehouse = os.path.abspath(
             warehouse
             or os.environ.get("LAKESHED_WAREHOUSE", "/tmp/lakeshed-warehouse")
@@ -150,15 +157,17 @@ class Catalog:
         reads. ``fn`` receives either ``wap_id=`` or ``branch=``."""
         wap_id = self._conf.get("spark.wap.id")
         wb = self._conf.get("spark.wap.branch")
+        if wap_id and wb and wb != MAIN:
+            # Iceberg raises when both pins are set — UNCONDITIONALLY,
+            # before consulting write.wap.enabled (silently preferring
+            # one would stage writes somewhere the user doesn't expect,
+            # and a table without the property would otherwise drop the
+            # wap.id pin on the floor and land on the branch)
+            raise TableError(
+                "both spark.wap.id and spark.wap.branch are set; "
+                "unset one (Iceberg rejects this too)"
+            )
         if wap_id and t.properties().get("write.wap.enabled") == "true":
-            if wb and wb != MAIN:
-                # Iceberg raises when both pins are set — silently
-                # preferring one would stage writes somewhere the user
-                # doesn't expect
-                raise TableError(
-                    "both spark.wap.id and spark.wap.branch are set; "
-                    "unset one (Iceberg rejects this too)"
-                )
             return fn(wap_id=wap_id)
         if not wb or wb == MAIN:
             return fn(branch=MAIN)
@@ -800,6 +809,15 @@ class Catalog:
                         # alias first, THEN backticks: t.`active` must
                         # yield "active", not "`active"
                         col = col.strip().split(".")[-1].strip("`")
+                        if col not in target_cols:
+                            # mirror the NOT MATCHED BY SOURCE UPDATE
+                            # check — a typo'd column must raise, not be
+                            # silently dropped by merge()'s projection
+                            raise TableError(
+                                f"MERGE UPDATE SET references unknown "
+                                f"column {col!r} (target has "
+                                f"{target_cols})"
+                            )
                         expr = norm(expr.strip())
                         assigns[col] = expr if cond is None else (
                             f"CASE WHEN {cond} THEN {expr} ELSE t.`{col}` END"
@@ -832,12 +850,15 @@ class Catalog:
                 base = f"{db}.{tbl}"
                 t = self.table(base)
                 # catalog-qualified reads — strip a single leading
-                # ``catalog.`` segment so ``SELECT ... FROM
+                # ``<self.name>.`` segment so ``SELECT ... FROM
                 # demo.nyc.taxis_sample`` resolves like the write path's
-                # 3-part handling in _path (the rewrite below would
-                # otherwise mangle only the trailing two parts)
+                # 3-part handling in _path. ONLY the configured catalog
+                # name is stripped (matching it literally): a generic
+                # identifier strip would turn an alias/struct reference
+                # like ``s.nyc.permits`` into a read of nyc.permits
                 s = _sub_outside_quotes(
-                    rf"\b\w+\.(?={re.escape(base)}\b)", "", s,
+                    rf"(?<![\w.`]){re.escape(self.name)}"
+                    rf"\.(?={re.escape(base)}\b)", "", s,
                 )
                 # D20/S6 — time travel: FROM t VERSION AS OF <id|'branch'>
                 # (WAP...ipynb:272 uses a branch name; Iceberg also takes
@@ -875,27 +896,37 @@ class Catalog:
                 # Detection runs on the quote-masked text: a literal
                 # mentioning '.branch_x' is data and must not trigger a
                 # branch read (which would error on unknown branches).
+                # (?<![\w.`]) on every rewrite below: a dot-qualified
+                # occurrence like ``s.nyc.permits`` is an alias/struct
+                # column path, not a relation reference — the legit
+                # catalog qualifier was already stripped above
+                unqual = r"(?<![\w.`])"
                 for m in re.finditer(
-                    rf"{re.escape(base)}\.branch_(\w+)", _mask_quotes(s),
-                    re.IGNORECASE,
+                    rf"{unqual}{re.escape(base)}\.branch_(\w+)",
+                    _mask_quotes(s), re.IGNORECASE,
                 ):
                     branch = m.group(1)
                     view = f"__lakeshed_{db}_{tbl}_br_{branch}"
                     t.read(branch=branch).createOrReplaceTempView(view)
                     s = _sub_outside_quotes(
-                        rf"{re.escape(base)}\.branch_{re.escape(branch)}",
+                        rf"{unqual}{re.escape(base)}"
+                        rf"\.branch_{re.escape(branch)}",
                         view, s,
                     )
                 for meta in _META_TABLES:
                     dotted = f"{base}.{meta}"
-                    if re.search(re.escape(dotted), s, re.IGNORECASE):
+                    if re.search(
+                        rf"{unqual}{re.escape(dotted)}", s, re.IGNORECASE
+                    ):
                         view = f"__lakeshed_{db}_{tbl}_{meta}"
                         getattr(t, meta)().createOrReplaceTempView(view)
                         s = _sub_outside_quotes(
-                            re.escape(dotted), view, s
+                            rf"{unqual}{re.escape(dotted)}", view, s
                         )
                         registered.add(dotted)
-                if re.search(rf"\b{re.escape(base)}\b", s, re.IGNORECASE):
+                if re.search(
+                    rf"{unqual}{re.escape(base)}\b", s, re.IGNORECASE
+                ):
                     view = f"__lakeshed_{db}_{tbl}"
                     # D14 — spark.wap.branch redirects plain READS too
                     # (WAP...ipynb cells 18-26: with the pin set, SELECT
@@ -909,7 +940,7 @@ class Catalog:
                     # quote-aware: a table name inside a string literal
                     # (WHERE src = 'nyc.taxis') is DATA, not a relation
                     s = _sub_outside_quotes(
-                        rf"\b{re.escape(base)}\b", view, s
+                        rf"{unqual}{re.escape(base)}\b", view, s
                     )
         return self.spark.sql(s)
 
@@ -939,7 +970,11 @@ def _call_value(v: str) -> object:
             raise TableError(f"map() needs key/value pairs: {v!r}")
         return dict(zip(items[::2], items[1::2]))
     if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
-        return v[1:-1]
+        # same unescaping as _parse_props.unq — doubled quote chars
+        # ('it''s') and backslash escapes round-trip, instead of the
+        # outer-strip leaving the doubling in the value
+        inner = v[1:-1].replace(v[0] * 2, v[0])
+        return re.sub(r"\\(.)", r"\1", inner)
     if re.match(r"-?\d+$", v):
         return int(v)
     return v

@@ -1952,3 +1952,82 @@ def test_staged_insert_after_staged_schema_evolution(cat, spark):
     t.rollback_to_snapshot(chain_head)
     assert {r.k: r.w for r in t.read().collect()} == \
         {1: None, 2: 9.5, 3: 1.5}
+
+
+# --------------------------------------------------------------- r9 ADVICE
+
+
+def test_merge_update_set_unknown_column_raises(cat, spark):
+    """r9 ADVICE (medium): WHEN MATCHED THEN UPDATE SET with a typo'd
+    column must raise, not be silently dropped by merge()'s rewrite
+    projection — mirroring the NOT MATCHED BY SOURCE path."""
+    cat.create_database("db")
+    cat.create_table(
+        "db.advise_upd", spark.createDataFrame([(1, "a")], "k int, v string")
+    )
+    spark.createDataFrame([(1, "b")], "k int, v string") \
+        .createOrReplaceTempView("advise_src")
+    with pytest.raises(TableError, match="unknown column 'vv'"):
+        cat.sql(
+            "MERGE INTO db.advise_upd t USING advise_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET t.vv = s.v"
+        )
+    # and the good column still works
+    cat.sql(
+        "MERGE INTO db.advise_upd t USING advise_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v"
+    )
+    assert [r.v for r in cat.table("db.advise_upd").read().collect()] == ["b"]
+
+
+def test_catalog_prefix_strip_spares_struct_paths(cat, spark):
+    """r9 ADVICE (low): only the configured catalog name ('demo') is
+    stripped as a qualifier — an alias-qualified struct path like
+    ``s.nyc.permits`` that happens to spell a registered table name
+    must stay a column reference."""
+    cat.create_database("nyc")
+    cat.create_table(
+        "nyc.permits", spark.createDataFrame([(99,)], "other int")
+    )
+    df = spark.createDataFrame(
+        [((7,),)], "nyc struct<permits: int>"
+    )
+    df.createOrReplaceTempView("structsrc")
+    out = cat.sql("SELECT s.nyc.permits AS p FROM structsrc s").collect()
+    assert [r.p for r in out] == [7]
+    # the demo. prefix itself still strips
+    n = cat.sql("SELECT count(*) AS c FROM demo.nyc.permits").collect()[0].c
+    assert n == 1
+
+
+def test_call_value_unescapes_doubled_quotes(cat, spark):
+    """r9 ADVICE (low): quoted CALL argument values round-trip SQL
+    doubled quotes ('it''s' → it's), like _parse_props already does."""
+    from lakeshed.catalog import _parse_call_args
+    pos, named = _parse_call_args("table => 'db.it''s', retain_last => 2")
+    assert named["table"] == "db.it's"
+    assert named["retain_last"] == 2
+    pos2, _ = _parse_call_args("'a''b''c'")
+    assert pos2 == ["a'b'c"]
+
+
+def test_both_pins_raise_without_wap_enabled_property(cat, spark):
+    """r9 ADVICE (low): both spark.wap.id and spark.wap.branch set must
+    raise even when the table lacks write.wap.enabled — Iceberg
+    validates the pins unconditionally; silently landing the DML on the
+    branch drops the wap.id pin on the floor."""
+    cat.create_database("db")
+    t = cat.create_table(
+        "db.nopins", spark.createDataFrame([(1,)], "k int")
+    )
+    assert "write.wap.enabled" not in t.properties()
+    cat.set_conf("spark.wap.id", "x")
+    cat.set_conf("spark.wap.branch", "y")
+    try:
+        with pytest.raises(TableError, match="both"):
+            cat.sql("INSERT INTO db.nopins VALUES (2)")
+    finally:
+        cat.set_conf("spark.wap.id", None)
+        cat.set_conf("spark.wap.branch", None)
+    assert t.read().count() == 1
+    assert "y" not in t.branches()
