@@ -43,10 +43,32 @@ SKIP: set[str] = {"llm_embedding_neardup"}
 # stay comparable across rounds (r7 ADVICE: a workload redefinition must
 # be labeled as such, not read as a speedup).
 BENCH_NOTES: dict[str, str] = {
+    "llm_semantic_dedup": (
+        "Workload change in r9 (VERDICT r8 #1): the gated output now "
+        "carries oracle-checkable audit columns — a per-cluster numpy "
+        "gram re-derivation of every keep decision (applyInPandas, one "
+        "extra shuffle on cluster) and an exact-duplicate equality join. "
+        "Cross-round deltas for this entry include that audit cost; the "
+        "production dedup itself is unchanged."
+    ),
     "llm_kmeans_clusters": (
-        "New in r8 (the k-means trainer's driver-gated row): 3 Lloyd's "
-        "corpus passes + one Arrow assignment pass. Adds ~1.2 s to the "
-        "headline total at sf0.1 relative to r7's 86-query surface."
+        "New in r8 (3 Lloyd's passes + one Arrow assignment pass). "
+        "Workload change in r9: the gated output adds the dist_is_min "
+        "audit (k JVM-HOF distance expressions per row vs the Arrow "
+        "argmin) and an n_clusters aggregate — oracle-checkable flags "
+        "per VERDICT r8 #1."
+    ),
+    "llm_pca_embeddings": (
+        "Workload change in r9 (VERDICT r8 #1): the gated output now "
+        "emits exact norm twins + invariant flags (three JVM-HOF fold "
+        "expressions per row + one 8-column mean aggregate) instead of "
+        "raw c0..c7 loadings. Fit + projection unchanged."
+    ),
+    "llm_ivf_topk": (
+        "New in r9 (VERDICT r8 #4): IVF ANN probe with a 2-round-trained "
+        "coarse quantizer — 2 Lloyd's corpus passes + assignment + probe "
+        "rescore. nprobe=12/16 because the uniform fixture is IVF's "
+        "worst case and the oracle is the exact top-10."
     ),
     "llm_leakage_safe_split": (
         "Times the split projection over a cluster-labels table "

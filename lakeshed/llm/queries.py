@@ -1044,22 +1044,10 @@ def llm_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(docs, window=64, stride=48)
 
 
-@qdef(
-    "llm_semantic_dedup",
-    # rows-only ON PURPOSE: cluster assignment comes out of an iterative
-    # k-means fit no single SQL statement expresses — the numpy-replica
-    # test + the planted-duplicate test carry value correctness
-    None,
-    "LLM-dedup-semantic", "kmeans",
-)
-def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al., 2023): k-means the embedding space with the
-    distributed Lloyd's trainer, then drop documents with a ≥0.97-cosine
-    neighbor of smaller id INSIDE their cluster. Pair generation is one
-    shuffle on the cluster id and Σ|cluster|² comparisons — the k-means
-    granularity bounds the quadratic term, never corpus². Rows-only gate
-    (the fit is iterative); the trainer itself is pinned against an exact
-    numpy Lloyd's replica in tests/test_llm.py."""
+def semantic_dedup_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SemDeDup output (vec_id, cluster, keep) — the engine-specific
+    values the gated projection below converts to checkable flags.
+    Observable here for pytest (planted-copy + audit-agreement tests)."""
     emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
     # 3 Lloyd's rounds: the fixture's cluster structure stabilizes by
     # round 2; each extra round is a full corpus pass (a whole Spark job
@@ -1070,23 +1058,104 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @qdef(
-    "llm_pca_embeddings",
-    # rows-only ON PURPOSE: eigendecomposition output is solver-specific
-    # (LAPACK vs whatever SQL could express) — correctness is pinned by
-    # tests/test_llm.py::test_pca_matches_numpy_reference instead
-    None,
-    "LLM-pca", "dimensionality-reduction",
+    "llm_semantic_dedup",
+    # Partial oracle (VERDICT r8 #1, the approx_distinct_quantiles
+    # trick): the cluster labels and keep decisions come out of an
+    # iterative k-means fit no SQL statement replays, so the raw values
+    # cannot be hash-compared. What IS cross-engine checkable: (a) the
+    # exact vec_id universe (every vector exactly once), (b) the exact
+    # has_exact_dup_smaller column (byte-identical embedding with a
+    # smaller id — DuckDB computes the same equality join), and (c)
+    # invariant BOOLEAN flags Spark computes via an INDEPENDENT kernel
+    # (per-cluster numpy gram audit vs the production JVM-HOF pair join)
+    # that the oracle asserts literal TRUE. A fit or pair-join bug turns
+    # the gate red. Raw (cluster, keep) stay observable via
+    # semantic_dedup_raw + tests/test_llm.py.
+    """
+    SELECT e.vec_id,
+           TRUE AS cluster_in_range,
+           TRUE AS keep_consistent,
+           EXISTS (SELECT 1 FROM embeddings e2
+                   WHERE e2.embedding = e.embedding
+                     AND e2.vec_id < e.vec_id) AS has_exact_dup_smaller,
+           TRUE AS exact_dup_dropped
+    FROM embeddings e
+    """,
+    "LLM-dedup-semantic", "kmeans",
 )
-def llm_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA over the embedding corpus: one-pass partial-moment
-    reduction (count/Σx/Σxxᵀ per Arrow batch → driver combine → d×d
-    eigh), then a batched projection to 8 components. The whitening /
-    compression step before ANN indexing or clustering at scale.
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): k-means the embedding space with the
+    distributed Lloyd's trainer, then drop documents with a ≥0.97-cosine
+    neighbor of smaller id INSIDE their cluster. Pair generation is one
+    shuffle on the cluster id and Σ|cluster|² comparisons — the k-means
+    granularity bounds the quadratic term, never corpus².
 
-    The projection is flattened into 8 scalar double columns c0..c7
-    (rounded to 4 places) rather than one ``array<float>``: the driver's
-    rows-only canonicalizer sorts the pandas frame, and list-valued
-    cells are unhashable/unsortable there (r6's one red gate)."""
+    Gated output = vec_id + audit columns (see the oracle comment):
+    ``keep_consistent`` re-derives every keep decision from a per-cluster
+    numpy gram matrix inside ``applyInPandas`` — a second, independent
+    implementation of the pair semantics (Arrow/numpy vs the production
+    JVM zip_with/aggregate join) — and compares. ``exact_dup_dropped``
+    asserts the method's minimum guarantee against exact ground truth:
+    a byte-identical smaller-id twin lands in the same cluster at
+    cosine 1 ≥ threshold, so keep MUST be false. The audit is gate-only
+    work: at 100 TB you drop these columns (the per-cluster gram is
+    |cluster|² memory, same bound as the method itself)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
+    base = similarity.semantic_dedup(emb, k=8, threshold=0.97, iters=3)
+
+    def audit(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        Xn = X / np.maximum(
+            np.linalg.norm(X, axis=1, keepdims=True), 1e-30
+        )
+        ids = pdf["vec_id"].to_numpy()
+        G = Xn @ Xn.T
+        ka = [
+            not ((ids < ids[i]) & (G[i] >= 0.97)).any()
+            for i in range(len(ids))
+        ]
+        return pd.DataFrame({"vec_id": ids, "keep_audit": ka})
+
+    aud = (
+        base.join(emb.select("vec_id", "embedding"), "vec_id")
+        .groupBy("cluster")
+        .applyInPandas(audit, "vec_id long, keep_audit boolean")
+    )
+    exact_twin = (
+        emb.alias("a")
+        .join(
+            emb.alias("b"),
+            (F.col("a.embedding") == F.col("b.embedding"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+            "left_semi",
+        )
+        .select(F.col("vec_id").alias("dup_id"), F.lit(True).alias("hed"))
+    )
+    return (
+        base.join(aud, "vec_id")
+        .join(exact_twin, base["vec_id"] == F.col("dup_id"), "left")
+        .select(
+            "vec_id",
+            ((F.col("cluster") >= 0) & (F.col("cluster") < 8))
+            .alias("cluster_in_range"),
+            (F.col("keep") == F.col("keep_audit")).alias("keep_consistent"),
+            F.coalesce(F.col("hed"), F.lit(False))
+            .alias("has_exact_dup_smaller"),
+            (~F.coalesce(F.col("hed"), F.lit(False)) | ~F.col("keep"))
+            .alias("exact_dup_dropped"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def pca_embeddings_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw PCA projection (vec_id, c0..c7 rounded doubles) — the
+    solver-specific values the gated projection below converts to
+    checkable invariants. Observable here for pytest (numpy-replica
+    pin incl. the sign convention)."""
     emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
     dim = len(emb.select("embedding").first()[0])
     model = similarity.pca_fit(emb, dim=dim, k=8)
@@ -1101,34 +1170,225 @@ def llm_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
+
+@qdef(
+    "llm_pca_embeddings",
+    # Partial oracle (VERDICT r8 #1): eigendecomposition output is
+    # solver-specific (LAPACK) so loadings cannot be hash-compared.
+    # Cross-engine checkable instead: (a) the exact per-row squared
+    # input norm (both engines fold the same float32 list left-to-right
+    # in double — bitwise-identical, verified at sf0.001/0.01/0.1), and
+    # (b) PCA invariants as BOOLEAN flags the oracle asserts literal
+    # TRUE: VVᵀ=I (orthonormal basis), eigenvalues descending ≥0,
+    # per-row ‖proj‖ ≤ ‖x−μ‖ (Parseval for a partial orthonormal
+    # basis), corpus-mean of every projected component ≈ 0 (the
+    # distributed moments and the distributed projection must agree on
+    # centering). Raw loadings stay observable via pca_embeddings_raw +
+    # tests/test_llm.py's numpy pin.
+    """
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4)
+               AS orig_sq_norm,
+           TRUE AS proj_norm_le_centered,
+           TRUE AS proj_mean_near_zero,
+           TRUE AS components_orthonormal,
+           TRUE AS variance_descending
+    FROM embeddings
+    """,
+    "LLM-pca", "dimensionality-reduction",
+)
+def llm_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding corpus: one-pass partial-moment
+    reduction (count/Σx/Σxxᵀ per Arrow batch → driver combine → d×d
+    eigh), then a batched projection to 8 components. The whitening /
+    compression step before ANN indexing or clustering at scale.
+
+    Gated output = vec_id + the exact norm twin + invariant flags (see
+    the oracle comment). The model-level flags (orthonormality,
+    descending variance) are computed driver-side from the fitted model
+    — k×d metadata, same place the model itself lives; the per-row flags
+    compare the Arrow-matmul projection against JVM-HOF norms — two
+    independent kernels. Audit columns are gate-only work; at 100 TB the
+    projection ships without them."""
+    import numpy as np
+
+    emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
+    dim = len(emb.select("embedding").first()[0])
+    k = 8
+    model = similarity.pca_fit(emb, dim=dim, k=k)
+    W = np.asarray(model["components"])
+    ev = np.asarray(model["explained_var"])
+    ortho = bool(np.allclose(W @ W.T, np.eye(k), atol=1e-8))
+    vdesc = bool(
+        np.all(np.diff(ev) <= 1e-12) and np.all(ev >= -1e-9)
+    )
+
+    src = emb.select(
+        "vec_id", "embedding", F.col("embedding").alias("orig")
+    )
+    proj = similarity.pca_transform(src, model)  # vec_id, orig, pca
+    origd = F.col("orig").cast("array<double>")
+    projd = F.col("pca").cast("array<double>")
+    muarr = F.array(*[F.lit(float(x)) for x in model["mean"]])
+    orig_sq = F.aggregate(
+        F.transform(origd, lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    cent_sq = F.aggregate(
+        F.zip_with(origd, muarr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    proj_sq = F.aggregate(
+        F.transform(projd, lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    rows = proj.select(
+        "vec_id",
+        F.round(orig_sq, 4).alias("orig_sq_norm"),
+        (proj_sq <= cent_sq * (1 + 1e-6) + 1e-6)
+        .alias("proj_norm_le_centered"),
+        F.lit(ortho).alias("components_orthonormal"),
+        F.lit(vdesc).alias("variance_descending"),
+        projd.alias("_pd"),
+    )
+    mean_flag = (
+        rows.agg(
+            *[F.avg(F.element_at(F.col("_pd"), i + 1)).alias(f"m{i}")
+              for i in range(k)]
+        )
+        .select(
+            (F.greatest(*[F.abs(F.col(f"m{i}")) for i in range(k)])
+             < 1e-4).alias("proj_mean_near_zero")
+        )
+    )
+    return (
+        rows.drop("_pd")
+        .crossJoin(F.broadcast(mean_flag))
+        .orderBy("vec_id")
+    )
+
+def _kmeans_fit_assign(spark: SparkSession, sf_dir: str):
+    """Shared fit+assign for the k-means gate and its raw frame."""
+    emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
+    cents = similarity.kmeans_fit(emb, k=8, iters=3)
+    return emb, cents, similarity.kmeans_assign(emb, cents, dist_col="dist")
+
+
+def kmeans_clusters_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw k-means output (vec_id, cluster, dist) — the solver-specific
+    values the gated projection below converts to checkable flags.
+    Observable here for pytest (numpy Lloyd's replica pin)."""
+    _, _, assigned = _kmeans_fit_assign(spark, sf_dir)
+    return assigned.select(
+        "vec_id", "cluster", F.round(F.col("dist"), 4).alias("dist")
+    ).orderBy("vec_id")
+
+
 @qdef(
     "llm_kmeans_clusters",
-    # rows-only ON PURPOSE: the centroids come out of an iterative
-    # Lloyd's fit no single SQL statement expresses — value correctness
-    # is pinned by tests/test_llm.py::test_kmeans_matches_numpy_lloyds
-    # (trainer ≡ numpy replica, partitioning-independent) and
-    # test_kmeans_clusters_query_matches_numpy (this query's assignments
-    # + distances ≡ the numpy replica end to end)
-    None,
+    # Partial oracle (VERDICT r8 #1): centroids come out of an iterative
+    # Lloyd's fit no SQL statement replays, so raw (cluster, dist)
+    # cannot be hash-compared. Cross-engine checkable instead: (a) the
+    # exact vec_id universe (every vector exactly once — a row-count AND
+    # value match), (b) the exact n_clusters column (all 8 clusters
+    # non-empty at every fixture sf — a degenerate/collapsed fit turns
+    # the gate red), and (c) per-row flags the oracle asserts literal
+    # TRUE: cluster ∈ [0,8) and dist_is_min — the assigned distance
+    # re-derived via JVM-HOF zip_with/aggregate against EVERY centroid
+    # equals the Arrow-matmul argmin's distance and is the minimum.
+    # Two independent kernels must agree per row. Raw values stay
+    # observable via kmeans_clusters_raw + tests/test_llm.py.
+    """
+    SELECT vec_id,
+           TRUE AS cluster_in_range,
+           TRUE AS dist_is_min,
+           CAST(8 AS BIGINT) AS n_clusters
+    FROM embeddings
+    """,
     "LLM-kmeans", "clustering",
 )
 def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means clustering of the embedding corpus — the
-    IVF coarse quantizer / SemDeDup granularity step as a first-class
-    output: (vec_id, cluster, dist). Each Lloyd's round is ONE corpus
-    pass reducing to k×(d+1) partial moments (count, Σx) per partition —
-    driver combine is metadata-scale, independent of row count — and
-    assignment is one Arrow matmul per batch against the broadcast k×d
-    centroid matrix (``similarity.kmeans_fit``/``kmeans_assign``).
-    Distances are rounded to 4 places and the frame is ordered so the
-    rows-only canonicalizer sees a stable shape."""
-    emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
-    cents = similarity.kmeans_fit(emb, k=8, iters=3)
+    IVF coarse quantizer / SemDeDup granularity step. Each Lloyd's round
+    is ONE corpus pass reducing to k×(d+1) partial moments (count, Σx)
+    per partition — driver combine is metadata-scale, independent of row
+    count — and assignment is one Arrow matmul per batch against the
+    broadcast k×d centroid matrix (``similarity.kmeans_fit`` /
+    ``kmeans_assign``).
+
+    Gated output = vec_id + audit columns (see the oracle comment): the
+    dist_is_min flag recomputes all k distances per row with SQL HOFs
+    over literal centroid arrays — independent of the Arrow argmin path
+    — and checks the assignment is optimal. Audit columns are gate-only
+    work (k extra expressions per row); at 100 TB the assignment ships
+    without them."""
+    _, cents, assigned = _kmeans_fit_assign(spark, sf_dir)
+    vecd = F.col("embedding").cast("array<double>")
+    dists = [
+        F.sqrt(F.aggregate(
+            F.zip_with(
+                vecd,
+                F.array(*[F.lit(float(x)) for x in cj]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ))
+        for cj in cents
+    ]
+    darr = F.array(*dists)
+    own = F.element_at(darr, F.col("cluster") + 1)
+    flags = assigned.select(
+        "vec_id",
+        ((F.col("cluster") >= 0) & (F.col("cluster") < 8))
+        .alias("cluster_in_range"),
+        (
+            (own <= F.array_min(darr) + 1e-9)
+            & (F.abs(F.col("dist") - own) <= 1e-6)
+        ).alias("dist_is_min"),
+        "cluster",
+    )
+    ncl = flags.agg(F.countDistinct("cluster").alias("n_clusters"))
     return (
-        similarity.kmeans_assign(emb, cents, dist_col="dist")
-        .select(
-            "vec_id", "cluster",
-            F.round(F.col("dist"), 4).alias("dist"),
-        )
+        flags.drop("cluster")
+        .crossJoin(F.broadcast(ncl))
         .orderBy("vec_id")
+    )
+
+
+@qdef(
+    "llm_ivf_topk",
+    # Same oracle shape as llm_ann_topk_lsh: the EXACT top-10. With the
+    # seeded 2-round-trained coarse quantizer and nprobe=12/16 the
+    # probe's recall on the fixture is 1 deterministically (verified at
+    # sf0.001 and the driver's sf0.01), so approximate == exact here;
+    # unit tests additionally measure recall/scan-fraction on blobs.
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe),
+                 4) AS cos
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+    "LLM-similarity-ivf",
+)
+def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF (16 Lloyd's-trained inverted lists,
+    probe the 12 nearest, exact cosine re-score inside them) — the
+    data-adaptive ANN path complementing the gated LSH probe: centroids
+    live where the vectors are, so clustered corpora scan nprobe/n_lists
+    of the rows. The random fixture is IVF's worst case, hence the high
+    nprobe for oracle-exact recall; clustered corpora (see the blob
+    unit test) probe far fewer lists at the same recall. At scale the
+    assigned frame is written partitioned by list id so a probe reads
+    only the probed partitions — partition pruning IS the index."""
+    emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
+    qv = _query_vec(spark, sf_dir)
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") != 0), qv,
+        k=10, n_lists=16, nprobe=12, train_iters=2,
     )

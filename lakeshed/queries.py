@@ -624,6 +624,13 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
                              # llm_shard_assign (same bucket kernel) and
                              # llm_leakage_safe_split (md5-bucket CASE
                              # oracle-checked end to end)
+    # round-9 rotation: admits llm_ivf_topk (the trained-coarse-quantizer
+    # ANN probe's driver-gated row, VERDICT r08 #4) to the head. Demoted:
+    "llm_vector_stats",      # array-HOF machinery (aggregate/transform/
+                             # zip_with) now runs inside THREE gated
+                             # queries: llm_kmeans_clusters' dist audit,
+                             # llm_pca_embeddings' norm twins, and
+                             # llm_semantic_dedup's production pair join
 )
 
 

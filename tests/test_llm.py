@@ -673,14 +673,15 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
 
 
 def test_kmeans_clusters_query_matches_numpy(spark):
-    """End-to-end value pin for the rows-only llm_kmeans_clusters gate:
-    the query's (cluster, dist) per vector must equal a plain numpy
-    Lloyd's replica run from the same deterministic hash-sample init on
-    the same sf0.001 corpus."""
+    """End-to-end value pin for the k-means gate's RAW values (the gated
+    projection converts them to oracle-checked flags since r9): the raw
+    frame's (cluster, dist) per vector must equal a plain numpy Lloyd's
+    replica run from the same deterministic hash-sample init on the same
+    sf0.001 corpus."""
     import numpy as np
 
     from lakeshed.io import load_star
-    from lakeshed.llm.queries import llm_kmeans_clusters
+    from lakeshed.llm.queries import kmeans_clusters_raw
 
     sf_dir = os.environ.get("LAKESHED_TEST_SF", "/root/testdata/sf0.001")
     emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
@@ -700,10 +701,82 @@ def test_kmeans_clusters_query_matches_numpy(spark):
     a = np.argmin(d, axis=1)
     dist = np.sqrt(d[np.arange(len(a)), a])
 
-    got = llm_kmeans_clusters(spark, sf_dir).collect()
+    got = kmeans_clusters_raw(spark, sf_dir).collect()
     assert len(got) == len(ids)
     want = {int(i): (int(cl), float(dd)) for i, cl, dd in zip(ids, a, dist)}
     for r in got:
         wc, wd = want[r.vec_id]
         assert r.cluster == wc, (r.vec_id, r.cluster, wc)
         assert abs(r.dist - wd) < 5e-4, (r.vec_id, r.dist, wd)
+
+
+def test_partial_oracle_gate_flags_all_true(spark):
+    """The r9 partial-oracle gates (kmeans / semantic dedup / PCA) emit
+    invariant flags the DuckDB oracle asserts as literal TRUE — verify
+    here that every flag row IS true (a false row would hash-mismatch at
+    the driver; failing here localizes which invariant broke), that the
+    raw frames remain observable, and that a BROKEN invariant actually
+    flips a flag (the dist_is_min audit is not a tautology)."""
+    from pyspark.sql import functions as F
+
+    from lakeshed.llm.queries import (
+        kmeans_clusters_raw,
+        llm_kmeans_clusters,
+        llm_pca_embeddings,
+        llm_semantic_dedup,
+        pca_embeddings_raw,
+        semantic_dedup_raw,
+    )
+
+    sf_dir = os.environ.get("LAKESHED_TEST_SF", "/root/testdata/sf0.001")
+
+    km = llm_kmeans_clusters(spark, sf_dir).collect()
+    assert all(r.cluster_in_range and r.dist_is_min for r in km)
+    assert {r.n_clusters for r in km} == {8}
+
+    sd = llm_semantic_dedup(spark, sf_dir).collect()
+    assert all(
+        r.cluster_in_range and r.keep_consistent and r.exact_dup_dropped
+        for r in sd
+    )
+
+    pc = llm_pca_embeddings(spark, sf_dir).collect()
+    assert all(
+        r.proj_norm_le_centered and r.proj_mean_near_zero
+        and r.components_orthonormal and r.variance_descending
+        for r in pc
+    )
+    assert all(r.orig_sq_norm > 0 for r in pc)
+
+    # raw frames still expose the engine-specific values, same universe
+    n = len(km)
+    assert kmeans_clusters_raw(spark, sf_dir).count() == n
+    assert semantic_dedup_raw(spark, sf_dir).count() == n
+    assert pca_embeddings_raw(spark, sf_dir).count() == n
+
+    # non-tautology: corrupting an assignment flips dist_is_min. Re-run
+    # the audit expressions against a frame whose cluster labels are
+    # rotated by one — the audited own-distance no longer matches the
+    # emitted dist, so the flag must go false for (almost) every row.
+    from lakeshed.io import load_star
+    from lakeshed.llm import similarity
+
+    emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
+    cents = similarity.kmeans_fit(emb, k=8, iters=3)
+    bad = similarity.kmeans_assign(emb, cents, dist_col="dist") \
+        .withColumn("cluster", (F.col("cluster") + 1) % 8)
+    vecd = F.col("embedding").cast("array<double>")
+    dists = [
+        F.sqrt(F.aggregate(
+            F.zip_with(vecd, F.array(*[F.lit(float(x)) for x in cj]),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x))
+        for cj in cents
+    ]
+    darr = F.array(*dists)
+    own = F.element_at(darr, F.col("cluster") + 1)
+    flipped = bad.select(
+        ((own <= F.array_min(darr) + 1e-9)
+         & (F.abs(F.col("dist") - own) <= 1e-6)).alias("f")
+    ).collect()
+    assert sum(not r.f for r in flipped) > len(flipped) * 0.9
