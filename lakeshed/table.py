@@ -371,6 +371,31 @@ class LakeTable:
             json.dump(refs, fh)
         os.replace(tmp, os.path.join(self.log_dir, _REFS))  # atomic swap
 
+    def _mutate_refs(self, fn) -> dict[str, int]:
+        """Read-modify-write the refs file under an advisory file lock,
+        so two PROCESSES mutating refs concurrently (a main commit racing
+        a branch commit, CREATE BRANCH racing a publish) can't clobber
+        each other's update — same-branch commit races are already caught
+        by the exclusive-create + sibling guard in ``_commit``, but a
+        lock-free RMW here would let a cross-branch writer resurrect a
+        stale snapshot of someone else's ref. ``fn(refs)`` mutates in
+        place; may raise to abort (nothing written). On an object store
+        this maps to the catalog's compare-and-swap on the refs object."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        lf = open(os.path.join(self.log_dir, ".refs.lock"), "a+")
+        try:
+            try:
+                import fcntl
+                fcntl.flock(lf, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: best-effort (atomic swap only)
+                pass
+            refs = self._refs()
+            fn(refs)
+            self._write_refs(refs)
+            return refs
+        finally:
+            lf.close()  # releases the flock
+
     def head(self, branch: str = MAIN) -> int:
         refs = self._refs()
         if branch not in refs:
@@ -510,8 +535,7 @@ class LakeTable:
                     f"{parent}) won the race; re-resolve and retry"
                 )
         if update_ref:
-            refs[branch] = version
-            self._write_refs(refs)
+            self._mutate_refs(lambda r: r.__setitem__(branch, version))
         # periodic checkpoint (Delta writes one every 10 commits) keeps the
         # chain walk bounded without any user action
         if version > 0 and version % 20 == 0:
@@ -1805,9 +1829,7 @@ class LakeTable:
         (Iceberg semantics — no data rewritten)."""
         if version not in self._versions():
             raise TableError(f"no snapshot {version}")
-        refs = self._refs()
-        refs[MAIN] = version
-        self._write_refs(refs)
+        self._mutate_refs(lambda r: r.__setitem__(MAIN, version))
 
     # ------------------------------------------------------------- branches
 
@@ -1815,18 +1837,19 @@ class LakeTable:
         """D13 — ``ALTER TABLE ... CREATE BRANCH`` (WAP...ipynb:166):
         a branch is a named ref into the same commit DAG — copy-on-write,
         free until written to (WAP...ipynb:157)."""
-        refs = self._refs()
-        if name in refs:
-            raise TableError(f"branch {name!r} exists")
-        refs[name] = self.head() if at is None else at
-        self._write_refs(refs)
+        target = self.head() if at is None else at
+
+        def mut(refs: dict[str, int]) -> None:
+            if name in refs:
+                raise TableError(f"branch {name!r} exists")
+            refs[name] = target
+
+        self._mutate_refs(mut)
 
     def drop_branch(self, name: str) -> None:
         if name == MAIN:
             raise TableError("cannot drop main")
-        refs = self._refs()
-        refs.pop(name, None)
-        self._write_refs(refs)
+        self._mutate_refs(lambda r: r.pop(name, None))
 
     def branches(self) -> dict[str, int]:
         return self._refs()
@@ -1834,9 +1857,7 @@ class LakeTable:
     def fast_forward(self, branch: str) -> None:
         """Publish a branch: point main at the branch head (the WAP publish
         when main has not moved; WAP...ipynb:544 uses cherry-pick)."""
-        refs = self._refs()
-        refs[MAIN] = refs[branch]
-        self._write_refs(refs)
+        self._mutate_refs(lambda r: r.__setitem__(MAIN, r[branch]))
 
     def cherrypick_snapshot(self, version: int) -> Commit:
         """D16 — ``CALL system.cherrypick_snapshot`` (Integrated

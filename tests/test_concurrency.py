@@ -1,0 +1,131 @@
+"""Cross-PROCESS optimistic-concurrency test (VERDICT r8 #3).
+
+The in-process conflict test (tests/test_streaming.py) simulates a racing
+sibling by hand-writing a log file; it cannot catch fd- or fs-level
+atomicity bugs in the exclusive-create commit path (`table.py` `_commit`:
+``open(..., "x")`` = the atomic snapshot swap). Here REAL separate OS
+processes hammer one table's commit log concurrently and the invariants
+are checked afterwards:
+
+- every attempted commit eventually lands exactly once (no lost updates),
+- the winning chain is linear (each commit's parent is the previous
+  version on the branch; no two surviving siblings share a parent),
+- losers observed ``CommitConflictError`` and succeeded on retry.
+
+The workers drive ``LakeTable._commit`` directly (no SparkSession — the
+commit protocol is pure-Python file I/O by design, which is what makes it
+portable to any shared filesystem/object store with atomic create).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+from lakeshed.table import MAIN, LakeTable
+
+_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from lakeshed.table import MAIN, CommitConflictError, LakeTable
+
+path, wid, n, barrier = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+t = LakeTable(None, path)
+
+# spin on the barrier so all workers enter the race together
+while not os.path.exists(barrier):
+    time.sleep(0.001)
+
+conflicts = 0
+for i in range(n):
+    while True:
+        try:
+            t._commit(
+                "append", add=[], remove=[],
+                summary={{"who": wid, "seq": i}},
+            )
+            break
+        except CommitConflictError:
+            conflicts += 1
+            time.sleep(0.001)
+print(json.dumps({{"wid": wid, "conflicts": conflicts}}))
+"""
+
+
+def test_two_process_commit_race(spark, tmp_path):
+    from lakeshed.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table(
+        "default.race2p",
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+    )
+    base_head = t.head()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.format(repo=repo))
+    barrier = tmp_path / "go"
+
+    n_workers, n_commits = 3, 8
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), t.path, f"w{i}",
+             str(n_commits), str(barrier)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(n_workers)
+    ]
+    time.sleep(0.3)  # let every worker reach the spin loop
+    barrier.write_text("go")
+    outs = [p.communicate(timeout=120) for p in procs]
+    assert all(p.returncode == 0 for p in procs), [o[1][-500:] for o in outs]
+
+    reports = [json.loads(o[0].strip().splitlines()[-1]) for o in outs]
+    total_conflicts = sum(r["conflicts"] for r in reports)
+
+    # --- invariants on the surviving log -------------------------------
+    t2 = LakeTable(None, t.path)
+    versions = t2._versions()
+    head = t2.head()
+
+    # every attempted commit landed exactly once: no lost updates
+    markers = []
+    by_version = {}
+    for v in versions:
+        c = t2._read_commit(v)
+        by_version[v] = c
+        who = c.summary.get("who")
+        if who is not None:
+            markers.append((who, c.summary["seq"]))
+    expect = [(f"w{i}", s) for i in range(n_workers) for s in range(n_commits)]
+    assert sorted(markers) == sorted(expect), (
+        f"lost/duplicated commits: {len(markers)} markers, "
+        f"expected {len(expect)}"
+    )
+
+    # the main chain is linear: walking parents from head visits each
+    # version at most once and ends at the pre-race head
+    seen = set()
+    v = head
+    while v is not None and v != base_head:
+        assert v not in seen, f"cycle at {v}"
+        seen.add(v)
+        v = by_version[v].parent
+    assert v == base_head
+
+    # no two surviving MAIN commits share a parent (the lost-update guard)
+    parents = [c.parent for c in by_version.values()
+               if c.branch == MAIN and c.parent is not None]
+    assert len(parents) == len(set(parents)), "two siblings both survived"
+
+    # with 3 workers × 8 commits racing from one barrier, at least one
+    # real conflict must have been hit and retried through
+    assert total_conflicts > 0
+
+    # --- and the real engine still works on the raced table ------------
+    t.append(spark.createDataFrame([(2, "b")], "k int, v string"))
+    assert t.read().count() == 2
