@@ -48,8 +48,18 @@ BENCH_NOTES: dict[str, str] = {
         "carries oracle-checkable audit columns — a per-cluster numpy "
         "gram re-derivation of every keep decision (applyInPandas, one "
         "extra shuffle on cluster) and an exact-duplicate equality join. "
-        "Cross-round deltas for this entry include that audit cost; the "
-        "production dedup itself is unchanged."
+        "Cross-round deltas for this entry include that audit cost "
+        "(~+0.6 s at sf0.1); the production dedup itself is unchanged. "
+        "r8-regression attribution (VERDICT r8 #2): 5 quiet-box runs of "
+        "the r8 shape measured 3.22-3.49 s — r7's 3.38 s is in-band, so "
+        "r8's 4.25 s was background contention, not a plan change."
+    ),
+    "table_merge_upsert": (
+        "r8-regression attribution (VERDICT r8 #2): 5 quiet-box runs "
+        "measured 1.26-1.40 s, straddling r7 (1.18) and r8 (1.43) — "
+        "noise. The query calls LakeTable.merge directly, so the r8 "
+        "per-statement pin guards (Catalog._run_dml) are not even in "
+        "its path."
     ),
     "llm_kmeans_clusters": (
         "New in r8 (3 Lloyd's passes + one Arrow assignment pass). "

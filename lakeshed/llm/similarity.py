@@ -422,6 +422,80 @@ def ivf_topk(
     )
 
 
+def ivf_index_table(
+    table,
+    df: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_iters: int = 2,
+):
+    """Materialize the IVF index as a PARTITIONED ACID table — the scale
+    layout :func:`ivf_index`'s docstring promises: the assigned frame is
+    written partitioned by ``list``, so a probe's ``list IN (...)``
+    predicate prunes to nprobe/n_lists of the files at METADATA cost
+    (commit-log partition values — no footer reads, no tasks for
+    unprobed lists). The trained centroids are stored as a table
+    property, so probing never rescans the corpus to rebuild the coarse
+    quantizer. Returns the created :class:`~lakeshed.table.LakeTable`.
+
+    ``table``: a LakeTable handle to create (e.g. from
+    ``Catalog._path``/``LakeTable(spark, path)``) — the index is a table
+    like any other: snapshots, time travel, compaction, and incremental
+    MERGE of new vectors all apply."""
+    idx, cents = ivf_index(
+        df, n_lists, id_col, vec_col, seed, train_iters
+    )
+    import json as _json
+
+    return table.create(
+        idx,
+        partition_by=["list"],
+        properties={
+            "lakeshed.ivf.centroids": _json.dumps(
+                [c[1] for c in cents]
+            ),
+            "lakeshed.ivf.n-lists": str(n_lists),
+        },
+    )
+
+
+def ivf_topk_from_table(
+    table,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a materialized :func:`ivf_index_table`: rank the stored
+    centroids against the query driver-side (k×d metadata), then scan
+    ONLY the ``nprobe`` nearest lists via the table's partition-pruned
+    ``scan`` — unprobed partitions never produce a file read — and
+    exact-cosine re-score inside them. The I/O shape a 100 TB ANN probe
+    needs: work ∝ nprobe/n_lists of the corpus, planned from the commit
+    log."""
+    import json as _json
+
+    cents = _json.loads(table.properties()["lakeshed.ivf.centroids"])
+    qn = np.asarray(query_vec, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    cn = np.asarray(cents, dtype=np.float64)
+    cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+    probe = sorted(np.argsort(-(cn @ qn))[:nprobe].tolist())
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    pred = f"list IN ({', '.join(str(p) for p in probe)})"
+    return (
+        table.scan(where=pred)
+        .select(
+            F.col("id").alias(id_col),
+            F.round(cosine(F.col("v"), q), 4).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_vec: list[float],

@@ -1,0 +1,109 @@
+"""Star-vs-label connected-components A/B at scale (VERDICT r7 #8 / r8 #8).
+
+Appends a section to SCALING.md (run scripts/scaling_probe.py first —
+it overwrites the file). Two measurements:
+
+1. REAL pair distribution: the c=4 salted-copies fixture from the
+   scaling probe (dense, shallow near-clique components — the shape real
+   near-dup corpora produce). Both algorithms must agree exactly; label
+   propagation should win on wall clock (fewer shuffles per round,
+   diameter ≈ 1-2).
+2. ADVERSARIAL shape: an n-node path graph (diameter n−1). Star must
+   converge in O(log n) rounds where label propagation would need n−1
+   rounds (~0.5 s of shuffle-join each — we don't burn those; the bound
+   is exact by construction and the 200-node case is pinned in
+   tests/test_llm.py::test_star_round_count_scales_logarithmically).
+
+Run:  python scripts/cc_ab_probe.py
+Env:  CCAB_COPIES=4  CCAB_CHAIN=3000
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lakeshed.llm import dedup, release_persisted
+from lakeshed.session import get_spark
+from scripts.scaling_probe import OUT, _docs_at
+
+COPIES = int(os.environ.get("CCAB_COPIES", "4"))
+CHAIN = int(os.environ.get("CCAB_CHAIN", "3000"))
+
+
+def main() -> None:
+    spark = get_spark("cc-ab-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- real near-dup pair distribution at c copies ---
+    docs = _docs_at(spark, COPIES)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.7) \
+        .select("id_a", "id_b").persist()
+    n_pairs = pairs.count()
+    ids = docs.select(F.col("doc_id").alias("id"))
+
+    t0 = time.perf_counter()
+    lbl = dedup.dedup_clusters(pairs, ids, algorithm="label")
+    lbl_clusters = lbl.select("cluster").distinct().count()
+    lbl_t = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    star = dedup.dedup_clusters(pairs, ids, algorithm="star")
+    star_clusters = star.select("cluster").distinct().count()
+    star_t = round(time.perf_counter() - t0, 2)
+
+    # exact agreement, not just cluster counts
+    diff = (
+        lbl.withColumnRenamed("cluster", "ca")
+        .join(star.withColumnRenamed("cluster", "cb"), "id")
+        .where(F.col("ca") != F.col("cb"))
+        .count()
+    )
+    pairs.unpersist()
+    docs.unpersist()
+    release_persisted()
+
+    # --- adversarial chain ---
+    chain_pairs = spark.range(CHAIN - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    chain_ids = spark.range(CHAIN).select(F.col("id"))
+    t0 = time.perf_counter()
+    chain_out, rounds = dedup._star_clusters_impl(
+        chain_pairs, chain_ids, "id_a", "id_b", "id", 40
+    )
+    one = chain_out.select("cluster").distinct().count()
+    chain_t = round(time.perf_counter() - t0, 2)
+    assert one == 1, f"chain did not collapse to one cluster: {one}"
+
+    with open(OUT, "a") as fh:
+        fh.write(
+            "\n## Star vs label CC A/B (`scripts/cc_ab_probe.py`)\n\n"
+            f"Real pair distribution ({COPIES} fixture copies, "
+            f"{n_pairs} verified pairs, dense shallow components):\n\n"
+            "| algorithm | wall (s) | clusters | disagreements |\n"
+            "|---|---|---|---|\n"
+            f"| label propagation | {lbl_t} | {lbl_clusters} | — |\n"
+            f"| large-star/small-star | {star_t} | {star_clusters} | "
+            f"{diff} |\n\n"
+            f"Adversarial {CHAIN}-node path (diameter {CHAIN - 1}): star "
+            f"converged in **{rounds} rounds / {chain_t} s** to one "
+            f"cluster; label propagation needs diameter rounds "
+            f"({CHAIN - 1} shuffle-join rounds) by construction — the "
+            "crossover documented in `dedup_clusters`' docstring: label "
+            "for the shallow components near-dup corpora actually "
+            "produce (fewer shuffles per round, wins above), star for "
+            "chain-shaped adversarial components (O(log n) rounds, wins "
+            "here).\n"
+        )
+    print(f"appended CC A/B to {OUT}: label={lbl_t}s star={star_t}s "
+          f"diff={diff} chain_rounds={rounds}")
+
+
+if __name__ == "__main__":
+    main()

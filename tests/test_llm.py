@@ -238,6 +238,52 @@ def test_ivf_topk_recall_and_scan_fraction(spark):
     assert idx.subtract(again).count() == 0
 
 
+def test_ivf_index_table_partition_pruned_probe(spark, tmp_path):
+    """The materialized IVF index (r9): assigned vectors land in a table
+    PARTITIONED by list id, the probe plans only the probed lists' files
+    from the commit log (metadata-cost pruning — the layout IS the
+    index), and the probed result equals the frame-level ivf_topk with
+    the same parameters."""
+    import re
+
+    from lakeshed.io import load_star
+    from lakeshed.llm import similarity
+    from lakeshed.table import LakeTable
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_star(spark, sf, "embeddings")["embeddings"]
+    qv = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    corpus = emb.where(F.col("vec_id") != 0)
+
+    t = similarity.ivf_index_table(
+        LakeTable(spark, str(tmp_path / "ivf_idx")), corpus,
+        n_lists=16, train_iters=2,
+    )
+
+    # probe plans ONLY files from the probed partitions
+    all_files = t.plan_files()
+    probed = t.plan_files(where="list IN (0, 3, 7)")
+    assert 0 < len(probed) < len(all_files)
+    for a in probed:
+        m = re.search(r"list=(\d+)", a.path)
+        assert m and int(m.group(1)) in (0, 3, 7), a.path
+
+    # table probe == frame probe, value for value
+    from_table = [
+        (r.vec_id, r.cos)
+        for r in similarity.ivf_topk_from_table(
+            t, qv, k=10, nprobe=12
+        ).collect()
+    ]
+    from_frame = [
+        (r.vec_id, r.cos)
+        for r in similarity.ivf_topk(
+            corpus, qv, k=10, n_lists=16, nprobe=12, train_iters=2
+        ).collect()
+    ]
+    assert from_table == from_frame and len(from_table) == 10
+
+
 def test_release_persisted_drops_tracked_blocks(spark):
     """The LSH pair functions persist their signature frames and register
     them for cleanup (round-2 ADVICE: disk blocks outlive memory pressure).
