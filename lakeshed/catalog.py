@@ -173,11 +173,11 @@ class Catalog:
             return fn(branch=MAIN)
         created = wb not in t.branches()
         if created:
-            # capture the creation point BEFORE creating: create_branch
-            # forks at the current main head, so any later value of the
-            # ref that differs from this head is someone else's commit
-            created_head = t.head()
-            t.create_branch(wb)
+            # create_branch resolves the fork point under the refs lock
+            # and returns it — any later value of the ref that differs
+            # from this is someone else's commit (reading head() here
+            # first would race a concurrent main commit)
+            created_head = t.create_branch(wb)
         try:
             return fn(branch=wb)
         except BaseException:
@@ -726,6 +726,11 @@ class Catalog:
             f.name for f in
             t_obj.schema_fields(version=self._dml_write_version(t_obj))
         ]
+        # Spark resolves identifiers case-insensitively (and every
+        # keyword regex here is IGNORECASE) — canonicalize assignment
+        # targets to the schema's casing so `SET t.V = ...` hits column
+        # `v` instead of being rejected or silently dropped
+        target_cols_ci = {c.lower(): c for c in target_cols}
         for cm in re.finditer(
             r"when\s+(not\s+)?matched(\s+by\s+(?:source|target))?"
             r"(?:\s+and\s+(.+?))?\s+then\s+"
@@ -776,6 +781,7 @@ class Catalog:
                                 "reference source columns"
                             )
                         col = col.strip().split(".")[-1].strip("`")
+                        col = target_cols_ci.get(col.lower(), col)
                         if col not in target_cols:
                             # update() raises for unknown columns; a
                             # silent no-op assignment would hide a typo
@@ -809,6 +815,7 @@ class Catalog:
                         # alias first, THEN backticks: t.`active` must
                         # yield "active", not "`active"
                         col = col.strip().split(".")[-1].strip("`")
+                        col = target_cols_ci.get(col.lower(), col)
                         if col not in target_cols:
                             # mirror the NOT MATCHED BY SOURCE UPDATE
                             # check — a typo'd column must raise, not be
@@ -970,14 +977,22 @@ def _call_value(v: str) -> object:
             raise TableError(f"map() needs key/value pairs: {v!r}")
         return dict(zip(items[::2], items[1::2]))
     if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
-        # same unescaping as _parse_props.unq — doubled quote chars
-        # ('it''s') and backslash escapes round-trip, instead of the
-        # outer-strip leaving the doubling in the value
-        inner = v[1:-1].replace(v[0] * 2, v[0])
-        return re.sub(r"\\(.)", r"\1", inner)
+        return _unquote(v)
     if re.match(r"-?\d+$", v):
         return int(v)
     return v
+
+
+def _unquote(x: str) -> str:
+    """Strip one layer of quotes and unescape: doubled quote chars
+    ('it''s') and backslash escapes round-trip (SHOW CREATE emits both).
+    The ONE unescaper shared by CALL argument values and TBLPROPERTIES —
+    a fix applied to one must not diverge from the other."""
+    x = x.strip()
+    if len(x) >= 2 and x[0] == x[-1] and x[0] in "'\"":
+        inner = x[1:-1].replace(x[0] * 2, x[0])
+        return re.sub(r"\\(.)", r"\1", inner)
+    return x
 
 
 def _parse_call_args(argstr: str) -> tuple[list[object], dict[str, object]]:
@@ -1081,21 +1096,12 @@ def _split_top(s: str) -> list[str]:
 
 def _parse_props(s: str | None) -> dict[str, str]:
     """TBLPROPERTIES list — 'k'='v', 'k2'='v2' — to a dict; doubled
-    quotes inside quoted values unescape (round-trips SHOW CREATE)."""
+    quotes inside quoted values unescape via the shared :func:`_unquote`
+    (round-trips SHOW CREATE)."""
     out: dict[str, str] = {}
-
-    def unq(x: str) -> str:
-        x = x.strip()
-        if len(x) >= 2 and x[0] == x[-1] and x[0] in "'\"":
-            inner = x[1:-1].replace(x[0] * 2, x[0])
-            # backslash escapes (the scanner treats \' as escaped, and
-            # SHOW CREATE emits \\ for a literal backslash)
-            return re.sub(r"\\(.)", r"\1", inner)
-        return x
-
     for part in _split_top(s or ""):
         if not part.strip():
             continue
         k, _, v = part.partition("=")
-        out[unq(k)] = unq(v)
+        out[_unquote(k)] = _unquote(v)
     return out

@@ -1103,8 +1103,15 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from lakeshed.llm._persist import scoped_persist
+
     emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
-    base = similarity.semantic_dedup(emb, k=8, threshold=0.97, iters=3)
+    # persisted: base feeds BOTH the audit subtree and the final join —
+    # unpersisted, the whole pair-generation shuffle would run twice
+    base = scoped_persist(
+        "llm_semantic_dedup",
+        similarity.semantic_dedup(emb, k=8, threshold=0.97, iters=3),
+    )
 
     def audit(pdf: pd.DataFrame) -> pd.DataFrame:
         X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -1243,14 +1250,22 @@ def llm_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(projd, lambda x: x * x),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    rows = proj.select(
-        "vec_id",
-        F.round(orig_sq, 4).alias("orig_sq_norm"),
-        (proj_sq <= cent_sq * (1 + 1e-6) + 1e-6)
-        .alias("proj_norm_le_centered"),
-        F.lit(ortho).alias("components_orthonormal"),
-        F.lit(vdesc).alias("variance_descending"),
-        projd.alias("_pd"),
+    from lakeshed.llm._persist import scoped_persist
+
+    # persisted: rows feeds BOTH the final projection and the
+    # component-means aggregate — unpersisted, the Arrow projection UDF
+    # and the HOF norm folds would run twice
+    rows = scoped_persist(
+        "llm_pca_embeddings",
+        proj.select(
+            "vec_id",
+            F.round(orig_sq, 4).alias("orig_sq_norm"),
+            (proj_sq <= cent_sq * (1 + 1e-6) + 1e-6)
+            .alias("proj_norm_le_centered"),
+            F.lit(ortho).alias("components_orthonormal"),
+            F.lit(vdesc).alias("variance_descending"),
+            projd.alias("_pd"),
+        ),
     )
     mean_flag = (
         rows.agg(
@@ -1283,6 +1298,36 @@ def kmeans_clusters_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "vec_id", "cluster", F.round(F.col("dist"), 4).alias("dist")
     ).orderBy("vec_id")
+
+
+def kmeans_audit_flags(cents: list[list[float]], k: int = 8):
+    """The (cluster_in_range, dist_is_min) audit Columns over a frame
+    carrying (embedding, cluster, dist): dist_is_min re-derives all k
+    distances with JVM SQL HOFs against literal centroid arrays —
+    independent of the Arrow-argmin assignment path — and checks the
+    assigned distance is the minimum. Shared by the gated query AND the
+    non-tautology test (a hand-copied expression in the test would keep
+    validating a stale copy if this audit ever drifted)."""
+    vecd = F.col("embedding").cast("array<double>")
+    dists = [
+        F.sqrt(F.aggregate(
+            F.zip_with(
+                vecd,
+                F.array(*[F.lit(float(x)) for x in cj]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ))
+        for cj in cents
+    ]
+    darr = F.array(*dists)
+    own = F.element_at(darr, F.col("cluster") + 1)
+    in_range = (F.col("cluster") >= 0) & (F.col("cluster") < k)
+    is_min = (
+        (own <= F.array_min(darr) + 1e-9)
+        & (F.abs(F.col("dist") - own) <= 1e-6)
+    )
+    return in_range, is_min
 
 
 @qdef(
@@ -1324,29 +1369,20 @@ def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     work (k extra expressions per row); at 100 TB the assignment ships
     without them."""
     _, cents, assigned = _kmeans_fit_assign(spark, sf_dir)
-    vecd = F.col("embedding").cast("array<double>")
-    dists = [
-        F.sqrt(F.aggregate(
-            F.zip_with(
-                vecd,
-                F.array(*[F.lit(float(x)) for x in cj]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0), lambda acc, x: acc + x,
-        ))
-        for cj in cents
-    ]
-    darr = F.array(*dists)
-    own = F.element_at(darr, F.col("cluster") + 1)
-    flags = assigned.select(
-        "vec_id",
-        ((F.col("cluster") >= 0) & (F.col("cluster") < 8))
-        .alias("cluster_in_range"),
-        (
-            (own <= F.array_min(darr) + 1e-9)
-            & (F.abs(F.col("dist") - own) <= 1e-6)
-        ).alias("dist_is_min"),
-        "cluster",
+    in_range, is_min = kmeans_audit_flags(cents, k=8)
+    from lakeshed.llm._persist import scoped_persist
+
+    # persisted: the frame feeds BOTH the final projection and the
+    # n_clusters aggregate — unpersisted, the Arrow assignment pass and
+    # the k HOF audit expressions would run twice
+    flags = scoped_persist(
+        "llm_kmeans_clusters",
+        assigned.select(
+            "vec_id",
+            in_range.alias("cluster_in_range"),
+            is_min.alias("dist_is_min"),
+            "cluster",
+        ),
     )
     ncl = flags.agg(F.countDistinct("cluster").alias("n_clusters"))
     return (

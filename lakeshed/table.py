@@ -387,7 +387,10 @@ class LakeTable:
             try:
                 import fcntl
                 fcntl.flock(lf, fcntl.LOCK_EX)
-            except ImportError:  # non-POSIX: best-effort (atomic swap only)
+            except (ImportError, OSError):
+                # non-POSIX, or a filesystem without flock(2) support
+                # (ENOLCK/EOPNOTSUPP on some NFS/SMB/overlay mounts):
+                # best-effort — the write itself stays an atomic swap
                 pass
             refs = self._refs()
             fn(refs)
@@ -1833,18 +1836,25 @@ class LakeTable:
 
     # ------------------------------------------------------------- branches
 
-    def create_branch(self, name: str, *, at: int | None = None) -> None:
+    def create_branch(self, name: str, *, at: int | None = None) -> int:
         """D13 — ``ALTER TABLE ... CREATE BRANCH`` (WAP...ipynb:166):
         a branch is a named ref into the same commit DAG — copy-on-write,
-        free until written to (WAP...ipynb:157)."""
-        target = self.head() if at is None else at
+        free until written to (WAP...ipynb:157). Returns the fork
+        version, resolved under the refs lock."""
+        forked: list[int] = []
 
         def mut(refs: dict[str, int]) -> None:
             if name in refs:
                 raise TableError(f"branch {name!r} exists")
-            refs[name] = target
+            # resolve the fork point INSIDE the lock: reading head()
+            # before acquiring it would let a concurrent commit advance
+            # main in between, forking the branch below the head its
+            # ref write serialized after
+            refs[name] = refs[MAIN] if at is None else at
+            forked.append(refs[name])
 
         self._mutate_refs(mut)
+        return forked[0]
 
     def drop_branch(self, name: str) -> None:
         if name == MAIN:

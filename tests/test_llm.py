@@ -801,28 +801,19 @@ def test_partial_oracle_gate_flags_all_true(spark):
     assert pca_embeddings_raw(spark, sf_dir).count() == n
 
     # non-tautology: corrupting an assignment flips dist_is_min. Re-run
-    # the audit expressions against a frame whose cluster labels are
-    # rotated by one — the audited own-distance no longer matches the
-    # emitted dist, so the flag must go false for (almost) every row.
+    # THE SAME audit expressions the gate uses (kmeans_audit_flags —
+    # shared so the test can't validate a stale copy) against a frame
+    # whose cluster labels are rotated by one — the audited own-distance
+    # no longer matches the emitted dist, so the flag must go false for
+    # (almost) every row.
     from lakeshed.io import load_star
     from lakeshed.llm import similarity
+    from lakeshed.llm.queries import kmeans_audit_flags
 
     emb = load_star(spark, sf_dir, "embeddings")["embeddings"]
     cents = similarity.kmeans_fit(emb, k=8, iters=3)
     bad = similarity.kmeans_assign(emb, cents, dist_col="dist") \
         .withColumn("cluster", (F.col("cluster") + 1) % 8)
-    vecd = F.col("embedding").cast("array<double>")
-    dists = [
-        F.sqrt(F.aggregate(
-            F.zip_with(vecd, F.array(*[F.lit(float(x)) for x in cj]),
-                       lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x))
-        for cj in cents
-    ]
-    darr = F.array(*dists)
-    own = F.element_at(darr, F.col("cluster") + 1)
-    flipped = bad.select(
-        ((own <= F.array_min(darr) + 1e-9)
-         & (F.abs(F.col("dist") - own) <= 1e-6)).alias("f")
-    ).collect()
+    _, is_min = kmeans_audit_flags(cents, k=8)
+    flipped = bad.select(is_min.alias("f")).collect()
     assert sum(not r.f for r in flipped) > len(flipped) * 0.9

@@ -1978,6 +1978,15 @@ def test_merge_update_set_unknown_column_raises(cat, spark):
         "WHEN MATCHED THEN UPDATE SET t.v = s.v"
     )
     assert [r.v for r in cat.table("db.advise_upd").read().collect()] == ["b"]
+    # case-variant of a REAL column resolves (Spark identifiers are
+    # case-insensitive) instead of raising like a typo
+    spark.createDataFrame([(1, "c")], "k int, v string") \
+        .createOrReplaceTempView("advise_src2")
+    cat.sql(
+        "MERGE INTO db.advise_upd t USING advise_src2 s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET t.V = s.v"
+    )
+    assert [r.v for r in cat.table("db.advise_upd").read().collect()] == ["c"]
 
 
 def test_catalog_prefix_strip_spares_struct_paths(cat, spark):
