@@ -84,7 +84,15 @@ class Catalog:
             # tables as ``demo.nyc.taxis_sample`` (``spark.sql("CREATE
             # TABLE demo.nyc.taxis_sample ...")`` in Table Maintenance
             # Spark Procedures.ipynb); this Catalog instance IS the
-            # catalog, so the leading part only names it
+            # catalog, so the leading part must NAME it — accepting any
+            # qualifier here while the SELECT rewriter strips only
+            # self.name would let writes land under a qualifier reads
+            # can't resolve
+            if parts[0] != self.name:
+                raise TableError(
+                    f"unknown catalog {parts[0]!r} in table name "
+                    f"{name!r} (this catalog is {self.name!r})"
+                )
             parts = parts[1:]
         if len(parts) != 2:
             raise TableError(f"table name {name!r} is not [catalog.][db.]table")
@@ -157,12 +165,13 @@ class Catalog:
         reads. ``fn`` receives either ``wap_id=`` or ``branch=``."""
         wap_id = self._conf.get("spark.wap.id")
         wb = self._conf.get("spark.wap.branch")
-        if wap_id and wb and wb != MAIN:
-            # Iceberg raises when both pins are set — UNCONDITIONALLY,
-            # before consulting write.wap.enabled (silently preferring
-            # one would stage writes somewhere the user doesn't expect,
-            # and a table without the property would otherwise drop the
-            # wap.id pin on the floor and land on the branch)
+        if wap_id and wb:
+            # Iceberg raises when both pins are set — UNCONDITIONALLY:
+            # before consulting write.wap.enabled, and even for
+            # wb='main' (silently preferring one would stage writes
+            # somewhere the user doesn't expect, and a table without
+            # the property would otherwise drop the wap.id pin on the
+            # floor and land on the branch)
             raise TableError(
                 "both spark.wap.id and spark.wap.branch are set; "
                 "unset one (Iceberg rejects this too)"

@@ -1044,6 +1044,14 @@ def llm_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(docs, window=64, stride=48)
 
 
+# SemDeDup gate parameters — ONE definition for the production call,
+# the raw frame, AND the numpy audit kernel below (a literal edited in
+# one place but not the other would silently turn keep_consistent /
+# cluster_in_range false and the driver gate permanently red)
+_SEMDEDUP_K = 8
+_SEMDEDUP_THRESHOLD = 0.97
+
+
 def semantic_dedup_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw SemDeDup output (vec_id, cluster, keep) — the engine-specific
     values the gated projection below converts to checkable flags.
@@ -1053,7 +1061,7 @@ def semantic_dedup_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 2; each extra round is a full corpus pass (a whole Spark job
     # of fixed overhead at small sf) with no assignment change.
     return similarity.semantic_dedup(
-        emb, k=8, threshold=0.97, iters=3
+        emb, k=_SEMDEDUP_K, threshold=_SEMDEDUP_THRESHOLD, iters=3
     ).orderBy("vec_id")
 
 
@@ -1110,8 +1118,11 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpersisted, the whole pair-generation shuffle would run twice
     base = scoped_persist(
         "llm_semantic_dedup",
-        similarity.semantic_dedup(emb, k=8, threshold=0.97, iters=3),
+        similarity.semantic_dedup(
+            emb, k=_SEMDEDUP_K, threshold=_SEMDEDUP_THRESHOLD, iters=3
+        ),
     )
+    thr = _SEMDEDUP_THRESHOLD  # serialized into the audit kernel
 
     def audit(pdf: pd.DataFrame) -> pd.DataFrame:
         X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -1121,7 +1132,7 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         G = Xn @ Xn.T
         ka = [
-            not ((ids < ids[i]) & (G[i] >= 0.97)).any()
+            not ((ids < ids[i]) & (G[i] >= thr)).any()
             for i in range(len(ids))
         ]
         return pd.DataFrame({"vec_id": ids, "keep_audit": ka})
@@ -1146,7 +1157,7 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact_twin, base["vec_id"] == F.col("dup_id"), "left")
         .select(
             "vec_id",
-            ((F.col("cluster") >= 0) & (F.col("cluster") < 8))
+            ((F.col("cluster") >= 0) & (F.col("cluster") < _SEMDEDUP_K))
             .alias("cluster_in_range"),
             (F.col("keep") == F.col("keep_audit")).alias("keep_consistent"),
             F.coalesce(F.col("hed"), F.lit(False))

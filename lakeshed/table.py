@@ -381,7 +381,11 @@ class LakeTable:
         stale snapshot of someone else's ref. ``fn(refs)`` mutates in
         place; may raise to abort (nothing written). On an object store
         this maps to the catalog's compare-and-swap on the refs object."""
-        os.makedirs(self.log_dir, exist_ok=True)
+        if not os.path.isdir(self.log_dir):
+            # do NOT fabricate a log dir as a side effect — a ref
+            # mutation on a table that was never committed is an error,
+            # not an implicit create (_commit makedirs for itself first)
+            raise TableError(f"no table log at {self.log_dir}")
         lf = open(os.path.join(self.log_dir, ".refs.lock"), "a+")
         try:
             try:
@@ -1846,6 +1850,10 @@ class LakeTable:
         def mut(refs: dict[str, int]) -> None:
             if name in refs:
                 raise TableError(f"branch {name!r} exists")
+            if at is None and MAIN not in refs:
+                raise TableError(
+                    f"unknown branch 'main' for table {self.path}"
+                )
             # resolve the fork point INSIDE the lock: reading head()
             # before acquiring it would let a concurrent commit advance
             # main in between, forking the branch below the head its

@@ -121,12 +121,20 @@ def main() -> None:
         pairs_df = dedup.minhash_lsh_pairs(docs, threshold=0.7)
         mh_pairs, mh_t = _timed(pairs_df.count)
 
+        # persist + materialize the pairs BEFORE timing CC: the CC
+        # implementation re-executes its input plan when materializing
+        # the edge list, so an unpersisted frame would charge the whole
+        # LSH pipeline to the CC number (caught by the r9 review — the
+        # first published draft did exactly that)
+        pairs_df = pairs_df.select("id_a", "id_b").persist()
+        pairs_df.count()
         ids = docs.select(F.col("doc_id").alias("id"))
         (n_clusters, cc_rounds), cc_t = _timed(lambda: (
             dedup.dedup_clusters(pairs_df, ids)
             .select("cluster").distinct().count(),
             None,
         ))
+        pairs_df.unpersist()
 
         # SemDeDup pair bound Σ|cluster|²: fixed k=8 (the quadratic
         # trap) vs k scaled with the corpus (the documented practice)

@@ -35,7 +35,10 @@ from lakeshed.table import MAIN, CommitConflictError, LakeTable
 path, wid, n, barrier = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
 t = LakeTable(None, path)
 
-# spin on the barrier so all workers enter the race together
+# announce readiness (imports done), THEN spin on the barrier — the
+# parent releases it only once every worker is at this line, so the
+# commit loops genuinely overlap regardless of import-time skew
+open(barrier + ".ready." + wid, "w").close()
 while not os.path.exists(barrier):
     time.sleep(0.001)
 
@@ -79,7 +82,19 @@ def test_two_process_commit_race(spark, tmp_path):
         )
         for i in range(n_workers)
     ]
-    time.sleep(0.3)  # let every worker reach the spin loop
+    # release the barrier only after EVERY worker reports ready (pyspark
+    # import time skews by hundreds of ms between processes; a timed
+    # sleep would let early finishers race alone)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if all(
+            os.path.exists(f"{barrier}.ready.w{i}")
+            for i in range(n_workers)
+        ):
+            break
+        time.sleep(0.01)
+    else:
+        raise AssertionError("workers never reached the barrier")
     barrier.write_text("go")
     outs = [p.communicate(timeout=120) for p in procs]
     assert all(p.returncode == 0 for p in procs), [o[1][-500:] for o in outs]

@@ -2040,3 +2040,46 @@ def test_both_pins_raise_without_wap_enabled_property(cat, spark):
         cat.set_conf("spark.wap.branch", None)
     assert t.read().count() == 1
     assert "y" not in t.branches()
+
+
+def test_both_pins_raise_even_for_branch_main(cat, spark):
+    """r9 wave 2: the both-pins check is truly unconditional — even
+    spark.wap.branch='main' alongside spark.wap.id raises (Iceberg
+    validates the pins' presence, not their values)."""
+    cat.create_database("db")
+    t = cat.create_table(
+        "db.mainpin", spark.createDataFrame([(1,)], "k int")
+    )
+    t.set_properties(**{"write.wap.enabled": "true"})
+    cat.set_conf("spark.wap.id", "x")
+    cat.set_conf("spark.wap.branch", "main")
+    try:
+        with pytest.raises(TableError, match="both"):
+            cat.sql("INSERT INTO db.mainpin VALUES (2)")
+    finally:
+        cat.set_conf("spark.wap.id", None)
+        cat.set_conf("spark.wap.branch", None)
+
+
+def test_create_branch_on_uncommitted_table_typed_error(spark, tmp_path):
+    """r9 wave 2: ref mutations on a never-committed table raise the
+    typed TableError (not KeyError) and do NOT fabricate a log dir."""
+    t = LakeTable(spark, str(tmp_path / "ghost"))
+    with pytest.raises(TableError):
+        t.create_branch("x")
+    assert not os.path.isdir(t.log_dir)
+
+
+def test_unknown_catalog_qualifier_rejected_symmetrically(cat, spark):
+    """r9 wave 2: a 3-part name whose leading segment is not THIS
+    catalog's name is rejected on the write path too — before this fix
+    writes accepted any qualifier while reads resolved only 'demo.',
+    letting users create tables they could not SELECT."""
+    cat.create_database("nyc")
+    with pytest.raises(TableError, match="unknown catalog 'prod'"):
+        cat.create_table(
+            "prod.nyc.t", spark.createDataFrame([(1,)], "k int")
+        )
+    # the configured name still works end to end
+    cat.create_table("demo.nyc.t", spark.createDataFrame([(1,)], "k int"))
+    assert cat.sql("SELECT count(*) AS c FROM demo.nyc.t").first().c == 1
