@@ -88,7 +88,9 @@ class Catalog:
             # qualifier here while the SELECT rewriter strips only
             # self.name would let writes land under a qualifier reads
             # can't resolve
-            if parts[0] != self.name:
+            # case-insensitive like every other identifier (the SELECT
+            # rewriter strips the name under IGNORECASE too)
+            if parts[0].lower() != self.name.lower():
                 raise TableError(
                     f"unknown catalog {parts[0]!r} in table name "
                     f"{name!r} (this catalog is {self.name!r})"
@@ -192,10 +194,13 @@ class Catalog:
         except BaseException:
             # drop the branch we auto-created ONLY if it still points at
             # its creation head — a concurrent writer may have committed
-            # to it in the meantime, and their commits must survive
-            if created and t.branches().get(wb) == created_head:
+            # to it in the meantime, and their commits must survive. The
+            # compare and the pop are ONE locked callback: a
+            # check-then-act here would let the writer's ref update land
+            # between our read and our drop, deleting their commit's ref
+            if created:
                 try:
-                    t.drop_branch(wb)
+                    t.drop_branch_if_at(wb, created_head)
                 except TableError:
                     pass
             raise
@@ -876,13 +881,28 @@ class Catalog:
                     rf"(?<![\w.`]){re.escape(self.name)}"
                     rf"\.(?={re.escape(base)}\b)", "", s,
                 )
+                # (?<![\w.`]) on every rewrite below: a dot-qualified
+                # occurrence like ``s.nyc.permits`` is an alias/struct
+                # column path, not a relation reference — the legit
+                # catalog qualifier was already stripped above
+                unqual = r"(?<![\w.`])"
                 # D20/S6 — time travel: FROM t VERSION AS OF <id|'branch'>
                 # (WAP...ipynb:272 uses a branch name; Iceberg also takes
-                # snapshot ids)
-                for m in re.finditer(
-                    rf"{re.escape(base)}\s+version\s+as\s+of\s+"
-                    r"(\d+|'(\w+)')", s, re.IGNORECASE,
-                ):
+                # snapshot ids). The travel literal itself is quoted, so
+                # the pattern must run on the ORIGINAL text — quote
+                # safety comes from _unquoted_matches (a match starting
+                # inside a string literal is data, not a relation) and
+                # positional splicing (s.replace would rewrite identical
+                # text inside literals too).
+                def _travel(pattern: str, resolve) -> None:
+                    nonlocal s
+                    repls = []
+                    for m in _unquoted_matches(pattern, s):
+                        repls.append((m.start(), m.end(), resolve(m)))
+                    for a, b, view in reversed(repls):
+                        s = s[:a] + view + s[b:]
+
+                def _v_view(m) -> str:
                     if m.group(2):
                         pinned = t.read(branch=m.group(2))
                         tag = m.group(2)
@@ -891,32 +911,32 @@ class Catalog:
                         tag = m.group(1)
                     view = f"__lakeshed_{db}_{tbl}_v_{tag}"
                     pinned.createOrReplaceTempView(view)
-                    s = s.replace(m.group(0), view)
+                    return view
+
+                _travel(
+                    rf"{unqual}{re.escape(base)}\s+version\s+as\s+of\s+"
+                    r"(\d+|'(\w+)')", _v_view,
+                )
+
                 # timestamp-pinned travel: FROM t TIMESTAMP AS OF
                 # <epoch-ms | 'ISO datetime'> — resolved against the commit
                 # log's timestamp_ms (Iceberg SQL surface)
-                for m in re.finditer(
-                    rf"{re.escape(base)}\s+timestamp\s+as\s+of\s+"
-                    r"(?:(\d+)|'([^']+)')", s, re.IGNORECASE,
-                ):
-                    if m.group(1):
-                        ts_ms = int(m.group(1))
-                    else:
-                        ts_ms = _ts_ms(m.group(2))
-                    pinned = t.read(as_of_ms=ts_ms)
+                def _ts_view(m) -> str:
+                    ts_ms = (int(m.group(1)) if m.group(1)
+                             else _ts_ms(m.group(2)))
                     view = f"__lakeshed_{db}_{tbl}_ts_{ts_ms}"
-                    pinned.createOrReplaceTempView(view)
-                    s = s.replace(m.group(0), view)
+                    t.read(as_of_ms=ts_ms).createOrReplaceTempView(view)
+                    return view
+
+                _travel(
+                    rf"{unqual}{re.escape(base)}\s+timestamp\s+as\s+of\s+"
+                    r"(?:(\d+)|'([^']+)')", _ts_view,
+                )
                 # S6 — branch-suffix relation: FROM nyc.permits.branch_etl_job_42
                 # (WAP...ipynb:294); resolves to a branch-pinned read.
                 # Detection runs on the quote-masked text: a literal
                 # mentioning '.branch_x' is data and must not trigger a
                 # branch read (which would error on unknown branches).
-                # (?<![\w.`]) on every rewrite below: a dot-qualified
-                # occurrence like ``s.nyc.permits`` is an alias/struct
-                # column path, not a relation reference — the legit
-                # catalog qualifier was already stripped above
-                unqual = r"(?<![\w.`])"
                 for m in re.finditer(
                     rf"{unqual}{re.escape(base)}\.branch_(\w+)",
                     _mask_quotes(s), re.IGNORECASE,
@@ -1051,6 +1071,18 @@ def _mask_quotes(s: str) -> str:
         for i in range(a, b):
             out[i] = " "
     return "".join(out)
+
+
+def _unquoted_matches(pattern: str, s: str):
+    """Matches of ``pattern`` (IGNORECASE) whose START lies outside every
+    quoted literal — for rewrites whose pattern legitimately CONTAINS a
+    quoted literal (``VERSION AS OF 'branch'``), where masking or
+    _sub_outside_quotes would never match."""
+    spans = _quoted_spans(s)
+    for m in re.finditer(pattern, s, re.IGNORECASE):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        yield m
 
 
 def _sub_outside_quotes(pattern: str, repl: str, s: str) -> str:

@@ -1131,16 +1131,31 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ids = pdf["vec_id"].to_numpy()
         G = Xn @ Xn.T
-        ka = [
-            not ((ids < ids[i]) & (G[i] >= thr)).any()
-            for i in range(len(ids))
-        ]
-        return pd.DataFrame({"vec_id": ids, "keep_audit": ka})
+        ka, border = [], []
+        for i in range(len(ids)):
+            smaller = ids < ids[i]
+            # epsilon band: the production keep comes from a JVM-fold
+            # cosine, this audit from a BLAS gram — a pair within ~1 ulp
+            # of the threshold can land on opposite sides of >= in the
+            # two kernels without either being wrong. If the decision
+            # flips inside ±1e-9 of the threshold, mark the row
+            # borderline and let the flag pass rather than turning the
+            # gate permanently red on honest float disagreement.
+            dup_loose = (smaller & (G[i] >= thr - 1e-9)).any()
+            dup_strict = (smaller & (G[i] >= thr + 1e-9)).any()
+            ka.append(not (smaller & (G[i] >= thr)).any())
+            border.append(bool(dup_loose != dup_strict))
+        return pd.DataFrame(
+            {"vec_id": ids, "keep_audit": ka, "borderline": border}
+        )
 
     aud = (
         base.join(emb.select("vec_id", "embedding"), "vec_id")
         .groupBy("cluster")
-        .applyInPandas(audit, "vec_id long, keep_audit boolean")
+        .applyInPandas(
+            audit,
+            "vec_id long, keep_audit boolean, borderline boolean",
+        )
     )
     exact_twin = (
         emb.alias("a")
@@ -1159,7 +1174,10 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             ((F.col("cluster") >= 0) & (F.col("cluster") < _SEMDEDUP_K))
             .alias("cluster_in_range"),
-            (F.col("keep") == F.col("keep_audit")).alias("keep_consistent"),
+            (
+                (F.col("keep") == F.col("keep_audit"))
+                | F.col("borderline")
+            ).alias("keep_consistent"),
             F.coalesce(F.col("hed"), F.lit(False))
             .alias("has_exact_dup_smaller"),
             (~F.coalesce(F.col("hed"), F.lit(False)) | ~F.col("keep"))

@@ -405,15 +405,35 @@ def ivf_topk(
     ``train_iters`` refines centroids with Lloyd's rounds (see
     :func:`ivf_index`)."""
     idx, cents = ivf_index(df, n_lists, id_col, vec_col, seed, train_iters)
+    probe = _rank_probe_lists([c[1] for c in cents], query_vec, nprobe)
+    return _rescore_topk(
+        idx.where(F.col("list").isin(probe)), query_vec, k, id_col
+    )
+
+
+def _rank_probe_lists(
+    cents: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The nprobe centroid ids nearest the query by cosine — THE ONE
+    ranking shared by the frame-level and table-level probes (a guard or
+    tie-break fix applied to one must not diverge the other)."""
     qn = np.asarray(query_vec, dtype=np.float64)
-    qn = qn / np.linalg.norm(qn)
-    cn = np.asarray([c[1] for c in cents], dtype=np.float64)
-    cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
-    probe = np.argsort(-(cn @ qn))[:nprobe].tolist()
+    qn = qn / max(np.linalg.norm(qn), 1e-30)
+    cn = np.asarray(cents, dtype=np.float64)
+    cn = cn / np.maximum(
+        np.linalg.norm(cn, axis=1, keepdims=True), 1e-30
+    )
+    return sorted(np.argsort(-(cn @ qn))[:nprobe].tolist())
+
+
+def _rescore_topk(
+    df: DataFrame, query_vec: list[float], k: int, id_col: str
+) -> DataFrame:
+    """Exact-cosine re-score of a candidate frame carrying (id, v) —
+    shared by both probe paths."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        idx.where(F.col("list").isin(probe))
-        .select(
+        df.select(
             F.col("id").alias(id_col),
             F.round(cosine(F.col("v"), q), 4).alias("cos"),
         )
@@ -478,22 +498,9 @@ def ivf_topk_from_table(
     import json as _json
 
     cents = _json.loads(table.properties()["lakeshed.ivf.centroids"])
-    qn = np.asarray(query_vec, dtype=np.float64)
-    qn = qn / np.linalg.norm(qn)
-    cn = np.asarray(cents, dtype=np.float64)
-    cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
-    probe = sorted(np.argsort(-(cn @ qn))[:nprobe].tolist())
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = _rank_probe_lists(cents, query_vec, nprobe)
     pred = f"list IN ({', '.join(str(p) for p in probe)})"
-    return (
-        table.scan(where=pred)
-        .select(
-            F.col("id").alias(id_col),
-            F.round(cosine(F.col("v"), q), 4).alias("cos"),
-        )
-        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    return _rescore_topk(table.scan(where=pred), query_vec, k, id_col)
 
 
 def ann_topk_lsh(

@@ -1576,243 +1576,248 @@ class LakeTable:
                 .drop("__rn")
             )
         src = src.cache()
+        tgt_hits: DataFrame | None = None
+        # try/finally: a mid-merge failure (constraint violation,
+        # commit conflict) must not leak the cached source or the
+        # persisted target-hits past the call
+        try:
 
-        hit: set[str] = set()
-        candidates = live
-        if live:
-            # stats-prune candidate files by the source's key range before
-            # the semi-join: one tiny agg over the cached micro-batch, then
-            # manifest math. At 100 TB the semi-join then scans only files
-            # whose key bounds overlap the batch — clustered/partitioned
-            # keys touch a sliver of the table instead of all of it.
-            from lakeshed.pruning import BoolOp, Comparison, file_may_match
+            hit: set[str] = set()
+            candidates = live
+            if live:
+                # stats-prune candidate files by the source's key range before
+                # the semi-join: one tiny agg over the cached micro-batch, then
+                # manifest math. At 100 TB the semi-join then scans only files
+                # whose key bounds overlap the batch — clustered/partitioned
+                # keys touch a sliver of the table instead of all of it.
+                from lakeshed.pruning import BoolOp, Comparison, file_may_match
 
-            brow = src.agg(*[
-                f for k in keys
-                for f in (F.min(F.col(k)).alias(f"__lo_{k}"),
-                          F.max(F.col(k)).alias(f"__hi_{k}"))
-            ]).first()
-            node = None
-            if brow[f"__lo_{keys[0]}"] is None:  # empty source batch
-                candidates = []
-            else:
-                for k in keys:
-                    for op, v in ((">=", brow[f"__lo_{k}"]),
-                                  ("<=", brow[f"__hi_{k}"])):
-                        if isinstance(v, bool) or not isinstance(
-                            v, (int, float, str)
-                        ):
-                            continue  # timestamps etc.: skip, stay MAYBE
-                        if isinstance(v, int):
-                            if abs(v) > 2**53:  # float-lossy: stay MAYBE
-                                continue
-                            v = float(v)
-                        c = Comparison(k, op, v)
-                        node = c if node is None else BoolOp("and", node, c)
-                if node is not None:
-                    candidates = [
-                        a for a in live
-                        if file_may_match(node, a.lower_bounds,
-                                          a.upper_bounds,
-                                          self._partition_values(a.path),
-                                          a.dicts, blooms=a.blooms)
-                    ]
-        if candidates:
-            target = self._read_adds(head_commit, candidates,
-                                     with_file_path=True)
-            key_cond = reduce(
-                lambda a, b: a & b,
-                [target[k] == src[k] for k in keys],
+                brow = src.agg(*[
+                    f for k in keys
+                    for f in (F.min(F.col(k)).alias(f"__lo_{k}"),
+                              F.max(F.col(k)).alias(f"__hi_{k}"))
+                ]).first()
+                node = None
+                if brow[f"__lo_{keys[0]}"] is None:  # empty source batch
+                    candidates = []
+                else:
+                    for k in keys:
+                        for op, v in ((">=", brow[f"__lo_{k}"]),
+                                      ("<=", brow[f"__hi_{k}"])):
+                            if isinstance(v, bool) or not isinstance(
+                                v, (int, float, str)
+                            ):
+                                continue  # timestamps etc.: skip, stay MAYBE
+                            if isinstance(v, int):
+                                if abs(v) > 2**53:  # float-lossy: stay MAYBE
+                                    continue
+                                v = float(v)
+                            c = Comparison(k, op, v)
+                            node = c if node is None else BoolOp("and", node, c)
+                    if node is not None:
+                        candidates = [
+                            a for a in live
+                            if file_may_match(node, a.lower_bounds,
+                                              a.upper_bounds,
+                                              self._partition_values(a.path),
+                                              a.dicts, blooms=a.blooms)
+                        ]
+            if candidates:
+                target = self._read_adds(head_commit, candidates,
+                                         with_file_path=True)
+                key_cond = reduce(
+                    lambda a, b: a & b,
+                    [target[k] == src[k] for k in keys],
+                )
+                hit_rows = target.join(src, key_cond, "left_semi")
+                prefix_len = len(os.path.abspath(self.path)) + 1
+                for r in hit_rows.select("__file").distinct().collect():
+                    p = r["__file"]
+                    if p.startswith("file:"):
+                        p = p[len("file:"):]
+                    hit.add(os.path.abspath(p)[prefix_len:])
+
+            hit_adds = [a for a in live if a.path in hit]
+            adds: list[AddFile] = []
+            target_cols = [f.name for f in fields]
+
+            # three-valued logic everywhere a predicate gates a DELETE: a
+            # NULL condition must behave as FALSE (keep the row / don't act),
+            # never leak NULL through ~ and silently drop rows
+            delete_cond = (
+                F.coalesce(F.expr(when_matched_delete), F.lit(False))
+                if when_matched_delete else F.lit(False)
             )
-            hit_rows = target.join(src, key_cond, "left_semi")
-            prefix_len = len(os.path.abspath(self.path)) + 1
-            for r in hit_rows.select("__file").distinct().collect():
-                p = r["__file"]
-                if p.startswith("file:"):
-                    p = p[len("file:"):]
-                hit.add(os.path.abspath(p)[prefix_len:])
+            insert_pred = (
+                F.lit(True)
+                if when_not_matched_insert in ("*", None)
+                else F.coalesce(F.expr(when_not_matched_insert), F.lit(False))
+            )
 
-        hit_adds = [a for a in live if a.path in hit]
-        adds: list[AddFile] = []
-        target_cols = [f.name for f in fields]
+            bysrc_active = (
+                when_not_matched_by_source_delete is not None
+                or when_not_matched_by_source_update is not None
+            )
 
-        # three-valued logic everywhere a predicate gates a DELETE: a
-        # NULL condition must behave as FALSE (keep the row / don't act),
-        # never leak NULL through ~ and silently drop rows
-        delete_cond = (
-            F.coalesce(F.expr(when_matched_delete), F.lit(False))
-            if when_matched_delete else F.lit(False)
-        )
-        insert_pred = (
-            F.lit(True)
-            if when_not_matched_insert in ("*", None)
-            else F.coalesce(F.expr(when_not_matched_insert), F.lit(False))
-        )
-
-        bysrc_active = (
-            when_not_matched_by_source_delete is not None
-            or when_not_matched_by_source_update is not None
-        )
-
-        def apply_by_source(frame: DataFrame, unmatched) -> DataFrame:
-            """Apply the by-source DELETE-then-UPDATE actions to a bare
-            target-column frame; ``unmatched`` is the boolean Column
-            marking target-only rows (lit(True) for files with provably
-            no key matches)."""
-            if when_not_matched_by_source_delete is not None:
-                frame = frame.where(~(
-                    unmatched & F.coalesce(
-                        F.expr(when_not_matched_by_source_delete),
+            def apply_by_source(frame: DataFrame, unmatched) -> DataFrame:
+                """Apply the by-source DELETE-then-UPDATE actions to a bare
+                target-column frame; ``unmatched`` is the boolean Column
+                marking target-only rows (lit(True) for files with provably
+                no key matches)."""
+                if when_not_matched_by_source_delete is not None:
+                    frame = frame.where(~(
+                        unmatched & F.coalesce(
+                            F.expr(when_not_matched_by_source_delete),
+                            F.lit(False),
+                        )
+                    ))
+                if when_not_matched_by_source_update is not None:
+                    cond = unmatched & F.coalesce(
+                        F.expr(when_not_matched_by_source_condition or "true"),
                         F.lit(False),
                     )
-                ))
-            if when_not_matched_by_source_update is not None:
-                cond = unmatched & F.coalesce(
-                    F.expr(when_not_matched_by_source_condition or "true"),
-                    F.lit(False),
-                )
-                frame = frame.select(*[
-                    F.when(
-                        cond,
-                        F.expr(when_not_matched_by_source_update[c]),
-                    ).otherwise(F.col(f"`{c}`"))
-                    .cast(next(f.type for f in fields if f.name == c))
-                    .alias(c)
-                    if c in when_not_matched_by_source_update
-                    else F.col(f"`{c}`")
-                    for c in frame.columns
-                ])
-            return frame
+                    frame = frame.select(*[
+                        F.when(
+                            cond,
+                            F.expr(when_not_matched_by_source_update[c]),
+                        ).otherwise(F.col(f"`{c}`"))
+                        .cast(next(f.type for f in fields if f.name == c))
+                        .alias(c)
+                        if c in when_not_matched_by_source_update
+                        else F.col(f"`{c}`")
+                        for c in frame.columns
+                    ])
+                return frame
 
-        rewritten_parts: list[DataFrame] = []
-        # One persisted frame serves both the rewrite join and the insert
-        # anti-join below — the touched slice is scanned from parquet once,
-        # not twice (it is exactly the COW rewrite set, so it's about to be
-        # fully materialized anyway).
-        tgt_hits: DataFrame | None = None
-        if hit_adds:
-            tgt_hits = self._read_files(hit_adds, head_commit)
-            # evolved columns don't exist in the target files yet —
-            # surface them as typed NULLs so the rewrite projection and
-            # the key anti-join see the full evolved schema
-            for f in added_cols:
-                tgt_hits = tgt_hits.withColumn(
-                    f.name, F.lit(None).cast(f.type)
-                )
-            tgt_hits = tgt_hits.persist()
-            tgt = tgt_hits
-            joined = tgt.alias("t").join(
-                src.alias("s"),
-                reduce(lambda a, b: a & b,
-                       [F.col(f"t.`{k}`") == F.col(f"s.`{k}`") for k in keys]),
-                "left",
-            )
-            match = reduce(lambda a, b: a | b,
-                           [F.col(f"s.`{k}`").isNotNull() for k in keys])
-            if when_matched_update == "*":
-                upd_cols = {
-                    c: F.col(f"s.`{c}`") for c in target_cols
-                    if c in src.columns
-                }
-            elif when_matched_update is None:
-                upd_cols = {}
-            else:
-                upd_cols = {
-                    c: F.expr(e) for c, e in when_matched_update.items()
-                }
-            surviving = joined.where(~(match & delete_cond))
-            proj_cols = [
-                F.when(match, upd_cols[c]).otherwise(F.col(f"t.`{c}`"))
-                .cast(next(f.type for f in fields if f.name == c))
-                .alias(c)
-                if c in upd_cols else F.col(f"t.`{c}`").alias(c)
-                for c in target_cols
-            ]
-            if not bysrc_active:
-                rewritten_parts.append(surviving.select(*proj_cols))
-            else:
-                # by-source actions inside hit files: predicates and
-                # assignments (bare target column names) evaluate on the
-                # projected frame, where names are unambiguous; they
-                # apply to UNMATCHED rows only, whose projected values
-                # are the original target values
-                frame = surviving.select(*proj_cols, match.alias("__matched"))
-                frame = apply_by_source(frame, ~F.col("__matched"))
-                rewritten_parts.append(frame.drop("__matched"))
-
-        bysrc_adds: list[AddFile] = []
-        if bysrc_active and live:
-            # target-only rows outside the hit set: any live file a
-            # by-source predicate can touch may hold rows to act on.
-            # Stats pruning bounds the rewrite to each predicate's file
-            # set — a full-sync over a time-partitioned table with a
-            # bounded predicate rewrites a sliver, not the table. Files
-            # outside the source-key candidate set contain NO key
-            # matches (the pruning is conservative-keep), so every row
-            # here is unmatched by construction.
-            pruned: set[str] = set()
-            if when_not_matched_by_source_delete is not None:
-                pruned |= {
-                    a.path for a in
-                    self.plan_files(when_not_matched_by_source_delete,
-                                    version=read_v)
-                }
-            if when_not_matched_by_source_update is not None:
-                pruned |= {
-                    a.path for a in
-                    self.plan_files(when_not_matched_by_source_condition,
-                                    version=read_v)
-                }
-            bysrc_adds = [
-                a for a in live if a.path in pruned and a.path not in hit
-            ]
-            if bysrc_adds:
-                extra = self._read_files(bysrc_adds, head_commit)
-                for f in added_cols:
-                    extra = extra.withColumn(f.name, F.lit(None).cast(f.type))
-                extra = extra.select(*[
-                    F.col(f"`{c}`")
-                    .cast(next(f.type for f in fields if f.name == c))
-                    .alias(c)
-                    for c in target_cols
-                ])
-                rewritten_parts.append(apply_by_source(extra, F.lit(True)))
-
-        if when_not_matched_insert is not None:
-            # any target key equal to a source key lives in a HIT file (the
-            # semi-join put it there), so the anti-join only needs keys from
-            # hit files — NOT a full-table scan. At 100 TB this is the
-            # difference between reading the touched slice and reading
-            # everything.
+            rewritten_parts: list[DataFrame] = []
+            # One persisted frame serves both the rewrite join and the insert
+            # anti-join below — the touched slice is scanned from parquet once,
+            # not twice (it is exactly the COW rewrite set, so it's about to be
+            # fully materialized anyway).
             if hit_adds:
-                existing_keys = tgt_hits.select(*keys)
-                unmatched = src.alias("s").join(existing_keys, keys,
-                                                "left_anti")
-            else:
-                unmatched = src.alias("s")
-            inserts = (
-                unmatched
-                .where(insert_pred & ~delete_cond
-                       if net_unmatched_deletes else insert_pred)
-                .select(*[
-                    F.col(f"`{c}`").cast(
-                        next(f.type for f in fields if f.name == c)
-                    ).alias(c)
+                tgt_hits = self._read_files(hit_adds, head_commit)
+                # evolved columns don't exist in the target files yet —
+                # surface them as typed NULLs so the rewrite projection and
+                # the key anti-join see the full evolved schema
+                for f in added_cols:
+                    tgt_hits = tgt_hits.withColumn(
+                        f.name, F.lit(None).cast(f.type)
+                    )
+                tgt_hits = tgt_hits.persist()
+                tgt = tgt_hits
+                joined = tgt.alias("t").join(
+                    src.alias("s"),
+                    reduce(lambda a, b: a & b,
+                           [F.col(f"t.`{k}`") == F.col(f"s.`{k}`") for k in keys]),
+                    "left",
+                )
+                match = reduce(lambda a, b: a | b,
+                               [F.col(f"s.`{k}`").isNotNull() for k in keys])
+                if when_matched_update == "*":
+                    upd_cols = {
+                        c: F.col(f"s.`{c}`") for c in target_cols
+                        if c in src.columns
+                    }
+                elif when_matched_update is None:
+                    upd_cols = {}
+                else:
+                    upd_cols = {
+                        c: F.expr(e) for c, e in when_matched_update.items()
+                    }
+                surviving = joined.where(~(match & delete_cond))
+                proj_cols = [
+                    F.when(match, upd_cols[c]).otherwise(F.col(f"t.`{c}`"))
+                    .cast(next(f.type for f in fields if f.name == c))
+                    .alias(c)
+                    if c in upd_cols else F.col(f"t.`{c}`").alias(c)
                     for c in target_cols
-                ])
-            )
-            rewritten_parts.append(inserts)
+                ]
+                if not bysrc_active:
+                    rewritten_parts.append(surviving.select(*proj_cols))
+                else:
+                    # by-source actions inside hit files: predicates and
+                    # assignments (bare target column names) evaluate on the
+                    # projected frame, where names are unambiguous; they
+                    # apply to UNMATCHED rows only, whose projected values
+                    # are the original target values
+                    frame = surviving.select(*proj_cols, match.alias("__matched"))
+                    frame = apply_by_source(frame, ~F.col("__matched"))
+                    rewritten_parts.append(frame.drop("__matched"))
 
-        if rewritten_parts:
-            out = reduce(DataFrame.unionByName, rewritten_parts)
-            adds = self._write_files(
-                out, head_commit.partition_spec,
-                evolved_sv if evolved_sv is not None
-                else head_commit.schema_version,
-            )
-        src.unpersist()
-        if tgt_hits is not None:
-            tgt_hits.unpersist()
+            bysrc_adds: list[AddFile] = []
+            if bysrc_active and live:
+                # target-only rows outside the hit set: any live file a
+                # by-source predicate can touch may hold rows to act on.
+                # Stats pruning bounds the rewrite to each predicate's file
+                # set — a full-sync over a time-partitioned table with a
+                # bounded predicate rewrites a sliver, not the table. Files
+                # outside the source-key candidate set contain NO key
+                # matches (the pruning is conservative-keep), so every row
+                # here is unmatched by construction.
+                pruned: set[str] = set()
+                if when_not_matched_by_source_delete is not None:
+                    pruned |= {
+                        a.path for a in
+                        self.plan_files(when_not_matched_by_source_delete,
+                                        version=read_v)
+                    }
+                if when_not_matched_by_source_update is not None:
+                    pruned |= {
+                        a.path for a in
+                        self.plan_files(when_not_matched_by_source_condition,
+                                        version=read_v)
+                    }
+                bysrc_adds = [
+                    a for a in live if a.path in pruned and a.path not in hit
+                ]
+                if bysrc_adds:
+                    extra = self._read_files(bysrc_adds, head_commit)
+                    for f in added_cols:
+                        extra = extra.withColumn(f.name, F.lit(None).cast(f.type))
+                    extra = extra.select(*[
+                        F.col(f"`{c}`")
+                        .cast(next(f.type for f in fields if f.name == c))
+                        .alias(c)
+                        for c in target_cols
+                    ])
+                    rewritten_parts.append(apply_by_source(extra, F.lit(True)))
+
+            if when_not_matched_insert is not None:
+                # any target key equal to a source key lives in a HIT file (the
+                # semi-join put it there), so the anti-join only needs keys from
+                # hit files — NOT a full-table scan. At 100 TB this is the
+                # difference between reading the touched slice and reading
+                # everything.
+                if hit_adds:
+                    existing_keys = tgt_hits.select(*keys)
+                    unmatched = src.alias("s").join(existing_keys, keys,
+                                                    "left_anti")
+                else:
+                    unmatched = src.alias("s")
+                inserts = (
+                    unmatched
+                    .where(insert_pred & ~delete_cond
+                           if net_unmatched_deletes else insert_pred)
+                    .select(*[
+                        F.col(f"`{c}`").cast(
+                            next(f.type for f in fields if f.name == c)
+                        ).alias(c)
+                        for c in target_cols
+                    ])
+                )
+                rewritten_parts.append(inserts)
+
+            if rewritten_parts:
+                out = reduce(DataFrame.unionByName, rewritten_parts)
+                adds = self._write_files(
+                    out, head_commit.partition_spec,
+                    evolved_sv if evolved_sv is not None
+                    else head_commit.schema_version,
+                )
+        finally:
+            src.unpersist()
+            if tgt_hits is not None:
+                tgt_hits.unpersist()
         summary: dict[str, Any] = {"matched-files": len(hit)}
         if added_cols:
             summary["evolved-columns"] = ",".join(
@@ -1845,8 +1850,6 @@ class LakeTable:
         a branch is a named ref into the same commit DAG — copy-on-write,
         free until written to (WAP...ipynb:157). Returns the fork
         version, resolved under the refs lock."""
-        forked: list[int] = []
-
         def mut(refs: dict[str, int]) -> None:
             if name in refs:
                 raise TableError(f"branch {name!r} exists")
@@ -1859,15 +1862,31 @@ class LakeTable:
             # main in between, forking the branch below the head its
             # ref write serialized after
             refs[name] = refs[MAIN] if at is None else at
-            forked.append(refs[name])
 
-        self._mutate_refs(mut)
-        return forked[0]
+        return self._mutate_refs(mut)[name]
 
     def drop_branch(self, name: str) -> None:
         if name == MAIN:
             raise TableError("cannot drop main")
         self._mutate_refs(lambda r: r.pop(name, None))
+
+    def drop_branch_if_at(self, name: str, version: int) -> bool:
+        """Atomically drop ``name`` ONLY if it still points at
+        ``version`` — the compare and the pop happen inside one locked
+        refs callback, so a concurrent writer's ref advance can never be
+        deleted by a stale cleanup (the auto-created-WAP-branch rollback
+        path). Returns whether the branch was dropped."""
+        if name == MAIN:
+            raise TableError("cannot drop main")
+        dropped: list[bool] = []
+
+        def mut(refs: dict[str, int]) -> None:
+            if refs.get(name) == version:
+                refs.pop(name)
+                dropped.append(True)
+
+        self._mutate_refs(mut)
+        return bool(dropped)
 
     def branches(self) -> dict[str, int]:
         return self._refs()

@@ -82,21 +82,27 @@ def test_two_process_commit_race(spark, tmp_path):
         )
         for i in range(n_workers)
     ]
-    # release the barrier only after EVERY worker reports ready (pyspark
-    # import time skews by hundreds of ms between processes; a timed
-    # sleep would let early finishers race alone)
-    deadline = time.time() + 60
-    while time.time() < deadline:
-        if all(
-            os.path.exists(f"{barrier}.ready.w{i}")
-            for i in range(n_workers)
-        ):
-            break
-        time.sleep(0.01)
-    else:
-        raise AssertionError("workers never reached the barrier")
-    barrier.write_text("go")
-    outs = [p.communicate(timeout=120) for p in procs]
+    try:
+        # release the barrier only after EVERY worker reports ready
+        # (pyspark import time skews by hundreds of ms between
+        # processes; a timed sleep would let early finishers race alone)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if all(
+                os.path.exists(f"{barrier}.ready.w{i}")
+                for i in range(n_workers)
+            ):
+                break
+            time.sleep(0.01)
+        else:
+            raise AssertionError("workers never reached the barrier")
+        barrier.write_text("go")
+        outs = [p.communicate(timeout=120) for p in procs]
+    finally:
+        # never leak busy-spinning workers past a failed barrier/timeout
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     assert all(p.returncode == 0 for p in procs), [o[1][-500:] for o in outs]
 
     reports = [json.loads(o[0].strip().splitlines()[-1]) for o in outs]

@@ -290,19 +290,30 @@ def test_release_persisted_drops_tracked_blocks(spark):
     release_persisted() must leave zero cached RDDs behind."""
     from lakeshed.llm import release_persisted
 
-    docs = _docs(spark)
-    dedup.minhash_lsh_pairs(docs, threshold=0.7).count()
-    dedup.simhash_pairs(docs, max_hamming=8).count()
-    jsc = spark.sparkContext._jsc.sc()
-    assert len(jsc.getRDDStorageInfo()) >= 2
-    release_persisted()
-    # unpersist is async (blocking=False); poll briefly
     import time
-    for _ in range(50):
+
+    jsc = spark.sparkContext._jsc.sc()
+    # start from a clean tracker: frames persisted by EARLIER tests in
+    # this session would otherwise (a) inflate the baseline and (b) let
+    # CacheManager plan-dedup absorb this test's identical persist into
+    # an existing entry, so no new RDD info would appear
+    release_persisted()
+    for _ in range(100):
         if len(jsc.getRDDStorageInfo()) == 0:
             break
         time.sleep(0.1)
-    assert len(jsc.getRDDStorageInfo()) == 0
+    baseline = len(jsc.getRDDStorageInfo())
+    docs = _docs(spark)
+    dedup.minhash_lsh_pairs(docs, threshold=0.7).count()
+    dedup.simhash_pairs(docs, max_hamming=8).count()
+    assert len(jsc.getRDDStorageInfo()) >= baseline + 2
+    release_persisted()
+    # unpersist is async (blocking=False); poll briefly
+    for _ in range(100):
+        if len(jsc.getRDDStorageInfo()) <= baseline:
+            break
+        time.sleep(0.1)
+    assert len(jsc.getRDDStorageInfo()) <= baseline
 
 
 def test_signature_table_incremental_dedup(spark, tmp_path):
