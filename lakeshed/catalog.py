@@ -188,7 +188,17 @@ class Catalog:
             # and returns it — any later value of the ref that differs
             # from this is someone else's commit (reading head() here
             # first would race a concurrent main commit)
-            created_head = t.create_branch(wb)
+            try:
+                created_head = t.create_branch(wb)
+            except TableError:
+                # cross-process TOCTOU: a concurrent pinned writer
+                # created the branch between our existence check and
+                # create_branch. Landing on the now-existing branch is
+                # exactly what the pin means — proceed, but don't claim
+                # ownership (their branch must survive our failure)
+                if wb not in t.branches():
+                    raise
+                created = False
         try:
             return fn(branch=wb)
         except BaseException:
@@ -865,7 +875,6 @@ class Catalog:
         ))
 
     def _run_select(self, s: str) -> DataFrame:
-        registered: set[str] = set()
         for db in self.databases():
             for tbl in self.tables(db):
                 base = f"{db}.{tbl}"
@@ -959,7 +968,6 @@ class Catalog:
                         s = _sub_outside_quotes(
                             rf"{unqual}{re.escape(dotted)}", view, s
                         )
-                        registered.add(dotted)
                 if re.search(
                     rf"{unqual}{re.escape(base)}\b", s, re.IGNORECASE
                 ):

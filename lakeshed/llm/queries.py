@@ -1134,6 +1134,10 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ka, border = [], []
         for i in range(len(ids)):
             smaller = ids < ids[i]
+            # byte-identical twins are dups regardless of norm — mirrors
+            # the production join's zero-norm equality disjunct (a
+            # guarded cosine alone scores two all-zero vectors 0).
+            exact = smaller & (X == X[i]).all(axis=1)
             # epsilon band: the production keep comes from a JVM-fold
             # cosine, this audit from a BLAS gram — a pair within ~1 ulp
             # of the threshold can land on opposite sides of >= in the
@@ -1141,9 +1145,9 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # flips inside ±1e-9 of the threshold, mark the row
             # borderline and let the flag pass rather than turning the
             # gate permanently red on honest float disagreement.
-            dup_loose = (smaller & (G[i] >= thr - 1e-9)).any()
-            dup_strict = (smaller & (G[i] >= thr + 1e-9)).any()
-            ka.append(not (smaller & (G[i] >= thr)).any())
+            dup_loose = ((smaller & (G[i] >= thr - 1e-9)) | exact).any()
+            dup_strict = ((smaller & (G[i] >= thr + 1e-9)) | exact).any()
+            ka.append(not ((smaller & (G[i] >= thr)) | exact).any())
             border.append(bool(dup_loose != dup_strict))
         return pd.DataFrame(
             {"vec_id": ids, "keep_audit": ka, "borderline": border}

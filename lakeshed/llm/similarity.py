@@ -64,7 +64,10 @@ def _norm_d(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # greatest(·, 1e-30) keeps a zero-norm side at similarity 0 instead
+    # of NULL (0/0 under ANSI-off), which would silently drop rows from
+    # joins/filters built on this expression
+    return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-30))
 
 
 def cosine_topk(
@@ -108,7 +111,9 @@ def cosine_pairs_brute(
             F.col("r.id").alias("id_b"),
             F.round(
                 _dot_d(F.col("l.v"), F.col("r.v"))
-                / (F.col("l.nrm") * F.col("r.nrm")), 4
+                / F.greatest(
+                    F.col("l.nrm") * F.col("r.nrm"), F.lit(1e-30)
+                ), 4
             ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
@@ -319,7 +324,8 @@ def ann_pairs_lsh(
             "id_a", "id_b",
             F.round(
                 _dot_d(F.col("v_a"), F.col("v_b"))
-                / (F.col("n_a") * F.col("n_b")), 4
+                / F.greatest(F.col("n_a") * F.col("n_b"), F.lit(1e-30)),
+                4,
             ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
@@ -782,9 +788,24 @@ def semantic_dedup(
             & (F.col("b.id") < F.col("a.id")),
         )
         .where(
-            _dot_d(F.col("a.v"), F.col("b.v"))
-            / (F.col("a.n") * F.col("b.n"))
-            >= threshold
+            # zero-norm guard: 0/0 is NULL under ANSI-off and would
+            # silently KEEP a byte-identical all-zero twin (breaking the
+            # method's exact-dup guarantee). Guarded cosine treats any
+            # zero-norm side as similarity 0; the equality disjunct
+            # (gated behind the cheap norm-product check, so it costs
+            # O(d) only on zero-norm pairs) restores dup=true for
+            # byte-identical zero vectors.
+            (
+                _dot_d(F.col("a.v"), F.col("b.v"))
+                / F.greatest(
+                    F.col("a.n") * F.col("b.n"), F.lit(1e-30)
+                )
+                >= threshold
+            )
+            | (
+                (F.col("a.n") * F.col("b.n") == 0.0)
+                & (F.col("a.v") == F.col("b.v"))
+            )
         )
         .select(F.col("a.id").alias("id"))
         .distinct()

@@ -1894,7 +1894,18 @@ class LakeTable:
     def fast_forward(self, branch: str) -> None:
         """Publish a branch: point main at the branch head (the WAP publish
         when main has not moved; WAP...ipynb:544 uses cherry-pick)."""
-        self._mutate_refs(lambda r: r.__setitem__(MAIN, r[branch]))
+
+        def ff(r: dict[str, int]) -> None:
+            if branch not in r:
+                # typed, like every other ref mutation (create_branch,
+                # head) — a bare KeyError from inside the locked
+                # callback would bypass callers catching TableError
+                raise TableError(
+                    f"no branch {branch!r} on table {self.path}"
+                )
+            r[MAIN] = r[branch]
+
+        self._mutate_refs(ff)
 
     def cherrypick_snapshot(self, version: int) -> Commit:
         """D16 — ``CALL system.cherrypick_snapshot`` (Integrated

@@ -81,9 +81,17 @@ def main() -> None:
     chain_t = round(time.perf_counter() - t0, 2)
     assert one == 1, f"chain did not collapse to one cluster: {one}"
 
+    # idempotent: re-running replaces any prior A/B section instead of
+    # appending a duplicate (the section is always the file's tail)
+    header = "\n## Star vs label CC A/B (`scripts/cc_ab_probe.py`)\n\n"
+    existing = open(OUT).read() if os.path.exists(OUT) else ""
+    cut = existing.find(header.strip("\n").split("\n")[0])
+    if cut != -1:
+        with open(OUT, "w") as fh:
+            fh.write(existing[:cut].rstrip("\n") + "\n")
     with open(OUT, "a") as fh:
         fh.write(
-            "\n## Star vs label CC A/B (`scripts/cc_ab_probe.py`)\n\n"
+            header +
             f"Real pair distribution ({COPIES} fixture copies, "
             f"{n_pairs} verified pairs, dense shallow components):\n\n"
             "| algorithm | wall (s) | clusters | disagreements |\n"

@@ -143,10 +143,113 @@ def test_two_process_commit_race(spark, tmp_path):
                if c.branch == MAIN and c.parent is not None]
     assert len(parents) == len(set(parents)), "two siblings both survived"
 
-    # with 3 workers × 8 commits racing from one barrier, at least one
-    # real conflict must have been hit and retried through
-    assert total_conflicts > 0
+    # conflict count is informational only: nothing FORCES the free-for-all
+    # loops to collide (a heavily serialized box can interleave 24 commits
+    # without two ever racing one version number) — the deterministic
+    # conflict lives in test_two_process_pinned_parent_duel below
+    assert total_conflicts >= 0
 
     # --- and the real engine still works on the raced table ------------
     t.append(spark.createDataFrame([(2, "b")], "k int, v string"))
     assert t.read().count() == 2
+
+
+_DUEL_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from lakeshed.table import MAIN, CommitConflictError, LakeTable
+
+path, wid, parent, barrier = (
+    sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+)
+t = LakeTable(None, path)
+open(barrier + ".ready." + wid, "w").close()
+while not os.path.exists(barrier):
+    time.sleep(0.001)
+
+won, conflicted, retried = False, False, False
+try:
+    t._commit("append", add=[], remove=[],
+              summary={{"who": wid}}, parent=parent)
+    won = True
+except CommitConflictError:
+    conflicted = True
+    # the loser re-resolves (parent=None -> current ref head) and
+    # retries; loop because the first retry can still race the winner's
+    # in-flight ref update, and terminates once that update lands
+    while True:
+        try:
+            t._commit("append", add=[], remove=[],
+                      summary={{"who": wid}})
+            break
+        except CommitConflictError:
+            time.sleep(0.001)
+    retried = True
+print(json.dumps(
+    {{"wid": wid, "won": won, "conflicted": conflicted, "retried": retried}}
+))
+"""
+
+
+def test_two_process_pinned_parent_duel(spark, tmp_path):
+    """DETERMINISTIC cross-process conflict: both workers commit with the
+    SAME explicitly pinned parent, so whatever the interleaving — a
+    same-version exclusive-create race, or fully serialized execution —
+    the commit protocol MUST hand exactly one of them
+    ``CommitConflictError`` (the sibling guard catches the serialized
+    case: second commit, same branch, same parent). No scheduling luck
+    involved, unlike the free-for-all's conflict count."""
+    from lakeshed.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table(
+        "default.duel2p",
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+    )
+    base_head = t.head()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "duel_worker.py"
+    script.write_text(_DUEL_WORKER.format(repo=repo))
+    barrier = tmp_path / "go"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), t.path, f"w{i}",
+             str(base_head), str(barrier)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if all(os.path.exists(f"{barrier}.ready.w{i}")
+                   for i in range(2)):
+                break
+            time.sleep(0.01)
+        else:
+            raise AssertionError("duel workers never reached the barrier")
+        barrier.write_text("go")
+        outs = [p.communicate(timeout=120) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert all(p.returncode == 0 for p in procs), [o[1][-500:] for o in outs]
+
+    reports = [json.loads(o[0].strip().splitlines()[-1]) for o in outs]
+    winners = [r for r in reports if r["won"]]
+    losers = [r for r in reports if r["conflicted"]]
+    assert len(winners) == 1, reports  # exactly one pinned commit lands
+    assert len(losers) == 1, reports   # the other OBSERVED the conflict
+    assert losers[0]["retried"], reports  # and landed cleanly on retry
+
+    # both markers present exactly once on the surviving log
+    t2 = LakeTable(None, t.path)
+    whos = sorted(
+        t2._read_commit(v).summary.get("who")
+        for v in t2._versions()
+        if t2._read_commit(v).summary.get("who") is not None
+    )
+    assert whos == ["w0", "w1"], whos

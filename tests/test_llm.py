@@ -651,6 +651,35 @@ def test_semantic_dedup_drops_planted_copies(spark):
     assert len(out) == n + 3
 
 
+def test_semantic_dedup_drops_zero_norm_exact_twin(spark):
+    """Byte-identical ALL-ZERO vectors must still dedup: the guarded
+    cosine scores a zero-norm pair 0 (never NULL), and the equality
+    disjunct restores dup=true for exact zero twins — without it the
+    0/0 NULL under ANSI-off silently KEPT the twin, breaking the
+    method's exact-dup guarantee (and the gated exact_dup_dropped
+    flag)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)])
+            for i in range(40)]
+    rows.append((100, [0.0] * 16))   # zero vector
+    rows.append((200, [0.0] * 16))   # byte-identical zero twin
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    out = similarity.semantic_dedup(
+        df, k=2, threshold=0.999, iters=3
+    ).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(out) == 42
+    # the larger-id zero twin is dropped, the smaller survives
+    assert by_id[100].keep is True
+    assert by_id[200].keep is False
+    # a zero vector is NOT similar to any non-zero vector (cos 0)
+    assert all(by_id[i].keep for i in range(40))
+
+
 def test_ivf_trained_lists_align_with_structure(spark):
     """ivf_index(train_iters>0) refines the seed centroids with Lloyd's
     rounds: on a clustered corpus the inverted lists become pure — every

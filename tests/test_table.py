@@ -2070,6 +2070,46 @@ def test_create_branch_on_uncommitted_table_typed_error(spark, tmp_path):
     assert not os.path.isdir(t.log_dir)
 
 
+def test_fast_forward_unknown_branch_typed_error(cat, nation):
+    """r9 wave 4: fast_forward of a nonexistent branch raises the typed
+    TableError like every other ref mutation — a bare KeyError from
+    inside the locked refs callback would bypass callers catching
+    TableError (e.g. the WAP publish path)."""
+    t = cat.create_table("default.ffte", nation)
+    with pytest.raises(TableError, match="no branch 'etl_stag'"):
+        t.fast_forward("etl_stag")
+
+
+def test_wap_branch_autocreate_lost_race_proceeds(cat, nation, monkeypatch):
+    """r9 wave 4: if a concurrent process creates the spark.wap.branch
+    branch between _run_dml's existence check and create_branch, the
+    pinned statement PROCEEDS onto the now-existing branch (that is what
+    the pin means) instead of failing — and does not claim ownership, so
+    a later failure cannot drop the other writer's branch."""
+    from lakeshed.table import LakeTable
+
+    t = cat.create_table("default.wapt", nation)
+    real_create = LakeTable.create_branch
+
+    def racing_create(self, name, *a, **kw):
+        # the "other process" wins the create first
+        real_create(self, name, *a, **kw)
+        raise TableError(f"branch {name!r} exists")
+
+    monkeypatch.setattr(LakeTable, "create_branch", racing_create)
+    cat.set_conf("spark.wap.branch", "etl_race")
+    try:
+        cat.sql("DELETE FROM default.wapt WHERE n_regionkey = 1")
+    finally:
+        cat.set_conf("spark.wap.branch", None)
+    monkeypatch.undo()
+    # the DML landed on the branch, main untouched
+    assert "etl_race" in t.branches()
+    staged = t.read(version=t.branches()["etl_race"]).count()
+    assert staged < nation.count()
+    assert t.read().count() == nation.count()
+
+
 def test_unknown_catalog_qualifier_rejected_symmetrically(cat, spark):
     """r9 wave 2: a 3-part name whose leading segment is not THIS
     catalog's name is rejected on the write path too — before this fix
