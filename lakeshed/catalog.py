@@ -182,23 +182,32 @@ class Catalog:
             return fn(wap_id=wap_id)
         if not wb or wb == MAIN:
             return fn(branch=MAIN)
-        created = wb not in t.branches()
-        if created:
-            # create_branch resolves the fork point under the refs lock
-            # and returns it — any later value of the ref that differs
-            # from this is someone else's commit (reading head() here
-            # first would race a concurrent main commit)
+        # auto-create with a bounded retry: a concurrent pinned writer
+        # can (a) create the branch between our existence check and
+        # create_branch (their create wins -> ours raises), or (b) DROP
+        # it again right after (their failed statement rolls its
+        # auto-created branch back) — so a single proceed-on-existing
+        # check is not enough; loop check->create until one of the two
+        # states sticks. Landing on a branch someone else created is
+        # exactly what the pin means; created=False then, so OUR later
+        # failure can't drop THEIR branch.
+        created = False
+        created_head = None
+        for attempt in range(10):
+            if wb in t.branches():
+                break
             try:
+                # create_branch resolves the fork point under the refs
+                # lock and returns it — any later value of the ref that
+                # differs from this is someone else's commit (reading
+                # head() here first would race a concurrent main commit)
                 created_head = t.create_branch(wb)
+                created = True
+                break
             except TableError:
-                # cross-process TOCTOU: a concurrent pinned writer
-                # created the branch between our existence check and
-                # create_branch. Landing on the now-existing branch is
-                # exactly what the pin means — proceed, but don't claim
-                # ownership (their branch must survive our failure)
-                if wb not in t.branches():
-                    raise
-                created = False
+                if attempt == 9:
+                    raise  # not the race (e.g. uncommitted table)
+                continue
         try:
             return fn(branch=wb)
         except BaseException:

@@ -1126,18 +1126,26 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def audit(pdf: pd.DataFrame) -> pd.DataFrame:
         X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        Xn = X / np.maximum(
-            np.linalg.norm(X, axis=1, keepdims=True), 1e-30
-        )
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        # EXACT normalization, zero rows pinned to 0 — mirrors the
+        # production _guarded_cos (only true 0/0 -> 0; a floor clamp
+        # like maximum(norm, 1e-30) would deflate tiny-magnitude
+        # vectors' cosines and diverge from the JVM kernel)
+        Xn = np.divide(X, norms, out=np.zeros_like(X),
+                       where=norms > 0)
+        zero = (norms.ravel() == 0.0)
         ids = pdf["vec_id"].to_numpy()
         G = Xn @ Xn.T
         ka, border = [], []
         for i in range(len(ids)):
             smaller = ids < ids[i]
-            # byte-identical twins are dups regardless of norm — mirrors
-            # the production join's zero-norm equality disjunct (a
-            # guarded cosine alone scores two all-zero vectors 0).
-            exact = smaller & (X == X[i]).all(axis=1)
+            # byte-identical ALL-ZERO twins are dups — mirrors the
+            # production join's zero-norm-gated equality disjunct
+            # (guarded cosine alone scores two all-zero vectors 0;
+            # identical NONZERO vectors already hit G == 1.0).
+            exact = (
+                smaller & zero & zero[i] & (X == X[i]).all(axis=1)
+            )
             # epsilon band: the production keep comes from a JVM-fold
             # cosine, this audit from a BLAS gram — a pair within ~1 ulp
             # of the threshold can land on opposite sides of >= in the

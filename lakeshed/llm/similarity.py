@@ -63,11 +63,21 @@ def _norm_d(a: Column) -> Column:
     )
 
 
+def _guarded_cos(dot: Column, norm_product: Column) -> Column:
+    """Cosine with ONLY the true 0/0 case pinned to 0 — a zero-norm side
+    has similarity 0 to everything instead of NULL (0/0 under ANSI-off),
+    which would silently drop rows from joins/filters built on this.
+    Every nonzero norm product divides EXACTLY: a floor clamp (e.g.
+    greatest(·, 1e-30)) would deflate mathematically-well-defined
+    similarities of tiny-magnitude vectors to ~0 and break the
+    exact-dup guarantee inside the clamp band."""
+    return F.when(norm_product == 0.0, F.lit(0.0)).otherwise(
+        dot / norm_product
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
-    # greatest(·, 1e-30) keeps a zero-norm side at similarity 0 instead
-    # of NULL (0/0 under ANSI-off), which would silently drop rows from
-    # joins/filters built on this expression
-    return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-30))
+    return _guarded_cos(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -110,9 +120,9 @@ def cosine_pairs_brute(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
             F.round(
-                _dot_d(F.col("l.v"), F.col("r.v"))
-                / F.greatest(
-                    F.col("l.nrm") * F.col("r.nrm"), F.lit(1e-30)
+                _guarded_cos(
+                    _dot_d(F.col("l.v"), F.col("r.v")),
+                    F.col("l.nrm") * F.col("r.nrm"),
                 ), 4
             ).alias("cos"),
         )
@@ -323,8 +333,10 @@ def ann_pairs_lsh(
         .select(
             "id_a", "id_b",
             F.round(
-                _dot_d(F.col("v_a"), F.col("v_b"))
-                / F.greatest(F.col("n_a") * F.col("n_b"), F.lit(1e-30)),
+                _guarded_cos(
+                    _dot_d(F.col("v_a"), F.col("v_b")),
+                    F.col("n_a") * F.col("n_b"),
+                ),
                 4,
             ).alias("cos"),
         )
@@ -790,15 +802,16 @@ def semantic_dedup(
         .where(
             # zero-norm guard: 0/0 is NULL under ANSI-off and would
             # silently KEEP a byte-identical all-zero twin (breaking the
-            # method's exact-dup guarantee). Guarded cosine treats any
-            # zero-norm side as similarity 0; the equality disjunct
-            # (gated behind the cheap norm-product check, so it costs
-            # O(d) only on zero-norm pairs) restores dup=true for
-            # byte-identical zero vectors.
+            # method's exact-dup guarantee). _guarded_cos pins ONLY the
+            # true 0/0 case to similarity 0 (nonzero norms divide
+            # exactly, so tiny-magnitude twins still score 1.0); the
+            # equality disjunct (gated behind the cheap norm-product
+            # check, so it costs O(d) only on zero-norm pairs) restores
+            # dup=true for byte-identical all-zero vectors.
             (
-                _dot_d(F.col("a.v"), F.col("b.v"))
-                / F.greatest(
-                    F.col("a.n") * F.col("b.n"), F.lit(1e-30)
+                _guarded_cos(
+                    _dot_d(F.col("a.v"), F.col("b.v")),
+                    F.col("a.n") * F.col("b.n"),
                 )
                 >= threshold
             )

@@ -106,7 +106,7 @@ def test_two_process_commit_race(spark, tmp_path):
     assert all(p.returncode == 0 for p in procs), [o[1][-500:] for o in outs]
 
     reports = [json.loads(o[0].strip().splitlines()[-1]) for o in outs]
-    total_conflicts = sum(r["conflicts"] for r in reports)
+    assert all("conflicts" in r for r in reports)  # workers ran the loop
 
     # --- invariants on the surviving log -------------------------------
     t2 = LakeTable(None, t.path)
@@ -143,11 +143,10 @@ def test_two_process_commit_race(spark, tmp_path):
                if c.branch == MAIN and c.parent is not None]
     assert len(parents) == len(set(parents)), "two siblings both survived"
 
-    # conflict count is informational only: nothing FORCES the free-for-all
-    # loops to collide (a heavily serialized box can interleave 24 commits
+    # NO conflict-count assertion: nothing FORCES the free-for-all loops
+    # to collide (a heavily serialized box can interleave 24 commits
     # without two ever racing one version number) — the deterministic
-    # conflict lives in test_two_process_pinned_parent_duel below
-    assert total_conflicts >= 0
+    # conflict guarantee lives in test_two_process_pinned_parent_duel
 
     # --- and the real engine still works on the raced table ------------
     t.append(spark.createDataFrame([(2, "b")], "k int, v string"))

@@ -665,6 +665,12 @@ def test_semantic_dedup_drops_zero_norm_exact_twin(spark):
             for i in range(40)]
     rows.append((100, [0.0] * 16))   # zero vector
     rows.append((200, [0.0] * 16))   # byte-identical zero twin
+    # clamp-band regression (r9 wave 5): byte-identical TINY-magnitude
+    # twins — norm product ~1.6e-31, nonzero. Exact division must score
+    # them cos 1.0 and dedup; a floor clamp (greatest(·, 1e-30)) would
+    # deflate their cosine to ~0.16 and silently keep both.
+    rows.append((300, [1e-16] * 16))
+    rows.append((400, [1e-16] * 16))
     df = spark.createDataFrame(
         rows, "vec_id bigint, embedding array<float>"
     )
@@ -672,10 +678,12 @@ def test_semantic_dedup_drops_zero_norm_exact_twin(spark):
         df, k=2, threshold=0.999, iters=3
     ).collect()
     by_id = {r.vec_id: r for r in out}
-    assert len(out) == 42
-    # the larger-id zero twin is dropped, the smaller survives
+    assert len(out) == 44
+    # the larger-id twin is dropped in both bands, the smaller survives
     assert by_id[100].keep is True
     assert by_id[200].keep is False
+    assert by_id[300].keep is True
+    assert by_id[400].keep is False
     # a zero vector is NOT similar to any non-zero vector (cos 0)
     assert all(by_id[i].keep for i in range(40))
 
