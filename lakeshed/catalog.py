@@ -193,7 +193,7 @@ class Catalog:
         # failure can't drop THEIR branch.
         created = False
         created_head = None
-        for attempt in range(10):
+        for _ in range(10):
             if wb in t.branches():
                 break
             try:
@@ -205,9 +205,20 @@ class Catalog:
                 created = True
                 break
             except TableError:
-                if attempt == 9:
-                    raise  # not the race (e.g. uncommitted table)
+                # retry ONLY the lost-create race (the branch exists
+                # now); deterministic failures — an uncommitted table,
+                # a bad name — raise on the first attempt like before
+                if wb not in t.branches():
+                    raise
                 continue
+        else:
+            # 10 flapping check/create interleavings (a concurrent
+            # writer kept creating-and-rolling-back the branch)
+            raise TableError(
+                f"could not create or land on branch {wb!r}: "
+                "concurrent pinned writers kept creating and rolling "
+                "it back; retry the statement"
+            )
         try:
             return fn(branch=wb)
         except BaseException:

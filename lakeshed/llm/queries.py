@@ -1142,10 +1142,13 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # byte-identical ALL-ZERO twins are dups — mirrors the
             # production join's zero-norm-gated equality disjunct
             # (guarded cosine alone scores two all-zero vectors 0;
-            # identical NONZERO vectors already hit G == 1.0).
-            exact = (
-                smaller & zero & zero[i] & (X == X[i]).all(axis=1)
-            )
+            # identical NONZERO vectors already hit G == 1.0). The
+            # O(n·d) equality scan runs ONLY for zero-norm rows, like
+            # production gates it behind the cheap norm-product check.
+            if zero[i]:
+                exact = smaller & zero & (X == X[i]).all(axis=1)
+            else:
+                exact = np.zeros(len(ids), dtype=bool)
             # epsilon band: the production keep comes from a JVM-fold
             # cosine, this audit from a BLAS gram — a pair within ~1 ulp
             # of the threshold can land on opposite sides of >= in the

@@ -77,7 +77,38 @@ def _guarded_cos(dot: Column, norm_product: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Generic guarded cosine. NOTE: the zero-product predicate and the
+    divisor both instantiate the O(d) norm folds, and HOFs are
+    interpreted (no codegen CSE) — in per-row hot paths pre-project the
+    norms as columns (see cosine_pairs_brute) or use
+    :func:`_query_cos_frame` for a driver-side query vector."""
     return _guarded_cos(_dot(a, b), _norm(a) * _norm(b))
+
+
+def _query_cos_frame(df: DataFrame, query_vec: list[float],
+                     id_col: str) -> DataFrame:
+    """(id, v) -> (id_col, cos) vs a DRIVER-SIDE query vector, with ONE
+    dot fold and ONE norm fold per row: the query norm is a Python
+    float, and the folds land in their own projection — CollapseProject
+    refuses to duplicate non-cheap expressions, so each fold stays
+    evaluated once even though the guard references the row norm
+    twice."""
+    qn = float(sum(float(x) * float(x) for x in query_vec)) ** 0.5
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col("id").alias(id_col),
+        _dot(F.col("v"), q).alias("dot"),
+        _norm(F.col("v")).alias("nv"),
+    )
+    return scored.select(
+        id_col,
+        F.round(
+            F.when(
+                F.lit(qn == 0.0) | (F.col("nv") == 0.0), F.lit(0.0)
+            ).otherwise(F.col("dot") / (F.col("nv") * F.lit(qn))),
+            4,
+        ).alias("cos"),
+    )
 
 
 def cosine_topk(
@@ -89,11 +120,11 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k: score every row, TakeOrderedAndProject keeps a
     per-partition heap of k — no global sort. Ties break on id."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        df.select(
-            F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 4).alias("cos"),
+        _query_cos_frame(
+            df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("v")),
+            query_vec, id_col,
         )
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
         .limit(k)
@@ -449,12 +480,8 @@ def _rescore_topk(
 ) -> DataFrame:
     """Exact-cosine re-score of a candidate frame carrying (id, v) —
     shared by both probe paths."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        df.select(
-            F.col("id").alias(id_col),
-            F.round(cosine(F.col("v"), q), 4).alias("cos"),
-        )
+        _query_cos_frame(df.select("id", "v"), query_vec, id_col)
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -550,14 +577,13 @@ def ann_topk_lsh(
     probe_df = df.sparkSession.createDataFrame(
         qsigs, "tbl int, bucket bigint"
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        idx.join(F.broadcast(probe_df), ["tbl", "bucket"], "left_semi")
-        .select("id", "v")
-        .distinct()
-        .select(
-            F.col("id").alias(id_col),
-            F.round(cosine(F.col("v"), q), 4).alias("cos"),
+        _query_cos_frame(
+            idx.join(F.broadcast(probe_df), ["tbl", "bucket"],
+                     "left_semi")
+            .select("id", "v")
+            .distinct(),
+            query_vec, id_col,
         )
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
         .limit(k)

@@ -482,6 +482,20 @@ class LakeTable:
         refs = self._refs()
         if parent is None:
             parent = refs.get(branch)
+            if parent is None and branch != MAIN:
+                # a non-main branch whose ref vanished mid-statement (a
+                # concurrent writer's failed pinned statement rolled its
+                # auto-created branch back) must NOT fall through to a
+                # ROOT commit — that would silently seed the branch with
+                # schema_version 0 / empty schemas and corrupt later
+                # reads. Surface a typed conflict instead; only table
+                # creation legitimately commits without a parent, and it
+                # passes parent=None with branch=MAIN.
+                raise TableError(
+                    f"branch {branch!r} has no ref on table "
+                    f"{self.path} (dropped concurrently?); re-create "
+                    "it or retry the statement"
+                )
         if parent is not None:
             prev = self._read_commit(parent)
             schema_version = (
