@@ -22,7 +22,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lakeshed.table import MAIN, LakeTable, TableError
+from lakeshed.table import MAIN, BranchExistsError, LakeTable, TableError
 
 _META_TABLES = (
     "snapshots", "history", "files", "refs", "partitions", "manifests",
@@ -204,12 +204,13 @@ class Catalog:
                 created_head = t.create_branch(wb)
                 created = True
                 break
-            except TableError:
-                # retry ONLY the lost-create race (the branch exists
-                # now); deterministic failures — an uncommitted table,
-                # a bad name — raise on the first attempt like before
-                if wb not in t.branches():
-                    raise
+            except BranchExistsError:
+                # lost the create race — loop back to land on the
+                # now-existing branch. Typed discrimination: re-probing
+                # t.branches() here would itself race the winner's
+                # rollback drop and mis-classify the race as
+                # deterministic. Other TableErrors (uncommitted table,
+                # bad name) raise on the first attempt like before.
                 continue
         else:
             # 10 flapping check/create interleavings (a concurrent

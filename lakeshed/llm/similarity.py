@@ -95,17 +95,18 @@ def _query_cos_frame(df: DataFrame, query_vec: list[float],
     twice."""
     qn = float(sum(float(x) * float(x) for x in query_vec)) ** 0.5
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # dunder internals: a user id_col named "dot"/"nv" must not collide
     scored = df.select(
         F.col("id").alias(id_col),
-        _dot(F.col("v"), q).alias("dot"),
-        _norm(F.col("v")).alias("nv"),
+        _dot(F.col("v"), q).alias("__qcf_dot"),
+        _norm(F.col("v")).alias("__qcf_nv"),
     )
     return scored.select(
         id_col,
         F.round(
-            F.when(
-                F.lit(qn == 0.0) | (F.col("nv") == 0.0), F.lit(0.0)
-            ).otherwise(F.col("dot") / (F.col("nv") * F.lit(qn))),
+            _guarded_cos(
+                F.col("__qcf_dot"), F.col("__qcf_nv") * F.lit(qn)
+            ),
             4,
         ).alias("cos"),
     )

@@ -68,6 +68,13 @@ class CommitConflictError(TableError):
     """Another writer committed the same version first — re-resolve and retry."""
 
 
+class BranchExistsError(TableError):
+    """create_branch lost a create race (or the name is simply taken).
+    Typed so callers can retry/land-on-existing WITHOUT re-probing
+    mutable ref state — a message-text or re-read discrimination is
+    itself racy against a concurrent drop."""
+
+
 # --------------------------------------------------------------------------
 # schema with field ids (Iceberg-style identity for rename/retype/reorder)
 # --------------------------------------------------------------------------
@@ -1316,7 +1323,10 @@ class LakeTable:
         # sibling-conflict guard sees distinct parents per stage. The
         # read state comes from the SAME chain head, so staged DML
         # composes (a staged merge's evolved schema is visible here).
-        read_v, ckw, sx = self._dml_commit_args(branch, wap_id)
+        # pin=False: fast append — add-only, commutative, floats onto
+        # the commit-time head instead of conflicting on a concurrent
+        # advance (see _dml_commit_args)
+        read_v, ckw, sx = self._dml_commit_args(branch, wap_id, pin=False)
         head_commit = self._read_commit(read_v)
         fields = head_commit.schemas[str(head_commit.schema_version)]
         aligned = df.select(*[F.col(f"`{f.name}`").cast(f.type) for f in fields])
@@ -1395,16 +1405,32 @@ class LakeTable:
         return rel
 
     def _dml_commit_args(
-        self, branch: str, wap_id: str | None
+        self, branch: str, wap_id: str | None, *, pin: bool = True
     ) -> tuple[int, dict, dict]:
         """(read_version, commit_kwargs, summary_extra) for a DML
         statement: a plain branch commit, or — under a ``spark.wap.id``
         pin — the same staged ``wap-<id>`` ref chain :meth:`append`
         uses, so EVERY DML statement stages consistently (Iceberg stages
         all writes under wap.id, not just inserts). Staged statements
-        read the staged chain's head, so pinned DML composes."""
+        read the staged chain's head, so pinned DML composes.
+
+        ``pin=True`` (every mutating op: update/delete/merge/overwrite)
+        makes the commit's parent the SNAPSHOT THE STATEMENT READ — if a
+        concurrent writer advances the branch while the Spark job runs,
+        ``_commit``'s sibling guard raises ``CommitConflictError``
+        instead of silently chaining file changes computed against stale
+        state onto the new head (a lost update: their deleted rows would
+        resurrect). Iceberg validates exactly this from the
+        read-snapshot. ``pin=False`` is the fast-append path: add-only
+        commits are commutative, so they may float onto whatever head
+        exists at commit time (Iceberg's fast append skips validation
+        the same way)."""
         if wap_id is None:
-            return self.head(branch), {"branch": branch}, {}
+            head = self.head(branch)
+            ckw = {"branch": branch}
+            if pin:
+                ckw["parent"] = head
+            return head, ckw, {}
         wb = f"wap-{wap_id}"
         parent = self._refs().get(wb, self.head(branch))
         return (parent, {"branch": wb, "parent": parent},
@@ -1866,7 +1892,7 @@ class LakeTable:
         version, resolved under the refs lock."""
         def mut(refs: dict[str, int]) -> None:
             if name in refs:
-                raise TableError(f"branch {name!r} exists")
+                raise BranchExistsError(f"branch {name!r} exists")
             if at is None and MAIN not in refs:
                 raise TableError(
                     f"unknown branch 'main' for table {self.path}"

@@ -20,7 +20,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from lakeshed.catalog import Catalog
-from lakeshed.table import LakeTable, TableError
+from lakeshed.table import MAIN, CommitConflictError, LakeTable, TableError
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
@@ -2070,6 +2070,31 @@ def test_create_branch_on_uncommitted_table_typed_error(spark, tmp_path):
     assert not os.path.isdir(t.log_dir)
 
 
+def test_pinned_dml_conflicts_on_concurrent_advance(cat, nation):
+    """r9 wave 6: mutating DML pins its commit parent to the snapshot it
+    READ (Iceberg's validate-from-read-snapshot), so a concurrent commit
+    landing while the statement's Spark job runs raises
+    CommitConflictError via the sibling guard — instead of silently
+    chaining file changes computed against stale state onto the new head
+    (a lost update: the concurrent writer's deletes would resurrect).
+    Fast appends (pin=False) still float onto the commit-time head."""
+    t = cat.create_table("default.occ", nation)
+    # the statement resolves its read snapshot + pinned commit args...
+    read_v, ckw, _ = t._dml_commit_args(MAIN, None)
+    assert ckw["parent"] == read_v
+    # ...then a concurrent writer advances main mid-statement
+    t.append(nation)
+    with pytest.raises(CommitConflictError):
+        t._commit("delete", [], [], **ckw)
+    # re-resolve and retry lands cleanly
+    read_v2, ckw2, _ = t._dml_commit_args(MAIN, None)
+    assert read_v2 > read_v
+    t._commit("delete", [], [], **ckw2)
+    # fast append floats: commit args carry NO pinned parent
+    _, ckw_a, _ = t._dml_commit_args(MAIN, None, pin=False)
+    assert "parent" not in ckw_a
+
+
 def test_fast_forward_unknown_branch_typed_error(cat, nation):
     """r9 wave 4: fast_forward of a nonexistent branch raises the typed
     TableError like every other ref mutation — a bare KeyError from
@@ -2086,7 +2111,7 @@ def test_wap_branch_autocreate_lost_race_proceeds(cat, nation, monkeypatch):
     pinned statement PROCEEDS onto the now-existing branch (that is what
     the pin means) instead of failing — and does not claim ownership, so
     a later failure cannot drop the other writer's branch."""
-    from lakeshed.table import LakeTable
+    from lakeshed.table import BranchExistsError, LakeTable
 
     t = cat.create_table("default.wapt", nation)
     real_create = LakeTable.create_branch
@@ -2094,7 +2119,7 @@ def test_wap_branch_autocreate_lost_race_proceeds(cat, nation, monkeypatch):
     def racing_create(self, name, *a, **kw):
         # the "other process" wins the create first
         real_create(self, name, *a, **kw)
-        raise TableError(f"branch {name!r} exists")
+        raise BranchExistsError(f"branch {name!r} exists")
 
     monkeypatch.setattr(LakeTable, "create_branch", racing_create)
     cat.set_conf("spark.wap.branch", "etl_race")
