@@ -486,7 +486,10 @@ class Catalog:
         if m:
             try:
                 self.table(m.group(1)).create_branch(m.group(2))
-            except TableError:
+            except BranchExistsError:
+                # ONLY the already-exists case is the IF NOT EXISTS
+                # no-op; other TableErrors (uncommitted table, bad name)
+                # must surface regardless of the clause
                 if "if not exists" not in low:
                     raise
             return None

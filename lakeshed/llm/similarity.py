@@ -93,6 +93,13 @@ def _query_cos_frame(df: DataFrame, query_vec: list[float],
     refuses to duplicate non-cheap expressions, so each fold stays
     evaluated once even though the guard references the row norm
     twice."""
+    if id_col == "cos":
+        # the output contract is (id_col, cos): an id column NAMED "cos"
+        # would make the orderBy ambiguous and Spark silently resolves
+        # it to the id — wrong top-k with no error. Fail loudly instead.
+        raise ValueError(
+            "id_col='cos' collides with the score column; rename the id"
+        )
     qn = float(sum(float(x) * float(x) for x in query_vec)) ** 0.5
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     # dunder internals: a user id_col named "dot"/"nv" must not collide

@@ -68,6 +68,9 @@ class CommitConflictError(TableError):
     """Another writer committed the same version first — re-resolve and retry."""
 
 
+_UNSET_REF = object()  # sentinel: "CAS against _commit's own refs read"
+
+
 class BranchExistsError(TableError):
     """create_branch lost a create race (or the name is simply taken).
     Typed so callers can retry/land-on-existing WITHOUT re-probing
@@ -484,9 +487,17 @@ class LakeTable:
         properties: dict[str, str] | None = None,
         summary: dict[str, Any] | None = None,
         update_ref: bool = True,
+        expected_ref: Any = _UNSET_REF,
     ) -> Commit:
         os.makedirs(self.log_dir, exist_ok=True)
         refs = self._refs()
+        # expected_ref = where the STATEMENT resolved the ref (pinned
+        # ops pass their read snapshot; the wap chain passes its chain
+        # head or None for the first stage). Unpinned callers CAS
+        # against this commit's own refs read — still closes the window
+        # between here and the ref update.
+        if expected_ref is _UNSET_REF:
+            expected_ref = refs.get(branch)
         if parent is None:
             parent = refs.get(branch)
             if parent is None and branch != MAIN:
@@ -547,6 +558,13 @@ class LakeTable:
         # (same branch, same parent) under a lower version number between
         # our head resolution and our exclusive create — publishing ours
         # would silently discard theirs. Earlier version wins; we abort.
+        # A sibling only "won" if it is REACHABLE from the current ref
+        # head: a same-parent commit orphaned by rollback_to_snapshot is
+        # abandoned history (Iceberg semantics — post-rollback writes
+        # diverge the chain and the orphans await expiration), not a
+        # concurrent winner. The reachable set is built lazily, only
+        # when a candidate matches.
+        won: set[int] | None = None
         for v2 in self._versions():
             if v2 == version or (parent is not None and v2 <= parent):
                 continue
@@ -557,13 +575,43 @@ class LakeTable:
             except (TableError, json.JSONDecodeError, KeyError):
                 continue
             if c2.branch == branch and c2.parent == parent:
+                if won is None:
+                    won = set()
+                    w = self._refs().get(branch)
+                    while w is not None and (parent is None or w > parent):
+                        won.add(w)
+                        try:
+                            w = self._read_commit(w).parent
+                        except (TableError, json.JSONDecodeError, KeyError):
+                            break
+                if v2 not in won:
+                    continue  # orphaned by a rollback, not a winner
                 os.remove(self._commit_path(version))
                 raise CommitConflictError(
                     f"concurrent commit {v2} (branch {branch!r}, parent "
                     f"{parent}) won the race; re-resolve and retry"
                 )
         if update_ref:
-            self._mutate_refs(lambda r: r.__setitem__(branch, version))
+            # CAS, not a blind set: the ref must still be where this
+            # commit resolved it (expected_ref) — a concurrent
+            # fast_forward publish or branch drop moves the ref WITHOUT
+            # writing a same-branch commit, so the sibling guard above
+            # cannot see it; an unconditional setitem would clobber the
+            # publish (resurrecting pre-publish data) or silently
+            # re-create the dropped branch.
+            def _set_ref(r: dict[str, int]) -> None:
+                if r.get(branch) != expected_ref:
+                    raise CommitConflictError(
+                        f"ref {branch!r} moved from {expected_ref} to "
+                        f"{r.get(branch)} while this statement ran; "
+                        "re-resolve and retry"
+                    )
+                r[branch] = version
+            try:
+                self._mutate_refs(_set_ref)
+            except CommitConflictError:
+                os.remove(self._commit_path(version))
+                raise
         # periodic checkpoint (Delta writes one every 10 commits) keeps the
         # chain walk bounded without any user action
         if version > 0 and version % 20 == 0:
@@ -814,7 +862,10 @@ class LakeTable:
         in one commit; history (and rollback) still see the old data."""
         head = self.head()
         _, live = self._state(head)
-        return self._commit("truncate", [], [a.path for a in live])
+        # pinned: the remove set was computed at `head` — a concurrent
+        # commit must conflict, not have its files silently removed
+        return self._commit("truncate", [], [a.path for a in live],
+                            parent=head, expected_ref=head)
 
     # --------------------------------------------------------------- schema
 
@@ -837,13 +888,17 @@ class LakeTable:
 
     def _evolve(self, operation: str, new_fields: list[Field],
                 summary: dict[str, Any]) -> Commit:
-        head_commit = self._read_commit(self.head())
+        head = self.head()
+        head_commit = self._read_commit(head)
         sv = head_commit.schema_version + 1
         schemas = dict(head_commit.schemas)
         schemas[str(sv)] = new_fields
+        # pinned: sv and the schemas dict were derived from `head` — a
+        # concurrent schema commit would otherwise be overwritten with
+        # two commits claiming the same schema_version (field-id chaos)
         return self._commit(
             operation, [], [], schema_version=sv, schemas=schemas,
-            summary=summary,
+            summary=summary, parent=head, expected_ref=head,
         )
 
     def rename_column(self, old: str, new: str) -> Commit:
@@ -925,10 +980,12 @@ class LakeTable:
 
     def set_properties(self, **props: str) -> Commit:
         """D9 — SET TBLPROPERTIES (WAP...ipynb:143)."""
-        merged = dict(self._read_commit(self.head()).properties)
+        head = self.head()  # pinned: merged props derived from here
+        merged = dict(self._read_commit(head).properties)
         merged.update({k: str(v) for k, v in props.items()})
         return self._commit("set-properties", [], [], properties=merged,
-                            summary={"set": sorted(props)})
+                            summary={"set": sorted(props)},
+                            parent=head, expected_ref=head)
 
     # CHECK constraints live in table properties under this prefix, so
     # they version with the commit log like any other table metadata
@@ -974,11 +1031,13 @@ class LakeTable:
         return self.unset_properties(self._CONSTRAINT_PREFIX + name)
 
     def unset_properties(self, *names: str) -> Commit:
-        merged = dict(self._read_commit(self.head()).properties)
+        head = self.head()  # pinned, like set_properties
+        merged = dict(self._read_commit(head).properties)
         for n in names:
             merged.pop(n, None)
         return self._commit("unset-properties", [], [], properties=merged,
-                            summary={"unset": sorted(names)})
+                            summary={"unset": sorted(names)},
+                            parent=head, expected_ref=head)
 
     def properties(self) -> dict[str, str]:
         return dict(self._read_commit(self.head()).properties)
@@ -989,18 +1048,22 @@ class LakeTable:
         """D12 — partition evolution (Getting Started.ipynb:323): affects
         future writes only; existing files keep their old layout (Iceberg
         semantics — specs are per-file-group, reads union across specs)."""
-        spec = list(self._read_commit(self.head()).partition_spec)
+        head = self.head()  # pinned: spec derived from here
+        spec = list(self._read_commit(head).partition_spec)
         if col in spec:
             raise TableError(f"{col!r} already a partition field")
         spec.append(col)
         return self._commit("add-partition-field", [], [],
-                            partition_spec=spec, summary={"spec": spec})
+                            partition_spec=spec, summary={"spec": spec},
+                            parent=head, expected_ref=head)
 
     def drop_partition_field(self, col: str) -> Commit:
-        spec = [c for c in self._read_commit(self.head()).partition_spec
+        head = self.head()  # pinned, like add_partition_field
+        spec = [c for c in self._read_commit(head).partition_spec
                 if c != col]
         return self._commit("drop-partition-field", [], [],
-                            partition_spec=spec, summary={"spec": spec})
+                            partition_spec=spec, summary={"spec": spec},
+                            parent=head, expected_ref=head)
 
     # ----------------------------------------------------------------- read
 
@@ -1429,11 +1492,17 @@ class LakeTable:
             head = self.head(branch)
             ckw = {"branch": branch}
             if pin:
+                # parent pins WHAT the commit chains to (sibling guard);
+                # expected_ref pins WHERE the ref must still be at
+                # commit time (CAS vs concurrent publish/drop)
                 ckw["parent"] = head
+                ckw["expected_ref"] = head
             return head, ckw, {}
         wb = f"wap-{wap_id}"
-        parent = self._refs().get(wb, self.head(branch))
-        return (parent, {"branch": wb, "parent": parent},
+        wref = self._refs().get(wb)
+        parent = wref if wref is not None else self.head(branch)
+        return (parent,
+                {"branch": wb, "parent": parent, "expected_ref": wref},
                 {"wap.id": wap_id})
 
     def update(self, set: dict[str, str | Column],  # noqa: A002
@@ -2029,7 +2098,13 @@ class LakeTable:
         file-set shrinks on both)."""
         if sort_by is not None and zorder_by is not None:
             raise TableError("pass sort_by or zorder_by, not both")
-        head_commit, live = self._state(self.head())
+        # pinned: compaction has the LONGEST read-to-commit window of any
+        # op (a full corpus rewrite); its remove set and rewritten rows
+        # are both derived from `head`, so a concurrent delete landing
+        # mid-rewrite must conflict — floating would remove only the old
+        # files and resurrect the deleted rows from compact's adds
+        head = self.head()
+        head_commit, live = self._state(head)
         total = sum(a.bytes for a in live)
         n = max(1, -(-total // target_size_bytes))  # ceil
         # Compaction shapes its own distribution, so _write_files' default
@@ -2044,7 +2119,7 @@ class LakeTable:
         if zorder_by is not None:
             zcols = [zorder_by] if isinstance(zorder_by, str) \
                 else list(zorder_by)
-            base = self.read()
+            base = self.read(version=head)
             df = (
                 base.withColumn("__z", self._zorder_column(base, zcols))
                 .repartitionByRange(n, "__z")
@@ -2054,15 +2129,15 @@ class LakeTable:
         elif sort_by is not None:
             cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
             df = (
-                self.read()
+                self.read(version=head)
                 .repartitionByRange(n, *cols)
                 .sortWithinPartitions(*cols)
             )
         elif head_commit.partition_spec:
-            df = self.read()
+            df = self.read(version=head)
             dist = "hash"
         else:
-            df = self.read().repartition(n)
+            df = self.read(version=head).repartition(n)
         adds = self._write_files(
             df, head_commit.partition_spec, head_commit.schema_version,
             distribution_mode=dist,
@@ -2080,7 +2155,7 @@ class LakeTable:
             summary["zorder-by"] = ",".join(zcols)
         return self._commit(
             "rewrite-data-files", adds, [a.path for a in live],
-            summary=summary,
+            summary=summary, parent=head, expected_ref=head,
         )
 
     def rewrite_manifests(self) -> int:

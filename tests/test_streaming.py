@@ -145,11 +145,17 @@ def test_windowed_rollup_stream_equals_batch(spark, tmp_path):
 
 
 def test_commit_conflict_detected(spark, tmp_path):
-    """Optimistic concurrency: a racing writer that lands the next log
-    version first forces CommitConflictError on the loser."""
+    """Optimistic concurrency: a COMPLETED racing writer (sibling commit
+    file + ref update — the full protocol) forces CommitConflictError on
+    a statement that pinned its parent before the race, and the loser's
+    commit file does not linger. A sibling file NOT yet reachable from
+    the ref is a mid-flight racer, not a winner: since the r9 ref CAS,
+    exactly one of the two racers wins the ref and the OTHER conflicts —
+    which one is decided at the ref swap, not at file-creation time
+    (and orphans abandoned by rollback never count as winners)."""
     import pytest
 
-    from lakeshed.table import CommitConflictError, TableError
+    from lakeshed.table import MAIN, CommitConflictError
 
     import json
 
@@ -157,8 +163,8 @@ def test_commit_conflict_detected(spark, tmp_path):
     t = cat.create_table(
         "default.race", spark.createDataFrame([(1, "a")], "k int, v string")
     )
-    # simulate the race: a sibling commit (same branch, same parent) lands
-    # under the next version number before our append publishes
+    # simulate the completed winner: sibling commit (same branch, same
+    # parent) lands under the next version AND publishes its ref
     head = t.head()
     with open(t._commit_path(head)) as fh:
         sibling = json.load(fh)
@@ -166,10 +172,15 @@ def test_commit_conflict_detected(spark, tmp_path):
     sibling["parent"] = head
     with open(t._commit_path(head + 1), "x") as fh:
         json.dump(sibling, fh)
-    with pytest.raises((CommitConflictError, TableError)):
-        t.append(spark.createDataFrame([(2, "b")], "k int, v string"))
+    t._mutate_refs(lambda r: r.__setitem__(MAIN, head + 1))
+    # a pinned statement that resolved BEFORE the winner must conflict
+    with pytest.raises(CommitConflictError):
+        t._commit("append", [], [], parent=head, expected_ref=head)
     # the loser's commit file must not linger
     assert max(t._versions()) == head + 1
+    # an unpinned append re-resolves and chains cleanly on top
+    c = t.append(spark.createDataFrame([(2, "b")], "k int, v string"))
+    assert c.parent == head + 1
 
 
 def test_diff_versions_cdc(spark, tmp_path):

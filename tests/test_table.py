@@ -2095,6 +2095,48 @@ def test_pinned_dml_conflicts_on_concurrent_advance(cat, nation):
     assert "parent" not in ckw_a
 
 
+def test_write_after_rollback_diverges_chain(cat, nation):
+    """r9 wave 8: a write AFTER rollback_to_snapshot must land (Iceberg
+    semantics — the chain diverges from the rolled-back snapshot and the
+    orphaned commits await expiration). The sibling guard previously
+    mistook the orphaned same-parent commit for a concurrent winner and
+    raised CommitConflictError on every post-rollback write."""
+    small = nation.limit(3)
+    t = cat.create_table("default.rbw", small)       # v0
+    t.append(small)                                   # v1 (parent 0)
+    t.append(small)                                   # v2 (parent 1)
+    t.rollback_to_snapshot(0)
+    c = t.append(small)                               # diverges from v0
+    assert c.parent == 0
+    assert t.read().count() == 6                      # v0 + new append
+    # the orphans are ignored, the new chain walks clean
+    assert [x.version for x in t._chain(t.head())][-1] == c.version
+
+
+def test_pinned_dml_conflicts_with_concurrent_publish(cat, nation):
+    """r9 wave 8: the ref update is a CAS against where the statement
+    resolved it — a fast_forward publish landing while a pinned DML's
+    job runs moves the ref WITHOUT a same-branch commit (invisible to
+    the sibling guard), and a blind setitem would clobber the publish,
+    resurrecting pre-publish data."""
+    small = nation.limit(5)
+    t = cat.create_table("default.pubclob", small)    # main = v0
+    t.create_branch("audit")
+    t.append(small, branch="audit")                   # staged rows
+    # pinned statement resolves its args at main = v0...
+    read_v, ckw, _ = t._dml_commit_args(MAIN, None)
+    # ...then the publish lands mid-statement
+    t.fast_forward("audit")
+    assert t.read().count() == 10                     # published
+    with pytest.raises(CommitConflictError):
+        t._commit("delete", [], [], **ckw)
+    # the publish survived; a re-resolved retry lands on top of it
+    assert t.read().count() == 10
+    read_v2, ckw2, _ = t._dml_commit_args(MAIN, None)
+    assert read_v2 == t.branches()["audit"]
+    t._commit("delete", [], [], **ckw2)
+
+
 def test_fast_forward_unknown_branch_typed_error(cat, nation):
     """r9 wave 4: fast_forward of a nonexistent branch raises the typed
     TableError like every other ref mutation — a bare KeyError from
