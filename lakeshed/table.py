@@ -473,6 +473,16 @@ class LakeTable:
 
     # ------------------------------------------------------------- commit op
 
+    @staticmethod
+    def _pinned(head: int) -> dict:
+        """Commit kwargs pinning a read-modify-write statement to the
+        snapshot it READ: ``parent=head`` makes the sibling guard catch a
+        same-branch winner, ``expected_ref=head`` makes the ref update a
+        CAS against where the statement resolved it (vs a concurrent
+        publish/drop). Passing one without the other reopens the
+        lost-update windows waves 7-8 closed — always use this helper."""
+        return {"parent": head, "expected_ref": head}
+
     def _commit(
         self,
         operation: str,
@@ -865,7 +875,7 @@ class LakeTable:
         # pinned: the remove set was computed at `head` — a concurrent
         # commit must conflict, not have its files silently removed
         return self._commit("truncate", [], [a.path for a in live],
-                            parent=head, expected_ref=head)
+                            **self._pinned(head))
 
     # --------------------------------------------------------------- schema
 
@@ -898,7 +908,7 @@ class LakeTable:
         # two commits claiming the same schema_version (field-id chaos)
         return self._commit(
             operation, [], [], schema_version=sv, schemas=schemas,
-            summary=summary, parent=head, expected_ref=head,
+            summary=summary, **self._pinned(head),
         )
 
     def rename_column(self, old: str, new: str) -> Commit:
@@ -985,7 +995,7 @@ class LakeTable:
         merged.update({k: str(v) for k, v in props.items()})
         return self._commit("set-properties", [], [], properties=merged,
                             summary={"set": sorted(props)},
-                            parent=head, expected_ref=head)
+                            **self._pinned(head))
 
     # CHECK constraints live in table properties under this prefix, so
     # they version with the commit log like any other table metadata
@@ -1037,7 +1047,7 @@ class LakeTable:
             merged.pop(n, None)
         return self._commit("unset-properties", [], [], properties=merged,
                             summary={"unset": sorted(names)},
-                            parent=head, expected_ref=head)
+                            **self._pinned(head))
 
     def properties(self) -> dict[str, str]:
         return dict(self._read_commit(self.head()).properties)
@@ -1055,7 +1065,7 @@ class LakeTable:
         spec.append(col)
         return self._commit("add-partition-field", [], [],
                             partition_spec=spec, summary={"spec": spec},
-                            parent=head, expected_ref=head)
+                            **self._pinned(head))
 
     def drop_partition_field(self, col: str) -> Commit:
         head = self.head()  # pinned, like add_partition_field
@@ -1063,7 +1073,7 @@ class LakeTable:
                 if c != col]
         return self._commit("drop-partition-field", [], [],
                             partition_spec=spec, summary={"spec": spec},
-                            parent=head, expected_ref=head)
+                            **self._pinned(head))
 
     # ----------------------------------------------------------------- read
 
@@ -1492,11 +1502,7 @@ class LakeTable:
             head = self.head(branch)
             ckw = {"branch": branch}
             if pin:
-                # parent pins WHAT the commit chains to (sibling guard);
-                # expected_ref pins WHERE the ref must still be at
-                # commit time (CAS vs concurrent publish/drop)
-                ckw["parent"] = head
-                ckw["expected_ref"] = head
+                ckw.update(self._pinned(head))
             return head, ckw, {}
         wb = f"wap-{wap_id}"
         wref = self._refs().get(wb)
@@ -2002,7 +2008,16 @@ class LakeTable:
 
     def fast_forward(self, branch: str) -> None:
         """Publish a branch: point main at the branch head (the WAP publish
-        when main has not moved; WAP...ipynb:544 uses cherry-pick)."""
+        when main has not moved; WAP...ipynb:544 uses cherry-pick).
+
+        FAST-forward only, verified inside the refs lock (Iceberg's
+        fast_forward contract): main must be an ancestor of the branch
+        head. Without the check, a publish racing a concurrent main
+        commit would silently discard that commit from main's lineage —
+        the mirror image of the commit-side ref CAS — and a stale branch
+        could even move main BACKWARD. When main has diverged, raise;
+        the caller re-stages or cherry-picks (as the WAP notebook
+        does)."""
 
         def ff(r: dict[str, int]) -> None:
             if branch not in r:
@@ -2012,7 +2027,22 @@ class LakeTable:
                 raise TableError(
                     f"no branch {branch!r} on table {self.path}"
                 )
-            r[MAIN] = r[branch]
+            target, cur = r[branch], r.get(MAIN)
+            w: int | None = target
+            while w is not None and (cur is None or w > cur):
+                try:
+                    w = self._read_commit(w).parent
+                except TableError:
+                    w = None
+                    break
+            if w != cur:
+                raise CommitConflictError(
+                    f"cannot fast-forward main to {branch!r}: main is "
+                    f"at {cur}, not an ancestor of {target} (a commit "
+                    "landed on main after the branch forked); "
+                    "cherry-pick or re-stage instead"
+                )
+            r[MAIN] = target
 
         self._mutate_refs(ff)
 
@@ -2119,7 +2149,7 @@ class LakeTable:
         if zorder_by is not None:
             zcols = [zorder_by] if isinstance(zorder_by, str) \
                 else list(zorder_by)
-            base = self.read(version=head)
+            base = self._read_files(live, head_commit)
             df = (
                 base.withColumn("__z", self._zorder_column(base, zcols))
                 .repartitionByRange(n, "__z")
@@ -2129,15 +2159,15 @@ class LakeTable:
         elif sort_by is not None:
             cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
             df = (
-                self.read(version=head)
+                self._read_files(live, head_commit)
                 .repartitionByRange(n, *cols)
                 .sortWithinPartitions(*cols)
             )
         elif head_commit.partition_spec:
-            df = self.read(version=head)
+            df = self._read_files(live, head_commit)
             dist = "hash"
         else:
-            df = self.read(version=head).repartition(n)
+            df = self._read_files(live, head_commit).repartition(n)
         adds = self._write_files(
             df, head_commit.partition_spec, head_commit.schema_version,
             distribution_mode=dist,
@@ -2155,7 +2185,7 @@ class LakeTable:
             summary["zorder-by"] = ",".join(zcols)
         return self._commit(
             "rewrite-data-files", adds, [a.path for a in live],
-            summary=summary, parent=head, expected_ref=head,
+            summary=summary, **self._pinned(head),
         )
 
     def rewrite_manifests(self) -> int:

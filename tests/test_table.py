@@ -2137,6 +2137,32 @@ def test_pinned_dml_conflicts_with_concurrent_publish(cat, nation):
     t._commit("delete", [], [], **ckw2)
 
 
+def test_fast_forward_requires_ancestry(cat, nation):
+    """r9 wave 9: fast_forward is FAST-forward only (Iceberg contract) —
+    if a commit landed on main after the branch forked, the publish must
+    raise instead of silently discarding that commit from main's lineage
+    (the mirror image of the commit-side ref CAS); and a stale branch
+    can never move main backward."""
+    small = nation.limit(4)
+    t = cat.create_table("default.ffa", small)        # main = v0
+    t.create_branch("stage")                           # forked at v0
+    t.append(small, branch="stage")                    # stage ahead
+    t.append(small)                                    # main diverges
+    with pytest.raises(CommitConflictError):
+        t.fast_forward("stage")
+    assert t.read().count() == 8                       # main unharmed
+    # backward move rejected too: branch at the fork point, main ahead
+    t.create_branch("old", at=0)
+    with pytest.raises(CommitConflictError):
+        t.fast_forward("old")
+    # the clean WAP flow still publishes
+    t2 = cat.create_table("default.ffb", small)
+    t2.create_branch("etl")
+    t2.append(small, branch="etl")
+    t2.fast_forward("etl")
+    assert t2.read().count() == 8
+
+
 def test_fast_forward_unknown_branch_typed_error(cat, nation):
     """r9 wave 4: fast_forward of a nonexistent branch raises the typed
     TableError like every other ref mutation — a bare KeyError from
