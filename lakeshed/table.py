@@ -473,6 +473,35 @@ class LakeTable:
 
     # ------------------------------------------------------------- commit op
 
+    def _ancestor_hop(self, c: Commit) -> int | None:
+        """Next hop for LINEAGE walks. A commit squashed by
+        expire_snapshots was rewritten as a full-state root
+        (parent=None) — state replay correctly stops there, but its
+        ancestry does not: hop to the nearest RETAINED ancestor recorded
+        at squash time, so fast_forward's ancestor check and the sibling
+        guard's reachability survive expiry instead of misreading the
+        squash as divergence."""
+        if c.parent is not None:
+            return c.parent
+        skp = c.summary.get("squashed-kept-parent")
+        return int(skp) if skp is not None else None
+
+    def _is_ancestor(self, ancestor: int | None, descendant: int) -> bool:
+        """True iff ``ancestor`` is on ``descendant``'s lineage
+        (squash-aware; relies on version monotonicity — parents are
+        always lower version numbers). ``ancestor=None`` (no ref yet) is
+        vacuously true; an unreadable commit in the walk is treated as
+        not-an-ancestor (fail closed)."""
+        if ancestor is None:
+            return True
+        w: int | None = descendant
+        while w is not None and w > ancestor:
+            try:
+                w = self._ancestor_hop(self._read_commit(w))
+            except (TableError, json.JSONDecodeError, KeyError):
+                return False
+        return w == ancestor
+
     @staticmethod
     def _pinned(head: int) -> dict:
         """Commit kwargs pinning a read-modify-write statement to the
@@ -591,7 +620,7 @@ class LakeTable:
                     while w is not None and (parent is None or w > parent):
                         won.add(w)
                         try:
-                            w = self._read_commit(w).parent
+                            w = self._ancestor_hop(self._read_commit(w))
                         except (TableError, json.JSONDecodeError, KeyError):
                             break
                 if v2 not in won:
@@ -2028,14 +2057,7 @@ class LakeTable:
                     f"no branch {branch!r} on table {self.path}"
                 )
             target, cur = r[branch], r.get(MAIN)
-            w: int | None = target
-            while w is not None and (cur is None or w > cur):
-                try:
-                    w = self._read_commit(w).parent
-                except TableError:
-                    w = None
-                    break
-            if w != cur:
+            if not self._is_ancestor(cur, target):
                 raise CommitConflictError(
                     f"cannot fast-forward main to {branch!r}: main is "
                     f"at {cur}, not an ancestor of {target} (a commit "
@@ -2226,13 +2248,31 @@ class LakeTable:
             c = self._read_commit(v)
             if c.parent is not None and c.parent in expired:
                 _, live = self._state(v)
+                # nearest RETAINED ancestor below the squash point,
+                # resolved NOW while the expired chain is still readable
+                # — ancestry walks (fast_forward's ancestor check, the
+                # sibling guard's reachable set) hop across the squash
+                # via this instead of misreading it as a root
+                kp: int | None = c.parent
+                while kp is not None and kp not in keep:
+                    try:
+                        kp = self._ancestor_hop(self._read_commit(kp))
+                    except (TableError, json.JSONDecodeError, KeyError):
+                        kp = None
                 squashed = Commit(
                     version=c.version, parent=None, branch=c.branch,
                     operation=c.operation, timestamp_ms=c.timestamp_ms,
                     schema_version=c.schema_version, schemas=c.schemas,
                     partition_spec=c.partition_spec, add=live, remove=[],
                     properties=c.properties,
-                    summary={**c.summary, "squashed-below": c.parent},
+                    summary={
+                        **c.summary,
+                        "squashed-below": c.parent,
+                        **(
+                            {"squashed-kept-parent": kp}
+                            if kp is not None else {}
+                        ),
+                    },
                 )
                 tmp = self._commit_path(v) + ".tmp"
                 with open(tmp, "w") as fh:

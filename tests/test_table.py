@@ -2163,6 +2163,35 @@ def test_fast_forward_requires_ancestry(cat, nation):
     assert t2.read().count() == 8
 
 
+def test_fast_forward_survives_expired_history(cat, nation):
+    """r9 wave 10: the ancestry walk must hop ACROSS expire_snapshots
+    squashes (parent=None full-state rewrites) via the
+    squashed-kept-parent recorded at squash time — without it, a valid
+    WAP publish after routine maintenance raises CommitConflictError
+    forever, and a genuinely diverged publish must STILL raise."""
+    small = nation.limit(3)
+    t = cat.create_table("default.ffe", small)        # main = v0
+    t.create_branch("stage")
+    t.append(small, branch="stage")                    # v1
+    t.append(small, branch="stage")                    # v2
+    t.expire_snapshots(retain_last=1)                  # v1 expired, v2 squashed
+    sq = t._read_commit(t.branches()["stage"])
+    assert sq.parent is None                           # squash happened
+    t.fast_forward("stage")                            # must still publish
+    assert t.read().count() == 9
+    # divergence is still detected across a squash: fork, advance main,
+    # stage twice, expire — the squashed chain hops to the fork (v0 of
+    # this table), which is NOT main's new head
+    t2 = cat.create_table("default.ffd", small)
+    t2.create_branch("stage")
+    t2.append(small, branch="stage")
+    t2.append(small, branch="stage")
+    t2.append(small)                                   # main diverges
+    t2.expire_snapshots(retain_last=1)
+    with pytest.raises(CommitConflictError):
+        t2.fast_forward("stage")
+
+
 def test_fast_forward_unknown_branch_typed_error(cat, nation):
     """r9 wave 4: fast_forward of a nonexistent branch raises the typed
     TableError like every other ref mutation — a bare KeyError from
