@@ -1145,7 +1145,10 @@ class LakeTable:
             c = self._read_commit(v)
             if c.timestamp_ms <= ts_ms:
                 return v
-            v = c.parent
+            # squash-aware: retained ancestors BELOW an expiry squash
+            # stay resolvable for TIMESTAMP AS OF (they are readable —
+            # only the walk pointer was rewritten)
+            v = self._ancestor_hop(c)
         raise TableError(
             f"no snapshot at or before timestamp {ts_ms} on {branch!r}"
         )
@@ -2246,33 +2249,45 @@ class LakeTable:
         # full-state checkpoint commit (same version number, same live set)
         for v in sorted(keep):
             c = self._read_commit(v)
-            if c.parent is not None and c.parent in expired:
+            old_skp = c.summary.get("squashed-kept-parent")
+            fresh_squash = c.parent is not None and c.parent in expired
+            # a PRIOR squash whose recorded kept-parent this run expires
+            # must be re-resolved too — otherwise the hop dangles and
+            # ancestry walks fail closed after two maintenance cycles
+            stale_hop = (
+                c.parent is None
+                and old_skp is not None
+                and int(old_skp) in expired
+            )
+            if fresh_squash or stale_hop:
                 _, live = self._state(v)
                 # nearest RETAINED ancestor below the squash point,
                 # resolved NOW while the expired chain is still readable
                 # — ancestry walks (fast_forward's ancestor check, the
-                # sibling guard's reachable set) hop across the squash
-                # via this instead of misreading it as a root
-                kp: int | None = c.parent
+                # sibling guard's reachable set, TIMESTAMP AS OF,
+                # history) hop across the squash via this instead of
+                # misreading it as a root
+                kp: int | None = (
+                    c.parent if fresh_squash else int(old_skp)
+                )
                 while kp is not None and kp not in keep:
                     try:
                         kp = self._ancestor_hop(self._read_commit(kp))
                     except (TableError, json.JSONDecodeError, KeyError):
                         kp = None
+                summary = {**c.summary}
+                if fresh_squash:
+                    summary["squashed-below"] = c.parent
+                summary.pop("squashed-kept-parent", None)
+                if kp is not None:
+                    summary["squashed-kept-parent"] = kp
                 squashed = Commit(
                     version=c.version, parent=None, branch=c.branch,
                     operation=c.operation, timestamp_ms=c.timestamp_ms,
                     schema_version=c.schema_version, schemas=c.schemas,
                     partition_spec=c.partition_spec, add=live, remove=[],
                     properties=c.properties,
-                    summary={
-                        **c.summary,
-                        "squashed-below": c.parent,
-                        **(
-                            {"squashed-kept-parent": kp}
-                            if kp is not None else {}
-                        ),
-                    },
+                    summary=summary,
                 )
                 tmp = self._commit_path(v) + ".tmp"
                 with open(tmp, "w") as fh:
@@ -2376,8 +2391,19 @@ class LakeTable:
 
     def history(self) -> DataFrame:
         """S7 — ``t.history`` (Getting Started.ipynb:390): main-lineage view
-        with is_current_ancestor, so rolled-back snapshots show false."""
-        ancestors = {c.version for c in self._chain(self.head())}
+        with is_current_ancestor, so rolled-back snapshots show false.
+        Lineage is squash-aware: a retained true ancestor below an
+        expiry squash still reports is_current_ancestor=True (the
+        state-replay _chain stops at the squash by design, so ancestry
+        walks the hop chain instead)."""
+        ancestors: set[int] = set()
+        w: int | None = self.head()
+        while w is not None:
+            ancestors.add(w)
+            try:
+                w = self._ancestor_hop(self._read_commit(w))
+            except (TableError, json.JSONDecodeError, KeyError):
+                break
         rows = []
         for v in self._versions():
             c = self._read_commit(v)

@@ -2179,17 +2179,46 @@ def test_fast_forward_survives_expired_history(cat, nation):
     assert sq.parent is None                           # squash happened
     t.fast_forward("stage")                            # must still publish
     assert t.read().count() == 9
-    # divergence is still detected across a squash: fork, advance main,
-    # stage twice, expire — the squashed chain hops to the fork (v0 of
-    # this table), which is NOT main's new head
-    t2 = cat.create_table("default.ffd", small)
-    t2.create_branch("stage")
-    t2.append(small, branch="stage")
-    t2.append(small, branch="stage")
-    t2.append(small)                                   # main diverges
-    t2.expire_snapshots(retain_last=1)
+    # divergence is still detected ACROSS a traversed hop: stage forks
+    # at v1, main diverges to v4; a keeper branch pins v1 so expiry
+    # squashes stage's head with squashed-kept-parent=1 — the walk hops
+    # 3 -> 1, and 1 != main's head 4 -> conflict (the hop itself ran:
+    # the squashed head's parent is None, so only the skp can reach 1)
+    t2 = cat.create_table("default.ffd", small)       # v0
+    t2.append(small)                                   # v1 (main head)
+    t2.create_branch("stage")                          # forked at v1
+    t2.create_branch("keeper")                         # pins v1 in keep
+    t2.append(small, branch="stage")                   # v2
+    t2.append(small, branch="stage")                   # v3
+    t2.append(small)                                   # v4: main diverges
+    t2.expire_snapshots(retain_last=1)                 # v2 expires
+    sq2 = t2._read_commit(t2.branches()["stage"])
+    assert sq2.parent is None
+    assert sq2.summary.get("squashed-kept-parent") == 1
     with pytest.raises(CommitConflictError):
         t2.fast_forward("stage")
+
+
+def test_expire_refreshes_stale_kept_parent_hop(cat, nation):
+    """r9 wave 11: a SECOND expire_snapshots run that deletes a prior
+    squash's recorded kept-parent must re-resolve the hop — a dangling
+    squashed-kept-parent would make _is_ancestor fail closed and reject
+    valid publishes forever after two routine maintenance cycles."""
+    small = nation.limit(3)
+    t = cat.create_table("default.ffr", small)        # main = v0
+    t.create_branch("b1")                              # pins v1's keeper
+    t.append(small, branch="b1")                       # v1
+    t.create_branch("stage", at=1)
+    t.append(small, branch="stage")                    # v2
+    t.append(small, branch="stage")                    # v3
+    t.expire_snapshots(retain_last=1)                  # v2 expires, skp(v3)=1
+    assert t._read_commit(3).summary.get("squashed-kept-parent") == 1
+    t.drop_branch("b1")
+    t.expire_snapshots(retain_last=1)                  # v1 expires now
+    # the hop was refreshed to the next retained ancestor (v0 = main)
+    assert t._read_commit(3).summary.get("squashed-kept-parent") == 0
+    t.fast_forward("stage")                            # valid publish lands
+    assert t.read().count() == 12
 
 
 def test_fast_forward_unknown_branch_typed_error(cat, nation):
