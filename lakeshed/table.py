@@ -486,6 +486,28 @@ class LakeTable:
         skp = c.summary.get("squashed-kept-parent")
         return int(skp) if skp is not None else None
 
+    def _lineage(self, version: int | None):
+        """Yield Commits walking lineage from ``version`` (inclusive,
+        newest first): parent pointers with squash-aware hops
+        (:meth:`_ancestor_hop`). THE single walker behind _is_ancestor,
+        the sibling guard, history and snapshot_as_of — one place for
+        the guards: an unreadable commit ends the walk (callers degrade
+        to end-of-history), and a corrupt non-decreasing hop target ends
+        it too (lineage is strictly decreasing; without the bound a
+        self- or cycle-pointing squashed-kept-parent would spin
+        forever)."""
+        w = version
+        while w is not None:
+            try:
+                c = self._read_commit(w)
+            except (TableError, json.JSONDecodeError, KeyError):
+                return
+            yield c
+            nxt = self._ancestor_hop(c)
+            if nxt is not None and nxt >= c.version:
+                return
+            w = nxt
+
     def _is_ancestor(self, ancestor: int | None, descendant: int) -> bool:
         """True iff ``ancestor`` is on ``descendant``'s lineage
         (squash-aware; relies on version monotonicity — parents are
@@ -494,13 +516,12 @@ class LakeTable:
         not-an-ancestor (fail closed)."""
         if ancestor is None:
             return True
-        w: int | None = descendant
-        while w is not None and w > ancestor:
-            try:
-                w = self._ancestor_hop(self._read_commit(w))
-            except (TableError, json.JSONDecodeError, KeyError):
+        for c in self._lineage(descendant):
+            if c.version == ancestor:
+                return True
+            if c.version < ancestor:
                 return False
-        return w == ancestor
+        return False
 
     @staticmethod
     def _pinned(head: int) -> dict:
@@ -616,13 +637,10 @@ class LakeTable:
             if c2.branch == branch and c2.parent == parent:
                 if won is None:
                     won = set()
-                    w = self._refs().get(branch)
-                    while w is not None and (parent is None or w > parent):
-                        won.add(w)
-                        try:
-                            w = self._ancestor_hop(self._read_commit(w))
-                        except (TableError, json.JSONDecodeError, KeyError):
+                    for wc in self._lineage(self._refs().get(branch)):
+                        if parent is not None and wc.version <= parent:
                             break
+                        won.add(wc.version)
                 if v2 not in won:
                     continue  # orphaned by a rollback, not a winner
                 os.remove(self._commit_path(version))
@@ -1140,15 +1158,13 @@ class LakeTable:
         Iceberg's ``TIMESTAMP AS OF`` resolution against the commit log.
         Walks raw commits (not the checkpoint-truncated chain) so history
         older than the latest checkpoint stays resolvable."""
-        v: int | None = self.head(branch)
-        while v is not None:
-            c = self._read_commit(v)
+        # squash-aware lineage: retained ancestors BELOW an expiry
+        # squash stay resolvable for TIMESTAMP AS OF (they are readable
+        # — only the walk pointer was rewritten); a dangling hop just
+        # ends the walk and surfaces the end-of-history error
+        for c in self._lineage(self.head(branch)):
             if c.timestamp_ms <= ts_ms:
-                return v
-            # squash-aware: retained ancestors BELOW an expiry squash
-            # stay resolvable for TIMESTAMP AS OF (they are readable —
-            # only the walk pointer was rewritten)
-            v = self._ancestor_hop(c)
+                return c.version
         raise TableError(
             f"no snapshot at or before timestamp {ts_ms} on {branch!r}"
         )
@@ -2233,31 +2249,37 @@ class LakeTable:
         versions = self._versions()
         refs = self._refs()
         keep: set[int] = set()
-        # never expire anything reachable within retain_last of any ref, or
-        # newer than the cutoff
+        # never expire anything reachable within retain_last of any ref,
+        # or newer than the cutoff. RAW lineage, not the
+        # checkpoint-truncated _chain: _chain stops at the newest
+        # auto-checkpoint (every 20 commits), which would silently cap
+        # retain_last at the checkpoint distance and expire
+        # newer-than-cutoff commits below it — violating the contract
+        # above. Lineage also hops across prior squashes.
         for head in refs.values():
-            chain = self._chain(head)
-            for c in chain[-retain_last:]:
+            lineage = list(self._lineage(head))  # newest first
+            for c in lineage[:retain_last]:
                 keep.add(c.version)
-            for c in chain:
+            for c in lineage:
                 if c.timestamp_ms >= cutoff:
                     keep.add(c.version)
         expired = [v for v in versions if v not in keep]
         if not expired:
             return []
+        expired_set = set(expired)
         # squash: rewrite each kept commit whose parent is expired into a
         # full-state checkpoint commit (same version number, same live set)
         for v in sorted(keep):
             c = self._read_commit(v)
             old_skp = c.summary.get("squashed-kept-parent")
-            fresh_squash = c.parent is not None and c.parent in expired
+            fresh_squash = c.parent is not None and c.parent in expired_set
             # a PRIOR squash whose recorded kept-parent this run expires
             # must be re-resolved too — otherwise the hop dangles and
             # ancestry walks fail closed after two maintenance cycles
             stale_hop = (
                 c.parent is None
                 and old_skp is not None
-                and int(old_skp) in expired
+                and int(old_skp) in expired_set
             )
             if fresh_squash or stale_hop:
                 _, live = self._state(v)
@@ -2396,14 +2418,7 @@ class LakeTable:
         expiry squash still reports is_current_ancestor=True (the
         state-replay _chain stops at the squash by design, so ancestry
         walks the hop chain instead)."""
-        ancestors: set[int] = set()
-        w: int | None = self.head()
-        while w is not None:
-            ancestors.add(w)
-            try:
-                w = self._ancestor_hop(self._read_commit(w))
-            except (TableError, json.JSONDecodeError, KeyError):
-                break
+        ancestors = {c.version for c in self._lineage(self.head())}
         rows = []
         for v in self._versions():
             c = self._read_commit(v)

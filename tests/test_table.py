@@ -2179,22 +2179,23 @@ def test_fast_forward_survives_expired_history(cat, nation):
     assert sq.parent is None                           # squash happened
     t.fast_forward("stage")                            # must still publish
     assert t.read().count() == 9
-    # divergence is still detected ACROSS a traversed hop: stage forks
-    # at v1, main diverges to v4; a keeper branch pins v1 so expiry
-    # squashes stage's head with squashed-kept-parent=1 — the walk hops
-    # 3 -> 1, and 1 != main's head 4 -> conflict (the hop itself ran:
-    # the squashed head's parent is None, so only the skp can reach 1)
+    # divergence detected ACROSS a genuinely traversed hop: main
+    # diverges at v2 (LOWER than stage's squashed head v4, so the walk
+    # cannot short-circuit on version order — it must hop 4 -> skp=1,
+    # and 1 != main's head 2 -> conflict). The keeper branch pins the
+    # fork v1 in the retained set so the squash records skp=1.
     t2 = cat.create_table("default.ffd", small)       # v0
     t2.append(small)                                   # v1 (main head)
     t2.create_branch("stage")                          # forked at v1
     t2.create_branch("keeper")                         # pins v1 in keep
-    t2.append(small, branch="stage")                   # v2
+    t2.append(small)                                   # v2: main diverges
     t2.append(small, branch="stage")                   # v3
-    t2.append(small)                                   # v4: main diverges
-    t2.expire_snapshots(retain_last=1)                 # v2 expires
+    t2.append(small, branch="stage")                   # v4 (stage head)
+    t2.expire_snapshots(retain_last=1)                 # v3 expires
     sq2 = t2._read_commit(t2.branches()["stage"])
     assert sq2.parent is None
     assert sq2.summary.get("squashed-kept-parent") == 1
+    assert t2.head() == 2 < t2.branches()["stage"]     # no short-circuit
     with pytest.raises(CommitConflictError):
         t2.fast_forward("stage")
 
