@@ -486,26 +486,41 @@ class LakeTable:
         skp = c.summary.get("squashed-kept-parent")
         return int(skp) if skp is not None else None
 
-    def _lineage(self, version: int | None):
+    def _lineage(self, version: int | None, *, strict: bool = False):
         """Yield Commits walking lineage from ``version`` (inclusive,
         newest first): parent pointers with squash-aware hops
         (:meth:`_ancestor_hop`). THE single walker behind _is_ancestor,
-        the sibling guard, history and snapshot_as_of — one place for
-        the guards: an unreadable commit ends the walk (callers degrade
-        to end-of-history), and a corrupt non-decreasing hop target ends
-        it too (lineage is strictly decreasing; without the bound a
-        self- or cycle-pointing squashed-kept-parent would spin
-        forever)."""
+        the sibling guard, history, snapshot_as_of and expiry — one
+        place for the guards:
+
+        - a MISSING commit (dangling pointer — expired by older code)
+          ends the walk so read paths degrade to end-of-history; with
+          ``strict=True`` (walks that feed DELETION decisions) it raises
+          instead, because a truncated keep set must fail closed;
+        - a CORRUPT file or a non-decreasing hop target always raises a
+          TYPED TableError — reporting "no snapshot at timestamp" on a
+          corrupt log would misdiagnose the damage, and without the
+          monotonicity bound a self-/cycle-pointing hop spins forever.
+        """
         w = version
         while w is not None:
             try:
                 c = self._read_commit(w)
-            except (TableError, json.JSONDecodeError, KeyError):
+            except TableError:
+                if strict:
+                    raise
                 return
+            except (json.JSONDecodeError, KeyError) as e:
+                raise TableError(
+                    f"corrupt commit file {w} under {self.log_dir}"
+                ) from e
             yield c
             nxt = self._ancestor_hop(c)
             if nxt is not None and nxt >= c.version:
-                return
+                raise TableError(
+                    f"corrupt lineage pointer {c.version} -> {nxt} "
+                    f"under {self.log_dir}"
+                )
             w = nxt
 
     def _is_ancestor(self, ancestor: int | None, descendant: int) -> bool:
@@ -637,10 +652,16 @@ class LakeTable:
             if c2.branch == branch and c2.parent == parent:
                 if won is None:
                     won = set()
-                    for wc in self._lineage(self._refs().get(branch)):
-                        if parent is not None and wc.version <= parent:
-                            break
-                        won.add(wc.version)
+                    try:
+                        for wc in self._lineage(self._refs().get(branch)):
+                            if parent is not None and wc.version <= parent:
+                                break
+                            won.add(wc.version)
+                    except TableError:
+                        # corrupt lineage: fail the commit loudly, but
+                        # don't leave our just-written file behind
+                        os.remove(self._commit_path(version))
+                        raise
                 if v2 not in won:
                     continue  # orphaned by a rollback, not a winner
                 os.remove(self._commit_path(version))
@@ -2244,25 +2265,34 @@ class LakeTable:
         """D17 — ``expire_snapshots`` (Table Maintenance...ipynb:157):
         drop expired commits, squash their net state into the oldest
         retained commit, and GC data files no retained commit references."""
+        if retain_last < 1:
+            # retain_last=0 would keep NOTHING reachable and delete the
+            # table out from under its own refs (Iceberg rejects <1 too)
+            raise TableError("retain_last must be >= 1")
         now = int(time.time() * 1000)
         cutoff = now if older_than_ms is None else older_than_ms
         versions = self._versions()
         refs = self._refs()
         keep: set[int] = set()
         # never expire anything reachable within retain_last of any ref,
-        # or newer than the cutoff. RAW lineage, not the
-        # checkpoint-truncated _chain: _chain stops at the newest
-        # auto-checkpoint (every 20 commits), which would silently cap
-        # retain_last at the checkpoint distance and expire
-        # newer-than-cutoff commits below it — violating the contract
-        # above. Lineage also hops across prior squashes.
+        # or newer than the cutoff. RAW lineage (strict: a keep set
+        # truncated by an unreadable commit must fail closed — this walk
+        # feeds DELETION), not the checkpoint-truncated _chain: _chain
+        # stops at the newest auto-checkpoint (every 20 commits), which
+        # would silently cap retain_last at the checkpoint distance and
+        # expire newer-than-cutoff commits below it. Lineage also hops
+        # across prior squashes. `processed` memoizes shared suffixes:
+        # once a ref's walk reaches a version an earlier walk fully
+        # processed (and is past its own retain_last window), the rules
+        # were already applied below — skip the re-read.
+        processed: set[int] = set()
         for head in refs.values():
-            lineage = list(self._lineage(head))  # newest first
-            for c in lineage[:retain_last]:
-                keep.add(c.version)
-            for c in lineage:
-                if c.timestamp_ms >= cutoff:
+            for i, c in enumerate(self._lineage(head, strict=True)):
+                if i < retain_last or c.timestamp_ms >= cutoff:
                     keep.add(c.version)
+                if i >= retain_last and c.version in processed:
+                    break
+                processed.add(c.version)
         expired = [v for v in versions if v not in keep]
         if not expired:
             return []
@@ -2289,14 +2319,15 @@ class LakeTable:
                 # sibling guard's reachable set, TIMESTAMP AS OF,
                 # history) hop across the squash via this instead of
                 # misreading it as a root
-                kp: int | None = (
-                    c.parent if fresh_squash else int(old_skp)
+                start = c.parent if fresh_squash else int(old_skp)
+                # bounded, hop-aware walk (a cycle-pointing skp must not
+                # hang maintenance); a dangling start (expired by older
+                # code) just yields no kept ancestor
+                kp = next(
+                    (a.version for a in self._lineage(start)
+                     if a.version in keep),
+                    None,
                 )
-                while kp is not None and kp not in keep:
-                    try:
-                        kp = self._ancestor_hop(self._read_commit(kp))
-                    except (TableError, json.JSONDecodeError, KeyError):
-                        kp = None
                 summary = {**c.summary}
                 if fresh_squash:
                     summary["squashed-below"] = c.parent
