@@ -510,12 +510,22 @@ class LakeTable:
                 if strict:
                     raise
                 return
-            except (json.JSONDecodeError, KeyError) as e:
+            except (json.JSONDecodeError, KeyError, TypeError,
+                    ValueError, AttributeError) as e:
+                # valid-JSON-but-wrong-shape corruption (schemas not a
+                # dict, unexpected AddFile keys, ...) must surface as
+                # the same typed error as torn JSON
                 raise TableError(
                     f"corrupt commit file {w} under {self.log_dir}"
                 ) from e
             yield c
-            nxt = self._ancestor_hop(c)
+            try:
+                nxt = self._ancestor_hop(c)
+            except (TypeError, ValueError) as e:  # non-int skp
+                raise TableError(
+                    f"corrupt lineage pointer at {c.version} "
+                    f"under {self.log_dir}"
+                ) from e
             if nxt is not None and nxt >= c.version:
                 raise TableError(
                     f"corrupt lineage pointer {c.version} -> {nxt} "
@@ -527,8 +537,10 @@ class LakeTable:
         """True iff ``ancestor`` is on ``descendant``'s lineage
         (squash-aware; relies on version monotonicity — parents are
         always lower version numbers). ``ancestor=None`` (no ref yet) is
-        vacuously true; an unreadable commit in the walk is treated as
-        not-an-ancestor (fail closed)."""
+        vacuously true; a MISSING commit ends the walk as
+        not-an-ancestor (fail closed); a CORRUPT commit raises the typed
+        TableError from :meth:`_lineage` — callers see the damage, not a
+        silent False."""
         if ancestor is None:
             return True
         for c in self._lineage(descendant):
@@ -2294,6 +2306,31 @@ class LakeTable:
                     break
                 processed.add(c.version)
         expired = [v for v in versions if v not in keep]
+        # in-flight protection: a commit file ABOVE its own branch ref
+        # that was written moments ago is a commit mid-protocol (the
+        # file lands before the ref CAS) — deleting it would destroy
+        # acknowledged data the instant the CAS succeeds. Such
+        # candidates get a grace window; unreadable candidates (torn
+        # writes mid-json.dump) get the same grace, then GC as debris.
+        grace_ms = 10 * 60 * 1000
+
+        def _in_flight(v: int) -> bool:
+            try:
+                age = now - int(os.path.getmtime(self._commit_path(v))
+                                * 1000)
+            except OSError:
+                return True  # vanished mid-run: someone else owns it
+            if age >= grace_ms:
+                return False
+            try:
+                c = self._read_commit(v)
+            except (TableError, json.JSONDecodeError, KeyError,
+                    TypeError, ValueError, AttributeError):
+                return True  # fresh torn file: may still be mid-write
+            r = refs.get(c.branch)
+            return r is not None and r < v
+
+        expired = [v for v in expired if not _in_flight(v)]
         if not expired:
             return []
         expired_set = set(expired)
@@ -2352,7 +2389,17 @@ class LakeTable:
             _, live = self._state(v)
             referenced.update(a.path for a in live)
         for v in expired:
-            for a in self._read_commit(v).add:
+            try:
+                adds = self._read_commit(v).add
+            except (TableError, json.JSONDecodeError, KeyError,
+                    TypeError, ValueError, AttributeError):
+                # torn/corrupt debris (e.g. a 0-byte file from a crashed
+                # writer, past the grace window): no trustworthy file
+                # list — still remove the commit file itself, or every
+                # future expire run aborts on the same orphan; any data
+                # files it wrote are swept by remove_orphan_files
+                adds = []
+            for a in adds:
                 if a.path not in referenced:
                     p = os.path.join(self.path, a.path)
                     if os.path.exists(p):
