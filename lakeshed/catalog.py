@@ -903,6 +903,15 @@ class Catalog:
             for tbl in self.tables(db):
                 base = f"{db}.{tbl}"
                 t = self.table(base)
+                # backtick-quoted relation spellings (`nyc.taxis`,
+                # `nyc`.`taxis`) normalize to the plain spelling FIRST so
+                # every rewrite below (whose (?<![\w.`]) lookbehind would
+                # otherwise skip them) sees the canonical form. Backticks
+                # are not string-literal quotes to _quoted_spans, so the
+                # quote-masked sub still applies here.
+                s = _sub_outside_quotes(
+                    rf"`{re.escape(db)}`\.`{re.escape(tbl)}`", base, s)
+                s = _sub_outside_quotes(rf"`{re.escape(base)}`", base, s)
                 # catalog-qualified reads — strip a single leading
                 # ``<self.name>.`` segment so ``SELECT ... FROM
                 # demo.nyc.taxis_sample`` resolves like the write path's

@@ -550,7 +550,18 @@ def ivf_topk_from_table(
     log."""
     import json as _json
 
-    cents = _json.loads(table.properties()["lakeshed.ivf.centroids"])
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    props = table.properties()
+    if "lakeshed.ivf.centroids" not in props:
+        raise ValueError(
+            "table has no 'lakeshed.ivf.centroids' property — not an IVF "
+            "index table (build one with ivf_index_table)")
+    cents = _json.loads(props["lakeshed.ivf.centroids"])
+    if not cents:
+        raise ValueError(
+            "'lakeshed.ivf.centroids' is empty — the index table holds "
+            "no lists to probe")
     probe = _rank_probe_lists(cents, query_vec, nprobe)
     pred = f"list IN ({', '.join(str(p) for p in probe)})"
     return _rescore_topk(table.scan(where=pred), query_vec, k, id_col)

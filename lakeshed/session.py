@@ -68,6 +68,20 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
     cores). On a real cluster pass ``None`` master via spark-submit instead.
     """
+    # Derby (used by Spark's embedded catalog plumbing even without Hive
+    # support — it boots an in-memory DB) writes derby.log into the JVM's
+    # user.dir when derby.system.home is unset, littering the repo root on
+    # every bench run. `spark.driver.extraJavaOptions` does not reach an
+    # already-launched local JVM, so set the system property through the
+    # gateway before the session exists (the documented escape hatch).
+    derby_home = os.environ.get("LAKESHED_DERBY_HOME", "/tmp/lakeshed-derby")
+    os.makedirs(derby_home, exist_ok=True)
+    try:
+        from pyspark import SparkContext
+
+        SparkContext.setSystemProperty("derby.system.home", derby_home)
+    except Exception:  # pragma: no cover - gateway quirks must not block
+        pass
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")

@@ -36,6 +36,7 @@ log file (optimistic concurrency, Delta-style). A losing writer gets
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import json
 import os
@@ -43,6 +44,7 @@ import re
 import shutil
 import time
 import uuid
+import warnings
 from dataclasses import dataclass, field
 from functools import reduce
 from typing import Any, Iterable
@@ -52,6 +54,7 @@ from pyspark.sql import functions as F
 
 _LOG_DIR = "_lakeshed_log"
 _REFS = "_refs.json"
+_FLOCK_WARNED = False  # one-time per-process flock-degradation warning
 MAIN = "main"
 
 
@@ -401,11 +404,29 @@ class LakeTable:
             try:
                 import fcntl
                 fcntl.flock(lf, fcntl.LOCK_EX)
-            except (ImportError, OSError):
+            except (ImportError, OSError) as e:
                 # non-POSIX, or a filesystem without flock(2) support
                 # (ENOLCK/EOPNOTSUPP on some NFS/SMB/overlay mounts):
-                # best-effort — the write itself stays an atomic swap
-                pass
+                # best-effort — the write itself stays an atomic swap,
+                # but the RMW mutual exclusion the ref CAS / ancestry
+                # checks rely on is VOIDED. Never degrade silently:
+                # warn once per process, or fail hard when the operator
+                # opted in via LAKESHED_REQUIRE_FLOCK=1.
+                if os.environ.get("LAKESHED_REQUIRE_FLOCK", "") == "1":
+                    raise TableError(
+                        f"refs lock unavailable on {self.log_dir} "
+                        f"({e!r}) and LAKESHED_REQUIRE_FLOCK=1 — "
+                        "concurrent ref mutations would not be "
+                        "serialized on this filesystem") from e
+                global _FLOCK_WARNED
+                if not _FLOCK_WARNED:
+                    _FLOCK_WARNED = True
+                    warnings.warn(
+                        f"refs lock unavailable on {self.log_dir} "
+                        f"({e!r}): concurrent ref mutations are NOT "
+                        "serialized on this filesystem; set "
+                        "LAKESHED_REQUIRE_FLOCK=1 to fail hard instead",
+                        RuntimeWarning, stacklevel=3)
             refs = self._refs()
             fn(refs)
             self._write_refs(refs)
@@ -2399,15 +2420,19 @@ class LakeTable:
                 # future expire run aborts on the same orphan; any data
                 # files it wrote are swept by remove_orphan_files
                 adds = []
+            # every removal tolerates already-gone files: two concurrent
+            # expire runs both pass the in-flight check, and the loser
+            # must not crash mid-GC (leaving a partially-expired log)
+            # just because the winner removed the same commit/checkpoint
+            # first — exists()+remove() is a TOCTOU race, suppress is not
             for a in adds:
                 if a.path not in referenced:
-                    p = os.path.join(self.path, a.path)
-                    if os.path.exists(p):
-                        os.remove(p)
-            os.remove(self._commit_path(v))
-            cp = self._checkpoint_path(v)
-            if os.path.exists(cp):
-                os.remove(cp)
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(os.path.join(self.path, a.path))
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(self._commit_path(v))
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(self._checkpoint_path(v))
         return expired
 
     def remove_orphan_files(self, *,

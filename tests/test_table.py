@@ -2275,3 +2275,114 @@ def test_unknown_catalog_qualifier_rejected_symmetrically(cat, spark):
     # the configured name still works end to end
     cat.create_table("demo.nyc.t", spark.createDataFrame([(1,)], "k int"))
     assert cat.sql("SELECT count(*) AS c FROM demo.nyc.t").first().c == 1
+
+
+def test_backtick_quoted_relation_names_resolve(cat, spark):
+    """r10 ADVICE (low): the (?<![\\w.`]) lookbehind added in r9 must not
+    swallow backtick-quoted relation spellings — ``FROM `nyc.taxis```
+    (and the per-part ``FROM `nyc`.`taxis``` form) resolved under the
+    old \\b pattern and must keep resolving."""
+    cat.create_database("nyc")
+    cat.create_table(
+        "nyc.bt", spark.createDataFrame([(1,), (2,)], "k int")
+    )
+    assert cat.sql("SELECT count(*) AS c FROM `nyc.bt`").first().c == 2
+    assert cat.sql("SELECT count(*) AS c FROM `nyc`.`bt`").first().c == 2
+    # backticked spelling composes with time travel / rewrites downstream
+    assert (
+        cat.sql("SELECT count(*) AS c FROM `nyc.bt` VERSION AS OF 0")
+        .first().c == 2
+    )
+    # a backticked table name INSIDE a string literal stays data
+    row = cat.sql("SELECT '`nyc.bt`' AS s").first()
+    assert row.s == "`nyc.bt`"
+
+
+def test_mutate_refs_warns_once_when_flock_unavailable(cat, spark,
+                                                       monkeypatch):
+    """r10 ADVICE (low): when flock(2) raises (lock-less NFS/SMB/overlay
+    mounts) the ref RMW must not degrade silently — one RuntimeWarning
+    per process, and LAKESHED_REQUIRE_FLOCK=1 fails hard."""
+    import warnings as _w
+
+    import fcntl as _fcntl
+
+    import lakeshed.table as table_mod
+    from lakeshed.table import TableError
+
+    cat.create_database("db")
+    t = cat.create_table("db.flk", spark.createDataFrame([(1,)], "k int"))
+    lt = t if not hasattr(t, "_table") else t._table
+
+    def _boom(*a, **k):
+        raise OSError(37, "No locks available")
+
+    monkeypatch.setattr(_fcntl, "flock", _boom)
+    monkeypatch.setattr(table_mod, "_FLOCK_WARNED", False)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        lt.create_branch("audit")
+        lt.drop_branch("audit")
+    msgs = [str(r.message) for r in rec
+            if issubclass(r.category, RuntimeWarning)
+            and "refs lock unavailable" in str(r.message)]
+    assert len(msgs) == 1  # once per process, not once per mutation
+
+    monkeypatch.setenv("LAKESHED_REQUIRE_FLOCK", "1")
+    with pytest.raises(TableError, match="refs lock unavailable"):
+        lt.create_branch("audit2")
+
+
+def test_expire_snapshots_tolerates_concurrent_removal(cat, spark):
+    """r10 ADVICE (low): expire_snapshots' GC loop must survive another
+    process having already removed the same commit/checkpoint/data
+    files (two racing expiries: the loser must finish, not crash
+    mid-GC with FileNotFoundError after deleting some files)."""
+    import os as _os
+
+    cat.create_database("db")
+    t = cat.create_table("db.exp", spark.createDataFrame([(1,)], "k int"))
+    lt = t if not hasattr(t, "_table") else t._table
+    for i in range(2, 6):
+        lt.append(spark.createDataFrame([(i,)], "k int"))
+
+    real_remove = _os.remove
+    removed_once = {}
+
+    def racy_remove(path):
+        # simulate the racing winner: the first commit-file removal this
+        # run attempts was already done by "the other process"
+        if path.endswith(".json") and "commit" not in removed_once:
+            removed_once["commit"] = path
+            real_remove(path)  # the other process removed it...
+            return real_remove(path)  # ...and now we crash? must not.
+        return real_remove(path)
+
+    try:
+        _os.remove = racy_remove
+        expired = lt.expire_snapshots(retain_last=1)
+    finally:
+        _os.remove = real_remove
+    assert expired  # something was expired and the loop completed
+    assert [r.k for r in lt.read().orderBy("k").collect()] == [1, 2, 3, 4, 5]
+
+
+def test_ivf_probe_validates_inputs(cat, spark):
+    """r10 ADVICE (low): ivf_topk_from_table raises typed errors for
+    nprobe < 1, a missing centroids property, and an empty centroid
+    list — not an unparsable ``list IN ()`` predicate or bare KeyError."""
+    from lakeshed.llm import similarity
+
+    cat.create_database("db")
+    t = cat.create_table(
+        "db.notivf", spark.createDataFrame([(0, [0.1, 0.2])],
+                                           "vec_id int, embedding array<float>")
+    )
+    lt = t if not hasattr(t, "_table") else t._table
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.ivf_topk_from_table(lt, [1.0, 0.0], nprobe=0)
+    with pytest.raises(ValueError, match="lakeshed.ivf.centroids"):
+        similarity.ivf_topk_from_table(lt, [1.0, 0.0], nprobe=4)
+    lt.set_properties(**{"lakeshed.ivf.centroids": "[]"})
+    with pytest.raises(ValueError, match="empty"):
+        similarity.ivf_topk_from_table(lt, [1.0, 0.0], nprobe=4)
