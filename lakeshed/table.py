@@ -2352,9 +2352,23 @@ class LakeTable:
             return r is not None and r < v
 
         expired = [v for v in expired if not _in_flight(v)]
+        # transitive in-flight protection (r10, found by the lineage
+        # model test): a protected survivor's chain must stay fully
+        # resolvable for its grace window — expiring an ancestor out
+        # from under it leaves a LIVE, listed commit whose state cannot
+        # be reconstructed (VERSION AS OF dangles), and whose ref CAS,
+        # if it lands, would publish a dangling head. Walk each
+        # survivor's lineage (hop-aware, so prior-squash skp targets
+        # are protected too) and unexpire everything on it.
+        expired_set = set(expired)
+        for sv in versions:
+            if sv in keep or sv in expired_set:
+                continue
+            for c in self._lineage(sv):
+                expired_set.discard(c.version)
+        expired = [v for v in expired if v in expired_set]
         if not expired:
             return []
-        expired_set = set(expired)
         # squash: rewrite each kept commit whose parent is expired into a
         # full-state checkpoint commit (same version number, same live set)
         for v in sorted(keep):
@@ -2380,10 +2394,14 @@ class LakeTable:
                 start = c.parent if fresh_squash else int(old_skp)
                 # bounded, hop-aware walk (a cycle-pointing skp must not
                 # hang maintenance); a dangling start (expired by older
-                # code) just yields no kept ancestor
+                # code) just yields no kept ancestor. Nearest SURVIVING
+                # ancestor — kept OR in-flight-protected (r10, lineage
+                # model test: accepting only `keep` members made the hop
+                # skip a live protected ancestor, so lineage answers
+                # changed for versions that were never expired)
                 kp = next(
                     (a.version for a in self._lineage(start)
-                     if a.version in keep),
+                     if a.version not in expired_set),
                     None,
                 )
                 summary = {**c.summary}
@@ -2404,9 +2422,14 @@ class LakeTable:
                 with open(tmp, "w") as fh:
                     json.dump(squashed.to_json(), fh)
                 os.replace(tmp, self._commit_path(v))
-        # referenced files across all retained commits (live sets)
+        # referenced files across ALL surviving commits' live sets — kept
+        # AND in-flight-protected (r10: a protected cherrypick can share
+        # a data file with an expired original; GC keyed on `keep` alone
+        # would delete it out from under the survivor's live state)
         referenced: set[str] = set()
-        for v in keep:
+        for v in versions:
+            if v in expired_set:
+                continue
             _, live = self._state(v)
             referenced.update(a.path for a in live)
         for v in expired:
