@@ -334,3 +334,51 @@ def _drive(spark, tmp_path, seed: int, n_ops: int = 45) -> None:
 @pytest.mark.parametrize("seed", [11, 23, 37, 59, 71])
 def test_lineage_state_machine_matches_model(spark, tmp_path, seed):
     _drive(spark, tmp_path, seed)
+
+
+def test_lineage_model_scripted_stale_hop_reexpiry(spark, tmp_path):
+    """Deterministic companion to the random driver: the exact sequence
+    the r9 stale-hop fix (88776d1) exists for, driven through the same
+    Model + _check machinery. Squash v4 over a surviving below-branch
+    ancestor (skp -> v1), drop that branch, re-expire so the skp target
+    itself expires (the hop must be re-resolved, not left dangling),
+    then expire a third time — the keep walk is STRICT, so a dangling
+    skp left by the reverted code raises TableError here. Reverting the
+    ``stale_hop`` branch of expire_snapshots makes this test fail."""
+    rng = random.Random(0)
+    cat = Catalog(spark, str(tmp_path / "whs"))
+    cat.create_database("db")
+    t = cat.create_table("db.s", spark.createDataFrame([(0,)], "k int"))
+    m = Model()
+    c0 = t._read_commit(t.head())
+    m.record_commit(c0.version, parent=None, ts=c0.timestamp_ms,
+                    branch=MAIN, content=frozenset({0}), batch=0,
+                    optype="append")
+    m.refs = {MAIN: c0.version}
+
+    def ap(b):
+        want_parent = m.refs[MAIN]
+        c = t.append(spark.createDataFrame([(b,)], "k int"))
+        m.record_commit(c.version, parent=want_parent, ts=c.timestamp_ms,
+                        branch=MAIN,
+                        content=m.content[want_parent] | {b}, batch=b,
+                        optype="append")
+        m.refs[MAIN] = c.version
+
+    def exp(r):
+        want = m.expire(r)
+        got = sorted(t.expire_snapshots(
+            older_than_ms=FAR_FUTURE_MS, retain_last=r))
+        assert got == want
+        _check(t, m, rng, deep=True)
+
+    ap(1)
+    t.create_branch("audit")
+    m.refs["audit"] = m.refs[MAIN]
+    ap(2), ap(3), ap(4)
+    exp(1)          # squashes v4; skp -> v1 (the branch keeps v1 alive)
+    assert [c.version for c in t._lineage(m.refs[MAIN])] == [4, 1]
+    t.drop_branch("audit")
+    del m.refs["audit"]
+    exp(1)          # v1 expires; v4's stale skp must be re-resolved
+    exp(1)          # STRICT keep walk — a dangling skp raises here
