@@ -86,7 +86,10 @@ BENCH_NOTES: dict[str, str] = {
         "contains BOTH r8 (3.44) and r9 (4.36); this query has high "
         "intrinsic variance (multi-round checkpointed label propagation "
         "= many short stages, scheduling-sensitive). Noise, not a plan "
-        "change; the min (3.52) matches r8."
+        "change; the min (3.52) matches r8. r10: dedup_clusters' default "
+        "algorithm changed label->auto (star fallback after 8 "
+        "non-converged rounds); on this fixture label converges in <8 "
+        "rounds, so the benched plan is unchanged."
     ),
     "stream_changelog_upsert": (
         "r9-regression attribution (VERDICT r9 #1): 5 quiet-box runs "

@@ -1260,17 +1260,30 @@ class LakeTable:
             if with_file_path:
                 ddl += ", `__file` string"
             return self.spark.createDataFrame([], schema=ddl)
+        # Group files into as FEW relations as possible — the union arity
+        # is plan size, and plan size is a scale axis of its own (r10
+        # metadata probe: 5,000 streaming appends = 5,000 write-group
+        # bases; a per-base union built a 5,000-way plan tree and OOM'd
+        # the JVM during analysis). UNPARTITIONED files (no hive `k=v`
+        # segment in their path) need no basePath-relative partition
+        # recovery, so every base with the same schema_version merges
+        # into ONE multi-path read — a 5,000-append table plans as a
+        # single relation. Partitioned files must keep per-base groups:
+        # Spark's partition discovery rejects sibling write-group dirs
+        # under a shared basePath (CONFLICTING_DIRECTORY_STRUCTURES).
         groups: dict[tuple[str, int], list[AddFile]] = {}
         for a in adds:
-            groups.setdefault((a.base, a.schema_version), []).append(a)
+            base = a.base if "=" in a.path else ""
+            groups.setdefault((base, a.schema_version), []).append(a)
         parts: list[DataFrame] = []
         for (base, sv), grp in sorted(groups.items()):
             paths = [os.path.join(self.path, a.path) for a in grp]
-            df = (
-                self.spark.read.option(
+            reader = self.spark.read
+            if base:
+                reader = reader.option(
                     "basePath", os.path.join(self.path, base)
-                ).parquet(*paths)
-            )
+                )
+            df = reader.parquet(*paths)
             if with_file_path:
                 df = df.withColumn("__file", F.col("_metadata.file_path"))
             adapted = self._adapt(

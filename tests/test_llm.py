@@ -865,3 +865,59 @@ def test_partial_oracle_gate_flags_all_true(spark):
     _, is_min = kmeans_audit_flags(cents, k=8)
     flipped = bad.select(is_min.alias("f")).collect()
     assert sum(not r.f for r in flipped) > len(flipped) * 0.9
+
+
+def test_dedup_clusters_auto_switches_to_star_on_deep_components(spark):
+    """algorithm='auto' (r10, VERDICT r9 #8): label propagation with a
+    round cap that contracts through the current labels and finishes
+    with star. On a 120-node path (diameter 119) with switch_after=3,
+    pure label at max_iter=30 CANNOT converge (returns partially
+    propagated labels), but auto must return the exact min-id clusters
+    — the contraction keeps the label rounds' progress and star closes
+    the deep residue in O(log n) rounds."""
+    from lakeshed.llm import dedup
+
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(500,)], "id bigint"
+    )
+    want = {i: 0 for i in range(n)}
+    want[500] = 500  # singleton labels itself
+
+    # pure label under the same budget provably does NOT finish —
+    # the auto result below is not just label-in-disguise
+    partial = dedup.dedup_clusters(
+        pairs, ids, max_iter=3, algorithm="label"
+    )
+    assert {r.id: r.cluster for r in partial.collect()} != want
+
+    got = dedup.dedup_clusters(
+        pairs, ids, max_iter=30, algorithm="auto", switch_after=3
+    )
+    assert {r.id: r.cluster for r in got.collect()} == want
+
+
+def test_dedup_clusters_auto_stays_label_on_shallow_components(spark,
+                                                               monkeypatch):
+    """auto must NOT pay the star phase when label propagation converges
+    within switch_after rounds (the shape real near-dup corpora have) —
+    the default path is byte-identical to algorithm='label'."""
+    from lakeshed.llm import dedup
+
+    def _boom(*a, **k):  # star must never run
+        raise AssertionError("star phase invoked on a shallow graph")
+
+    monkeypatch.setattr(dedup, "_star_clusters_impl", _boom)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 10, 11, 99)], "id bigint"
+    )
+    got = dedup.dedup_clusters(pairs, ids)  # default algorithm='auto'
+    assert {r.id: r.cluster for r in got.collect()} == {
+        0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 99: 99,
+    }

@@ -2386,3 +2386,48 @@ def test_ivf_probe_validates_inputs(cat, spark):
     lt.set_properties(**{"lakeshed.ivf.centroids": "[]"})
     with pytest.raises(ValueError, match="empty"):
         similarity.ivf_topk_from_table(lt, [1.0, 0.0], nprobe=4)
+
+
+def test_unpartitioned_multi_append_plans_single_relation(cat, spark,
+                                                          tmp_path):
+    """r10 metadata probe: a streaming-shaped table (one write-group base
+    per commit) must NOT plan as an n-way union — at 5,000 appends the
+    per-base union tree OOM'd the JVM. Unpartitioned bases sharing a
+    schema_version merge into one multi-path relation; partitioned
+    bases keep per-base groups (Spark's partition discovery rejects
+    sibling dirs under a shared basePath) and still recover partition
+    values."""
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from lakeshed.table import AddFile, LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "many"))
+    t.create(spark.createDataFrame([(0,)], "k int"))
+    sv = t._read_commit(t.head()).schema_version
+    for i in range(1, 60):
+        base_rel = _os.path.join("data", f"fab{i:04d}")
+        _os.makedirs(_os.path.join(t.path, base_rel), exist_ok=True)
+        rel = _os.path.join(base_rel, "part-0.parquet")
+        abs_p = _os.path.join(t.path, rel)
+        _pq.write_table(_pa.table({"k": _pa.array([i], _pa.int32())}), abs_p)
+        t._commit("append", [AddFile(
+            path=rel, base=base_rel, rows=1,
+            bytes=_os.path.getsize(abs_p), schema_version=sv)], [])
+    df = t.read()
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan, plan[:2000]
+    assert sorted(r.k for r in df.collect()) == list(range(60))
+
+    # partitioned: two write-group bases, partition values recovered
+    p = cat.create_table(
+        "db2.part" if cat.create_database("db2") is None else "db2.part",
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, p string"),
+        partition_by=("p",),
+    )
+    lp = p if not hasattr(p, "_table") else p._table
+    lp.append(spark.createDataFrame([(3, "a")], "k int, p string"))
+    got = sorted((r.k, r.p) for r in lp.read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "a")]
