@@ -1264,30 +1264,49 @@ class LakeTable:
         # is plan size, and plan size is a scale axis of its own (r10
         # metadata probe: 5,000 streaming appends = 5,000 write-group
         # bases; a per-base union built a 5,000-way plan tree and OOM'd
-        # the JVM during analysis). UNPARTITIONED files (no hive `k=v`
-        # segment in their path) need no basePath-relative partition
-        # recovery, so every base with the same schema_version merges
-        # into ONE multi-path read — a 5,000-append table plans as a
-        # single relation. Partitioned files must keep per-base groups:
-        # Spark's partition discovery rejects sibling write-group dirs
-        # under a shared basePath (CONFLICTING_DIRECTORY_STRUCTURES).
-        groups: dict[tuple[str, int], list[AddFile]] = {}
+        # the JVM during analysis). Files sharing (schema_version,
+        # identity-partition VALUES) merge into ONE multi-path relation,
+        # with the partition columns (which live in the hive dirs, not
+        # the parquet data) re-attached as literal columns — no basePath
+        # discovery (which rejects sibling write-group dirs:
+        # CONFLICTING_DIRECTORY_STRUCTURES), no path decoding (the
+        # values come from the commit log's own paths, hive-unescaped
+        # driver-side). Plan arity therefore tracks the DATA LAYOUT
+        # (distinct live partition tuples × schema versions), never the
+        # commit count: a 5,000-append unpartitioned table plans as one
+        # relation; an hourly-partitioned one as one relation per live
+        # hour. Transform-derived dirs (days(ts)=..., bucket-N) are not
+        # schema columns and are not re-attached — basePath discovery
+        # used to surface them, but _adapt dropped them anyway.
+        groups: dict[tuple[int, tuple], list[AddFile]] = {}
+        field_names_by_sv = {
+            sv: {f.name for f in flds} for sv, flds in commit.schemas.items()
+        }
         for a in adds:
-            base = a.base if "=" in a.path else ""
-            groups.setdefault((base, a.schema_version), []).append(a)
+            names = field_names_by_sv[str(a.schema_version)]
+            pvals = tuple(sorted(
+                (k, v)
+                for k, v in self._partition_values_decoded(a.path).items()
+                if k in names
+            ))
+            groups.setdefault((a.schema_version, pvals), []).append(a)
         parts: list[DataFrame] = []
-        for (base, sv), grp in sorted(groups.items()):
-            paths = [os.path.join(self.path, a.path) for a in grp]
-            reader = self.spark.read
-            if base:
-                reader = reader.option(
-                    "basePath", os.path.join(self.path, base)
-                )
-            df = reader.parquet(*paths)
+        for (sv, pvals), grp in sorted(
+            groups.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))
+        ):
+            from_fields = commit.schemas[str(sv)]
+            field_by_name = {f.name: f for f in from_fields}
+            df = self.spark.read.parquet(
+                *[os.path.join(self.path, a.path) for a in grp]
+            )
             if with_file_path:
                 df = df.withColumn("__file", F.col("_metadata.file_path"))
+            for k, v in pvals:
+                df = df.withColumn(
+                    k, F.lit(v).cast(field_by_name[k].type)
+                )
             adapted = self._adapt(
-                df, commit.schemas[str(sv)], cur_fields,
+                df, from_fields, cur_fields,
                 extra_cols=("__file",) if with_file_path else (),
             )
             parts.append(adapted)
@@ -1303,6 +1322,20 @@ class LakeTable:
                 k, _, v = seg.partition("=")
                 out[k] = v
         return out
+
+    @staticmethod
+    def _partition_values_decoded(path: str) -> dict[str, str | None]:
+        """Hive-unescaped partition values — what Spark's own partition
+        discovery would produce for the dir: ``%XX`` escapes decoded
+        (the writer escapes every literal ``%``, so unquote is an exact
+        inverse), the ``__HIVE_DEFAULT_PARTITION__`` null sentinel
+        mapped to None."""
+        from urllib.parse import unquote
+
+        return {
+            k: (None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v))
+            for k, v in LakeTable._partition_values(path).items()
+        }
 
     def plan_files(self, where: str | None = None,
                    version: int | None = None) -> list[AddFile]:

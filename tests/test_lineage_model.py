@@ -5,8 +5,9 @@ Thirteen hand-driven review waves in r9 each found real expiry/squash/
 rollback/branch bugs — strong evidence hand inspection does not saturate
 this state space. This module drives seeded-random operation sequences
 (append / write-on-branch / overwrite / create+drop branch / rollback /
-cherrypick / fast_forward / expire with random retain_last, including
-immediate re-expiry) against a plain-Python reference model and asserts
+cherrypick / fast_forward / compact / delete / rewrite_manifests /
+expire with random retain_last, including immediate re-expiry) against
+a plain-Python reference model and asserts
 after EVERY op that the implementation and the model agree on:
 
 - ref state (``branches()``/``head``),
@@ -241,6 +242,9 @@ def _drive(spark, tmp_path, seed: int, n_ops: int = 45) -> None:
     for step in range(n_ops):
         branches = [b for b in m.refs if b != MAIN]
         ops = ["append_main"] * 4 + ["create_branch"] * 2 + ["expire"] * 2
+        ops += ["compact", "rewrite_manifests"]
+        if m.content[m.refs[MAIN]]:
+            ops += ["delete"]
         if branches:
             ops += ["append_branch"] * 3 + ["fast_forward"] * 2 + [
                 "drop_branch"]
@@ -309,6 +313,29 @@ def _drive(spark, tmp_path, seed: int, n_ops: int = 45) -> None:
                 c.version, parent=want_parent, ts=c.timestamp_ms,
                 branch=MAIN, content=m.content[want_parent] | delta,
                 batch=m.batch[v], optype="cherrypick")
+            m.refs[MAIN] = c.version
+        elif op == "compact":
+            want_parent = m.refs[MAIN]
+            c = t.compact()
+            assert c.parent == want_parent
+            m.record_commit(c.version, parent=want_parent,
+                            ts=c.timestamp_ms, branch=MAIN,
+                            content=m.content[want_parent], batch=-1,
+                            optype="compact")
+            m.refs[MAIN] = c.version
+        elif op == "rewrite_manifests":
+            head_before = m.refs[MAIN]
+            assert t.rewrite_manifests() == head_before
+            assert t.head() == head_before  # checkpoint, no commit
+        elif op == "delete":
+            b = rng.choice(sorted(m.content[m.refs[MAIN]]))
+            want_parent = m.refs[MAIN]
+            c = t.delete(f"k = {b}")
+            assert c.parent == want_parent
+            m.record_commit(c.version, parent=want_parent,
+                            ts=c.timestamp_ms, branch=MAIN,
+                            content=m.content[want_parent] - {b},
+                            batch=-1, optype="delete")
             m.refs[MAIN] = c.version
         elif op == "expire":
             r = rng.randint(1, 3)

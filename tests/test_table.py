@@ -2392,11 +2392,11 @@ def test_unpartitioned_multi_append_plans_single_relation(cat, spark,
                                                           tmp_path):
     """r10 metadata probe: a streaming-shaped table (one write-group base
     per commit) must NOT plan as an n-way union — at 5,000 appends the
-    per-base union tree OOM'd the JVM. Unpartitioned bases sharing a
-    schema_version merge into one multi-path relation; partitioned
-    bases keep per-base groups (Spark's partition discovery rejects
-    sibling dirs under a shared basePath) and still recover partition
-    values."""
+    per-base union tree OOM'd the JVM. Files sharing (schema_version,
+    identity-partition values) merge into one multi-path relation with
+    the partition columns re-attached as literal columns from the
+    commit log's own paths — plan arity tracks the data layout
+    (distinct live partition tuples), never the commit count."""
     import os as _os
 
     import pyarrow as _pa
@@ -2429,5 +2429,10 @@ def test_unpartitioned_multi_append_plans_single_relation(cat, spark,
     )
     lp = p if not hasattr(p, "_table") else p._table
     lp.append(spark.createDataFrame([(3, "a")], "k int, p string"))
+    lp.append(spark.createDataFrame([(4, "a")], "k int, p string"))
+    lp.append(spark.createDataFrame([(5, "b")], "k int, p string"))
     got = sorted((r.k, r.p) for r in lp.read().collect())
-    assert got == [(1, "a"), (2, "b"), (3, "a")]
+    assert got == [(1, "a"), (2, "b"), (3, "a"), (4, "a"), (5, "b")]
+    # arity = |distinct partition values| (2), not |write groups| (4)
+    pplan = lp.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert pplan.count("Relation") == 2, pplan[:2000]
