@@ -335,9 +335,20 @@ class Catalog:
         if m:
             self.table(m.group(1)).truncate()
             return None
-        m = re.match(r"describe (?:extended )?([\w.]+)", low)
+        # backticked spellings route to the SAME LakeTable.describe() as
+        # the plain ones (r10 review wave 7: letting `DESCRIBE `db.t``
+        # fall through to _run_select would DESCRIBE the temp view —
+        # a different shape than the metadata rows describe() emits).
+        # Any mix of backticks normalizes by stripping them; a name that
+        # is NOT a lakeshed table (a temp view, say) falls through to
+        # stock spark.sql DESCRIBE (r10 wave 9)
+        m = re.match(r"describe (?:extended )?([`\w.]+)$", low.strip())
         if m:
-            return self.table(m.group(1)).describe()
+            name = m.group(1).replace("`", "")
+            if self._exists(name):
+                return self.table(name).describe()
+            # not a lakeshed table (a temp view, say): fall through to
+            # stock spark.sql DESCRIBE for both spellings (r10 wave 10)
         if low in ("show databases", "show namespaces"):
             return self.spark.createDataFrame(
                 [(d,) for d in sorted(self.databases())],
@@ -906,12 +917,124 @@ class Catalog:
                 # backtick-quoted relation spellings (`nyc.taxis`,
                 # `nyc`.`taxis`) normalize to the plain spelling FIRST so
                 # every rewrite below (whose (?<![\w.`]) lookbehind would
-                # otherwise skip them) sees the canonical form. Backticks
-                # are not string-literal quotes to _quoted_spans, so the
-                # quote-masked sub still applies here.
-                s = _sub_outside_quotes(
-                    rf"`{re.escape(db)}`\.`{re.escape(tbl)}`", base, s)
-                s = _sub_outside_quotes(rf"`{re.escape(base)}`", base, s)
+                # otherwise skip them) sees the canonical form — works in
+                # every relation position (FROM lists, JOIN, USING,
+                # qualified column prefixes). Two exclusions keep quoted
+                # identifiers that merely SPELL a table name intact: an
+                # output alias (``AS `nyc.bt```) and a dot-qualified
+                # member (``t.`nyc.bt``` — a struct/column path).
+                # Backticks are not string-literal quotes to
+                # _quoted_spans, so _unquoted_matches applies here.
+                def _norm_backticks(pat: str) -> None:
+                    nonlocal s
+                    if not re.search(pat, s, re.IGNORECASE):
+                        return  # this table is not spelled here at all
+                    ms = _mask_quotes(s)
+                    # comments masked too: keywords inside /* */ or --
+                    # must not steer relation-position detection
+                    mcs = re.sub(r"/\*.*?\*/",
+                                 lambda m: " " * len(m.group()), ms,
+                                 flags=re.S)
+                    mcs = re.sub(r"--[^\n]*",
+                                 lambda m: " " * len(m.group()), mcs)
+                    # SCAN mask: backticked identifier contents blanked
+                    # too — a stop-word inside a relation/alias NAME
+                    # (`nyc.order`) must not steer keyword detection
+                    # (r10 wave 10)
+                    mscan = re.sub(r"`[^`\n]*`",
+                                   lambda m: " " * len(m.group()), mcs)
+                    # a statement that DEFINES this spelling as an alias
+                    # (``... AS `nyc.bt```) uses it as an identifier, not
+                    # a relation — suppress prefix rewrites for it
+                    defines_alias = bool(re.search(
+                        rf"\bas\s+`{re.escape(base)}`", mcs,
+                        re.IGNORECASE
+                    )) if pat == rf"`{re.escape(base)}`" else False
+                    repls = []
+                    prefix_repls = []
+                    for m in re.finditer(pat, s, re.IGNORECASE):
+                        if mcs[m.start()] != "`":
+                            continue  # inside a string literal/comment
+                        j = _bt_skip_back(mscan, m.start() - 1)
+                        if j >= 0 and mscan[j] == ".":
+                            # dot-qualified: a catalog-qualified relation
+                            # (demo.`nyc.bt` — strip the qualifier AND
+                            # normalize, mirroring the plain-spelling
+                            # catalog strip below) vs an alias/struct
+                            # member path (t.`nyc.bt` — leave quoted)
+                            k = j - 1
+                            while k >= 0 and (mscan[k].isalnum()
+                                              or mscan[k] == "_"):
+                                k -= 1
+                            if (mscan[k + 1:j].lower()
+                                    == self.name.lower()
+                                    and (k < 0 or mscan[k] not in ".`")):
+                                repls.append((k + 1, m.end()))
+                            continue
+                        n = m.end()
+                        while n < len(mscan) and mscan[n] in " \t\r\n":
+                            n += 1
+                        if n < len(mscan) and mscan[n] == ".":
+                            # qualified-column prefix (`nyc.bt`.k)
+                            # references the relation wherever it appears
+                            # (SELECT list, GROUP BY, WHERE, ...) —
+                            # UNLESS the statement used this spelling as
+                            # an identifier somewhere (explicit AS alias,
+                            # implicit alias, BY-reference), which
+                            # shadows the table. Detection is statement-
+                            # global: a subquery-scoped alias suppresses
+                            # outer-scope prefixes too — proper scoping
+                            # needs a real parser; shadowing errs on the
+                            # side of not hijacking the user's alias.
+                            prefix_repls.append((m.start(), m.end()))
+                            continue
+                        # BARE occurrence: a relation only in relation
+                        # position — directly after a relation-introducing
+                        # keyword, after a FROM-list comma (depth-aware
+                        # scan above), or after a paren whose own context
+                        # is relation position. Everything else (AS
+                        # alias, implicit alias, BY/HAVING references to
+                        # an alias that merely spells a table name) stays
+                        # a quoted identifier. Full alias tracking needs
+                        # a real parser; the router is deliberately
+                        # regex-level.
+                        skipped_paren = False
+                        while j >= 0 and mscan[j] == "(":
+                            skipped_paren = True
+                            j = _bt_skip_back(mscan, j - 1)
+                        if j >= 0 and mscan[j] == ",":
+                            if _bt_comma_in_from_list(mscan, j):
+                                repls.append((m.start(), m.end()))
+                            continue
+                        k = j
+                        while k >= 0 and (mscan[k].isalnum()
+                                          or mscan[k] == "_"):
+                            k -= 1
+                        prev_word = mscan[k + 1:j + 1].lower()
+                        if skipped_paren and prev_word == "using":
+                            continue  # USING (cols): a column list —
+                            # only the paren-less MERGE ... USING `t`
+                            # form takes a relation
+                        if prev_word in ("from", "join", "into", "update",
+                                         "table", "using", "lateral"):
+                            repls.append((m.start(), m.end()))
+                        else:
+                            # a bare occurrence OUTSIDE relation position
+                            # is an identifier use (implicit alias, alias
+                            # reference): it shadows the table for
+                            # qualified-prefix rewrites
+                            defines_alias = True
+                    if not defines_alias:
+                        repls.extend(prefix_repls)
+                    repls.sort()
+                    for a, b in reversed(repls):
+                        s = s[:a] + base + s[b:]
+
+                if "`" in s:  # backtick-free statements skip the
+                    # masking + scan entirely (the common case)
+                    _norm_backticks(
+                        rf"`{re.escape(db)}`\.`{re.escape(tbl)}`")
+                    _norm_backticks(rf"`{re.escape(base)}`")
                 # catalog-qualified reads — strip a single leading
                 # ``<self.name>.`` segment so ``SELECT ... FROM
                 # demo.nyc.taxis_sample`` resolves like the write path's
@@ -1112,6 +1235,52 @@ def _mask_quotes(s: str) -> str:
         for i in range(a, b):
             out[i] = " "
     return "".join(out)
+
+
+_BT_CLAUSE_STOP = frozenset((
+    "select", "where", "group", "order", "having", "by",
+    "when", "set", "values", "limit", "union",
+    "intersect", "except", "partition", "over",
+))
+
+
+def _bt_skip_back(ms: str, j: int) -> int:
+    """Index of the last code char before ``j`` in a masked text
+    (whitespace only — comments/identifiers are already spaces in the
+    scan mask)."""
+    while j >= 0 and ms[j] in " \t\r\n":
+        j -= 1
+    return j
+
+
+def _bt_comma_in_from_list(ms: str, j: int) -> bool:
+    """Whether the comma at ``j`` separates items of a FROM-like list
+    (vs a SELECT/BY/expression list): scan backward at paren depth 0
+    for the owning clause keyword. ``ms`` must have string literals,
+    comments AND backticked identifiers masked to spaces — a stop-word
+    inside a quoted identifier must not end the hunt."""
+    depth = 0
+    k = j - 1
+    while k >= 0:
+        c = ms[k]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                return False  # inside a call/IN list
+            depth -= 1
+        elif depth == 0 and (c.isalnum() or c == "_"):
+            e = k
+            while k >= 0 and (ms[k].isalnum() or ms[k] == "_"):
+                k -= 1
+            w = ms[k + 1:e + 1].lower()
+            if w in ("from", "join", "using", "lateral"):
+                return True
+            if w in _BT_CLAUSE_STOP:
+                return False
+            continue  # alias/identifier/ON operand
+        k -= 1
+    return False
 
 
 def _unquoted_matches(pattern: str, s: str):

@@ -594,8 +594,9 @@ def dedup_clusters(
                 pairs, ids, id_a, id_b, id_col, max_iter
             )[0]
         if algorithm == "auto":
-            return _auto_clusters_impl(
-                pairs, ids, id_a, id_b, id_col, max_iter, switch_after
+            return _dedup_clusters_impl(
+                pairs, ids, id_a, id_b, id_col, max_iter,
+                _switch_after=switch_after,
             )
         if algorithm != "label":
             raise ValueError(f"unknown algorithm {algorithm!r}")
@@ -681,24 +682,6 @@ class _Ckpt:
                 shutil.rmtree(os.path.join(self.dir, n),
                               ignore_errors=True)
         self.names = [name]
-
-
-def _auto_clusters_impl(
-    pairs: DataFrame,
-    ids: DataFrame,
-    id_a: str,
-    id_b: str,
-    id_col: str,
-    max_iter: int,
-    switch_after: int,
-) -> DataFrame:
-    """Label propagation with a star escape hatch: delegate to the label
-    impl with a round cap; on non-convergence it contracts and finishes
-    with star (see :func:`dedup_clusters`)."""
-    return _dedup_clusters_impl(
-        pairs, ids, id_a, id_b, id_col, max_iter,
-        _switch_after=switch_after,
-    )
 
 
 def _dedup_clusters_impl(

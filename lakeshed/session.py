@@ -74,14 +74,32 @@ def get_spark(
     # every bench run. `spark.driver.extraJavaOptions` does not reach an
     # already-launched local JVM, so set the system property through the
     # gateway before the session exists (the documented escape hatch).
-    derby_home = os.environ.get("LAKESHED_DERBY_HOME", "/tmp/lakeshed-derby")
-    os.makedirs(derby_home, exist_ok=True)
     try:
-        from pyspark import SparkContext
+        derby_home = os.environ.get("LAKESHED_DERBY_HOME")
+        if derby_home is None:
+            uid = os.getuid() if hasattr(os, "getuid") else "win"
+            derby_home = f"/tmp/lakeshed-derby-{uid}"
+        os.makedirs(derby_home, exist_ok=True)
+    except OSError as e:
+        # must not block session construction — but an EXPLICITLY
+        # configured home that is unusable deserves a signal, not a
+        # silent fallback to derby.log-in-CWD ("" counts: set-but-empty
+        # is a misconfiguration, not an opt-out)
+        derby_home = None
+        if "LAKESHED_DERBY_HOME" in os.environ:
+            import warnings
 
-        SparkContext.setSystemProperty("derby.system.home", derby_home)
-    except Exception:  # pragma: no cover - gateway quirks must not block
-        pass
+            warnings.warn(
+                f"LAKESHED_DERBY_HOME={os.environ['LAKESHED_DERBY_HOME']!r}"
+                f" unusable ({e!r}); Derby will use its defaults",
+                RuntimeWarning, stacklevel=2)
+    if derby_home is not None:
+        try:
+            from pyspark import SparkContext
+
+            SparkContext.setSystemProperty("derby.system.home", derby_home)
+        except Exception:  # pragma: no cover - gateway quirks are not a
+            pass  # derby-home misconfiguration; stay quiet, don't block
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")

@@ -71,6 +71,13 @@ class CommitConflictError(TableError):
     """Another writer committed the same version first — re-resolve and retry."""
 
 
+class CorruptCommitError(TableError):
+    """A commit or checkpoint file exists but cannot be parsed — damage,
+    not absence. Typed apart from the missing-snapshot TableError so walks
+    that silently END at a missing commit (read paths degrading to
+    end-of-history) can still fail LOUDLY on corruption."""
+
+
 _UNSET_REF = object()  # sentinel: "CAS against _commit's own refs read"
 
 
@@ -361,6 +368,18 @@ class LakeTable:
             raise TableError(
                 f"no snapshot {version} for table {self.path}"
             ) from None
+        except (json.JSONDecodeError, KeyError, TypeError, ValueError,
+                AttributeError) as e:
+            # corruption surfaces TYPED at the source (r10 review wave
+            # 6): _lineage wrapped these for ITS callers, but read()/
+            # _state reach here directly and leaked raw json errors,
+            # breaking the documented catch-TableError contract.
+            # CorruptCommitError, not bare TableError: walks that
+            # silently end at a MISSING commit must still raise on
+            # damage (_lineage's contract).
+            raise CorruptCommitError(
+                f"corrupt commit file {version} under {self.log_dir}"
+            ) from e
 
     def _versions(self) -> list[int]:
         # NB: exclude checkpoint files — "00000020.checkpoint.json" would
@@ -455,9 +474,25 @@ class LakeTable:
         while v is not None:
             cp = self._checkpoint_path(v)
             if os.path.exists(cp):
-                with open(cp) as fh:
-                    out.append(Commit.from_json(json.load(fh)))
-                break
+                try:
+                    with open(cp) as fh:
+                        out.append(Commit.from_json(json.load(fh)))
+                    break
+                except FileNotFoundError:
+                    # GC'd by a concurrent expire between the exists()
+                    # check and the open (r10 review wave 3): a
+                    # checkpoint is pure acceleration — fall through to
+                    # the raw commit chain
+                    pass
+                except (json.JSONDecodeError, KeyError, TypeError,
+                        ValueError, AttributeError) as e:
+                    # corruption surfaces as the TYPED error the read
+                    # path's contract promises (matching _lineage) —
+                    # never a raw json error (r10 review wave 5)
+                    raise CorruptCommitError(
+                        f"corrupt checkpoint file for {v} under "
+                        f"{self.log_dir}"
+                    ) from e
             c = self._read_commit(v)
             out.append(c)
             v = c.parent
@@ -527,18 +562,14 @@ class LakeTable:
         while w is not None:
             try:
                 c = self._read_commit(w)
+            except CorruptCommitError:
+                raise  # damage always surfaces, even non-strict
             except TableError:
+                # missing commit (torn JSON and shape damage arrive as
+                # CorruptCommitError from _read_commit since r10)
                 if strict:
                     raise
                 return
-            except (json.JSONDecodeError, KeyError, TypeError,
-                    ValueError, AttributeError) as e:
-                # valid-JSON-but-wrong-shape corruption (schemas not a
-                # dict, unexpected AddFile keys, ...) must surface as
-                # the same typed error as torn JSON
-                raise TableError(
-                    f"corrupt commit file {w} under {self.log_dir}"
-                ) from e
             yield c
             try:
                 nxt = self._ancestor_hop(c)
@@ -2391,8 +2422,9 @@ class LakeTable:
                 return False
             try:
                 c = self._read_commit(v)
-            except (TableError, json.JSONDecodeError, KeyError,
-                    TypeError, ValueError, AttributeError):
+            except TableError:
+                # missing or corrupt (both arrive typed from
+                # _read_commit since r10)
                 return True  # fresh torn file: may still be mid-write
             r = refs.get(c.branch)
             return r is not None and r < v
@@ -2407,14 +2439,93 @@ class LakeTable:
         # survivor's lineage (hop-aware, so prior-squash skp targets
         # are protected too) and unexpire everything on it.
         expired_set = set(expired)
+        shielded: set[int] = set()  # memo: suffixes already walked
         for sv in versions:
             if sv in keep or sv in expired_set:
                 continue
-            for c in self._lineage(sv):
-                expired_set.discard(c.version)
+            walked_any = False
+            try:
+                for c in self._lineage(sv):
+                    walked_any = True
+                    if c.version in shielded:
+                        break  # everything below was already unexpired
+                    shielded.add(c.version)
+                    expired_set.discard(c.version)
+            except TableError:
+                if walked_any:
+                    # the survivor itself was readable but an ANCESTOR is
+                    # corrupt — real damage past any mid-write state;
+                    # report it loudly (pre-r10 behavior), never GC over it
+                    raise
+                # the survivor ITSELF is unreadable: a torn mid-write
+                # commit inside its _in_flight grace. Its chain cannot be
+                # vouched for, so expiring ANYTHING now could delete
+                # history out from under the writer that is about to
+                # publish it. Fail closed: pause GC entirely; after the
+                # grace window the torn file is treated as debris and the
+                # next run proceeds. Never silently (repo precedent:
+                # the flock fallback warns) — [] must not read as
+                # "nothing eligible".
+                warnings.warn(
+                    f"expire_snapshots paused: commit {sv} under "
+                    f"{self.log_dir} is unreadable and within its "
+                    "in-flight grace window; nothing expired this run",
+                    RuntimeWarning, stacklevel=2)
+                return []
         expired = [v for v in expired if v in expired_set]
+        # debris sweep: a crashed squash/checkpoint writer leaves a
+        # uuid-suffixed *.tmp in the log dir forever (nothing else
+        # globs them); remove those older than the grace window
+        for p in (glob.glob(os.path.join(self.log_dir, "*.tmp"))
+                  + glob.glob(os.path.join(self.log_dir, ".*.tmp"))):
+            try:
+                if now - int(os.path.getmtime(p) * 1000) >= grace_ms:
+                    os.remove(p)
+            except OSError:
+                pass  # concurrent sweep or mid-write: leave it
         if not expired:
             return []
+        # referenced files across ALL surviving commits' live sets — kept
+        # AND in-flight-protected (r10: a protected cherrypick can share
+        # a data file with an expired original; GC keyed on `keep` alone
+        # would delete it out from under the survivor's live state).
+        # Computed BEFORE the squash rewrites (r10 review wave 4): state
+        # replay reads CHECKPOINT files the raw-lineage walks above never
+        # validated, so this is the last read that can still fail — and
+        # it must fail CLOSED before any file is mutated, not after.
+        referenced: set[str] = set()
+        live_by_v: dict[int, list[AddFile]] = {}
+        # keep ∪ versions, not just versions: a commit that landed
+        # between the _versions() glob and the _refs() read is in keep
+        # only — its references protect the acknowledged head (r10 wave
+        # 8: a racing cherrypick shares data files with expired commits)
+        for v in sorted(set(versions) | keep):
+            if v in expired_set:
+                continue
+            try:
+                _, live = self._state(v)
+            except TableError:
+                if v in keep:
+                    raise  # a kept commit must be readable — fail closed
+                # a SURVIVOR whose state cannot be replayed (corrupt
+                # checkpoint on its chain, or a racing maintenance run
+                # deleted it after our in-flight check): its file
+                # references are unknown, so GC could delete data its
+                # acknowledged state needs — pause the whole expiry
+                # (nothing mutated yet); a vanished survivor resolves
+                # by the next run, a corrupt checkpoint surfaces via
+                # the read path's own error
+                warnings.warn(
+                    f"expire_snapshots paused: state of surviving "
+                    f"commit {v} under {self.log_dir} cannot be "
+                    "replayed; nothing expired this run",
+                    RuntimeWarning, stacklevel=2)
+                return []
+            if v in keep:
+                # only kept commits are re-read by the squash loop; do
+                # not retain every survivor's AddFile list
+                live_by_v[v] = live
+            referenced.update(a.path for a in live)
         # squash: rewrite each kept commit whose parent is expired into a
         # full-state checkpoint commit (same version number, same live set)
         for v in sorted(keep):
@@ -2430,7 +2541,11 @@ class LakeTable:
                 and int(old_skp) in expired_set
             )
             if fresh_squash or stale_hop:
-                _, live = self._state(v)
+                # already replayed by the referenced loop (which covers
+                # keep ∪ versions and either fills this dict for every
+                # kept commit, raises, or pauses the expiry); squash
+                # preserves live sets by construction
+                live = live_by_v[v]
                 # nearest RETAINED ancestor below the squash point,
                 # resolved NOW while the expired chain is still readable
                 # — ancestry walks (fast_forward's ancestor check, the
@@ -2464,25 +2579,17 @@ class LakeTable:
                     properties=c.properties,
                     summary=summary,
                 )
-                tmp = self._commit_path(v) + ".tmp"
+                # uuid-suffixed like _write_checkpoint: two concurrent
+                # expiries squashing the same kept commit must not
+                # interleave writes into one shared tmp file
+                tmp = self._commit_path(v) + f".{uuid.uuid4().hex}.tmp"
                 with open(tmp, "w") as fh:
                     json.dump(squashed.to_json(), fh)
                 os.replace(tmp, self._commit_path(v))
-        # referenced files across ALL surviving commits' live sets — kept
-        # AND in-flight-protected (r10: a protected cherrypick can share
-        # a data file with an expired original; GC keyed on `keep` alone
-        # would delete it out from under the survivor's live state)
-        referenced: set[str] = set()
-        for v in versions:
-            if v in expired_set:
-                continue
-            _, live = self._state(v)
-            referenced.update(a.path for a in live)
         for v in expired:
             try:
                 adds = self._read_commit(v).add
-            except (TableError, json.JSONDecodeError, KeyError,
-                    TypeError, ValueError, AttributeError):
+            except TableError:
                 # torn/corrupt debris (e.g. a 0-byte file from a crashed
                 # writer, past the grace window): no trustworthy file
                 # list — still remove the commit file itself, or every
@@ -2545,13 +2652,34 @@ class LakeTable:
             cutoff = older_than_timestamp_ms
         referenced: set[str] = set()
         for v in self._versions():
-            for a in self._read_commit(v).add:
+            try:
+                adds = self._read_commit(v).add
+            except TableError:
+                # vanished mid-run (concurrent expire — its own sweep
+                # covered what it kept) is tolerable; CORRUPTION is not:
+                # an unreadable live commit has UNKNOWN references, and
+                # sweeping without them could delete its data. Fail
+                # closed, typed, like expire_snapshots (r10 wave 10).
+                if os.path.exists(self._commit_path(v)):
+                    raise
+                continue
+            for a in adds:
                 referenced.add(a.path)
             cp = self._checkpoint_path(v)
             if os.path.exists(cp):
-                with open(cp) as fh:
-                    for a in Commit.from_json(json.load(fh)).add:
-                        referenced.add(a.path)
+                try:
+                    with open(cp) as fh:
+                        for a in Commit.from_json(json.load(fh)).add:
+                            referenced.add(a.path)
+                except FileNotFoundError:
+                    pass  # GC'd between exists() and open — a
+                    # checkpoint is pure acceleration (r10 wave 10)
+                except (json.JSONDecodeError, KeyError, TypeError,
+                        ValueError, AttributeError) as e:
+                    raise CorruptCommitError(
+                        f"corrupt checkpoint file for {v} under "
+                        f"{self.log_dir}"
+                    ) from e
         removed: list[str] = []
         for abs_p in glob.glob(
             os.path.join(self.path, "data", "**", "*.parquet"),

@@ -2436,3 +2436,269 @@ def test_unpartitioned_multi_append_plans_single_relation(cat, spark,
     # arity = |distinct partition values| (2), not |write groups| (4)
     pplan = lp.read()._jdf.queryExecution().optimizedPlan().toString()
     assert pplan.count("Relation") == 2, pplan[:2000]
+
+
+def test_expire_survives_torn_in_flight_survivor(cat, spark):
+    """r10 review waves 1-2: a TORN survivor commit (protected by
+    _in_flight precisely because it is fresh and unreadable) means its
+    chain cannot be vouched for — expiry must fail CLOSED by pausing GC
+    entirely (return [], nothing deleted) rather than crash (wave 1) or
+    expire the torn survivor's unvouched ancestors (wave 2: a mid-write
+    cherrypick may share data files with an expired original). Once the
+    file is whole again, the same expiry proceeds."""
+    cat.create_database("db")
+    t = cat.create_table("db.torn", spark.createDataFrame([(0,)], "k int"))
+    lt = t if not hasattr(t, "_table") else t._table
+    for i in (1, 2, 3):
+        lt.append(spark.createDataFrame([(i,)], "k int"))
+    lt.create_branch("z", at=0)
+    lt.rollback_to_snapshot(2)  # v3 becomes an in-flight survivor
+    # tear v3's commit file (fresh mtime keeps it inside the grace)
+    p3 = lt._commit_path(3)
+    with open(p3) as fh:
+        whole = fh.read()
+    with open(p3, "w") as fh:
+        fh.write(whole[:20])
+
+    assert lt.expire_snapshots(older_than_ms=10**15, retain_last=1) == []
+    assert lt._versions() == [0, 1, 2, 3]  # nothing deleted
+
+    with open(p3, "w") as fh:
+        fh.write(whole)  # the writer finished its dump
+    expired = lt.expire_snapshots(older_than_ms=10**15, retain_last=1)
+    # v1 is now vouched for by v3's walk (3 -> 2 -> 1 -> 0): protected
+    assert expired == []
+    lt.drop_branch("z")
+    lt.rollback_to_snapshot(3)  # v3 published; v1 back on main lineage
+    assert sorted(r.k for r in lt.read().collect()) == [0, 1, 2, 3]
+
+
+def test_backtick_rewrite_only_in_relation_position(cat, spark):
+    """r10 review wave 1: the backtick normalization must not touch
+    backtick-quoted identifiers OUTSIDE relation position — an output
+    alias spelled like a table name stays an alias."""
+    cat.create_database("nyc")
+    cat.create_table("nyc.al", spark.createDataFrame([(1,), (2,)], "k int"))
+    row = cat.sql(
+        'SELECT count(*) AS `nyc.al` FROM `nyc.al`'
+    ).collect()[0]
+    assert row["nyc.al"] == 2
+    # comma-separated FROM lists and qualified column prefixes (no
+    # relation keyword adjacent) still normalize — r10 review wave 2
+    cat.create_table("nyc.al2", spark.createDataFrame([(7,)], "j int"))
+    rows = cat.sql(
+        "SELECT `nyc.al`.k, `nyc.al2`.j FROM `nyc.al`, `nyc.al2`"
+    ).collect()
+    assert sorted((r.k, r.j) for r in rows) == [(1, 7), (2, 7)]
+    # catalog-qualified backticked relation (r10 review wave 3)
+    assert cat.sql("SELECT count(*) AS c FROM demo.`nyc.al`").first().c == 2
+    # ORDER BY reference to an alias that spells a table name
+    rows = cat.sql(
+        "SELECT k AS `nyc.al` FROM `nyc.al` ORDER BY `nyc.al` DESC"
+    ).collect()
+    assert [r["nyc.al"] for r in rows] == [2, 1]
+
+
+def test_backtick_qualified_prefix_in_by_clauses(cat, spark):
+    """r10 review wave 4: a backticked table name used as a
+    qualified-column PREFIX references the relation wherever it appears
+    — GROUP BY/ORDER BY included — while a bare occurrence after BY
+    stays an alias reference."""
+    cat.create_database("nyc")
+    cat.create_table(
+        "nyc.q", spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")],
+                                       "k int, g string"))
+    rows = cat.sql(
+        "SELECT `nyc.q`.g, count(*) AS c FROM `nyc.q` "
+        "GROUP BY `nyc.q`.g ORDER BY `nyc.q`.g"
+    ).collect()
+    assert [(r.g, r.c) for r in rows] == [("a", 2), ("b", 1)]
+
+
+def test_backtick_relation_after_block_comment(cat, spark):
+    """r10 review wave 5: a /* hint */ between the keyword and the
+    backticked relation must not defeat normalization."""
+    cat.create_database("nyc")
+    cat.create_table("nyc.cm", spark.createDataFrame([(1,)], "k int"))
+    assert cat.sql(
+        "SELECT count(*) AS c FROM /* hint */ `nyc.cm`").first().c == 1
+
+
+def test_backtick_alias_and_by_list_edge_cases(cat, spark):
+    """r10 review wave 6: (a) a multi-key ORDER BY list referencing a
+    backticked alias stays an alias reference (the comma rule applies
+    only inside FROM-like clauses); (b) a table ALIAS that spells a
+    lakeshed table name shadows it for qualified prefixes; (c) bare
+    DESCRIBE of a backticked name resolves."""
+    cat.create_database("nyc")
+    cat.create_table(
+        "nyc.e", spark.createDataFrame([(1, "z"), (2, "z")],
+                                       "k int, g string"))
+    rows = cat.sql(
+        "SELECT k AS `nyc.e`, g FROM `nyc.e` ORDER BY g, `nyc.e` DESC"
+    ).collect()
+    assert [r["nyc.e"] for r in rows] == [2, 1]
+
+    other = spark.createDataFrame([(99,)], "k int")
+    other.createOrReplaceTempView("othersrc")
+    rows = cat.sql(
+        "SELECT `nyc.e`.k AS k FROM othersrc AS `nyc.e`"
+    ).collect()
+    assert [r.k for r in rows] == [99]  # alias shadows the table
+
+    d = cat.sql("DESCRIBE `nyc.e`").collect()
+    assert {r.col_name for r in d} >= {"k", "g"}
+
+
+def test_backtick_from_list_with_subquery_and_comment(cat, spark):
+    """r10 review wave 7: FROM-list comma detection must be paren-depth
+    aware (a derived table's SELECT must not hide the FROM) and
+    comment-masked; DESCRIBE of a backticked name routes to
+    LakeTable.describe() like the plain spelling."""
+    cat.create_database("nyc")
+    cat.create_table("nyc.w7", spark.createDataFrame([(5,)], "k int"))
+    rows = cat.sql(
+        "SELECT x.j, `nyc.w7`.k FROM (SELECT 1 AS j) x, `nyc.w7`"
+    ).collect()
+    assert [(r.j, r.k) for r in rows] == [(1, 5)]
+    # a JOIN..ON before the FROM-list comma does not end the hunt
+    spark.createDataFrame([(1, 2)], "a int, b int") \
+        .createOrReplaceTempView("jsrc")
+    rows = cat.sql(
+        "SELECT count(*) AS c FROM jsrc j1 JOIN jsrc j2 ON j1.a = j2.a, "
+        "`nyc.w7`"
+    ).collect()
+    assert rows[0].c == 1
+    # keywords inside comments are masked out of the keyword scan
+    rows = cat.sql(
+        "SELECT count(*) AS c FROM /* select by order */ `nyc.w7`"
+    ).collect()
+    assert rows[0].c == 1
+    # DESCRIBE parity between spellings
+    plain = {(r.col_name, r.data_type)
+             for r in cat.sql("DESCRIBE nyc.w7").collect()}
+    ticked = {(r.col_name, r.data_type)
+              for r in cat.sql("DESCRIBE `nyc.w7`").collect()}
+    assert plain == ticked
+
+
+def test_corrupt_commit_and_checkpoint_raise_typed(cat, spark):
+    """r10 review wave 8: corruption surfaces as CorruptCommitError
+    everywhere — a torn COMMIT file through read()/_state, a torn
+    CHECKPOINT through _chain — and expire fails loudly when a READABLE
+    survivor's ancestor is corrupt (vs pausing for a torn survivor)."""
+    import os as _os
+
+    from lakeshed.table import CorruptCommitError
+
+    cat.create_database("db")
+    t = cat.create_table("db.cc", spark.createDataFrame([(0,)], "k int"))
+    lt = t if not hasattr(t, "_table") else t._table
+    for i in range(1, 25):  # crosses the auto-checkpoint at v20
+        lt.append(spark.createDataFrame([(i,)], "k int"))
+
+    # corrupt the checkpoint: every chain replay must raise TYPED
+    cp = lt._checkpoint_path(20)
+    assert _os.path.exists(cp)
+    with open(cp) as fh:
+        whole = fh.read()
+    with open(cp, "w") as fh:
+        fh.write(whole[:15])
+    with pytest.raises(CorruptCommitError, match="checkpoint"):
+        lt.read().collect()
+    with open(cp, "w") as fh:
+        fh.write(whole)
+
+    # corrupt a COMMIT file: read paths raise the typed error, and
+    # expire (whose keep walk is strict) surfaces it instead of GC'ing
+    p10 = lt._commit_path(10)
+    with open(p10) as fh:
+        whole10 = fh.read()
+    with open(p10, "w") as fh:
+        fh.write(whole10[:15])
+    with pytest.raises(CorruptCommitError, match="commit"):
+        lt.read(version=10).collect()
+    with pytest.raises(CorruptCommitError):
+        lt.expire_snapshots(older_than_ms=10**15, retain_last=3)
+    assert lt._versions() == list(range(25))  # nothing was deleted
+    with open(p10, "w") as fh:
+        fh.write(whole10)
+    assert len(lt.expire_snapshots(older_than_ms=10**15,
+                                   retain_last=3)) > 0
+
+
+def test_backtick_using_column_list_and_merge_using(cat, spark):
+    """r10 review wave 8: USING (cols) is a column list — a backticked
+    column that spells a table name survives; MERGE ... USING `t`
+    (paren-less) is relation position."""
+    cat.create_database("nyc")
+    cat.create_table("nyc.u8", spark.createDataFrame([(1,)], "k int"))
+    spark.createDataFrame([(1, "x")], "`nyc.u8` int, v string") \
+        .createOrReplaceTempView("ua")
+    spark.createDataFrame([(1, "y")], "`nyc.u8` int, w string") \
+        .createOrReplaceTempView("ub")
+    rows = cat.sql(
+        "SELECT v, w FROM ua JOIN ub USING (`nyc.u8`)"
+    ).collect()
+    assert [(r.v, r.w) for r in rows] == [("x", "y")]
+    # per-segment-backticked DESCRIBE routes like the plain spelling
+    plain = {r.col_name for r in cat.sql("DESCRIBE nyc.u8").collect()}
+    seg = {r.col_name for r in cat.sql("DESCRIBE `nyc`.`u8`").collect()}
+    assert plain == seg
+
+
+def test_backtick_implicit_alias_and_tempview_describe(cat, spark):
+    """r10 review wave 9: an IMPLICIT alias (no AS) that spells a table
+    name shadows it for qualified prefixes; DESCRIBE of a backticked
+    temp view falls through to stock Spark instead of raising."""
+    cat.create_database("nyc")
+    cat.create_table("nyc.w9", spark.createDataFrame([(1,)], "k int"))
+    spark.createDataFrame([(42,)], "k int").createOrReplaceTempView("osrc")
+    rows = cat.sql("SELECT `nyc.w9`.k AS k FROM osrc `nyc.w9`").collect()
+    assert [r.k for r in rows] == [42]  # implicit alias wins
+    spark.createDataFrame([(5, "x")], "a int, b string") \
+        .createOrReplaceTempView("plainview")
+    d = cat.sql("DESCRIBE `plainview`").collect()
+    assert {r.col_name for r in d} >= {"a", "b"}
+
+
+def test_backtick_stopword_in_name_and_orphan_sweep_debris(cat, spark,
+                                                           tmp_path):
+    """r10 review wave 10: (a) a clause stop-word INSIDE a backticked
+    relation name must not poison the FROM-list scan for the next item;
+    (b) DESCRIBE of a plain-spelled temp view falls through to Spark;
+    (c) remove_orphan_files tolerates a checkpoint vanishing and fails
+    typed on a corrupt live commit."""
+    import os as _os
+
+    from lakeshed.table import CorruptCommitError
+
+    cat.create_database("nyc")
+    cat.create_table("nyc.order", spark.createDataFrame([(1,)], "k int"))
+    cat.create_table("nyc.al2", spark.createDataFrame([(2,)], "j int"))
+    rows = cat.sql(
+        "SELECT `nyc.order`.k, `nyc.al2`.j FROM `nyc.order`, `nyc.al2`"
+    ).collect()
+    assert [(r.k, r.j) for r in rows] == [(1, 2)]
+
+    spark.createDataFrame([(3,)], "z int").createOrReplaceTempView("pv10")
+    assert {r.col_name for r in cat.sql("DESCRIBE pv10").collect()} >= {"z"}
+
+    t = cat.create_table("nyc.orf", spark.createDataFrame([(0,)], "k int"))
+    lt = t if not hasattr(t, "_table") else t._table
+    lt.append(spark.createDataFrame([(1,)], "k int"))
+    p1 = lt._commit_path(1)
+    with open(p1) as fh:
+        whole = fh.read()
+    with open(p1, "w") as fh:
+        fh.write(whole[:10])
+    with pytest.raises(CorruptCommitError):
+        lt.remove_orphan_files(max_age_ms=0)
+    with open(p1, "w") as fh:
+        fh.write(whole)
+    removed = lt.remove_orphan_files(max_age_ms=0)
+    # only unreferenced debris (e.g. empty part files) may go; every
+    # committed row is still readable afterwards
+    live_paths = {a.path for a in lt.plan_files()}
+    assert not (set(removed) & live_paths)
+    assert sorted(r.k for r in lt.read().collect()) == [0, 1]
