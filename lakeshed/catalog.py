@@ -342,13 +342,34 @@ class Catalog:
         # Any mix of backticks normalizes by stripping them; a name that
         # is NOT a lakeshed table (a temp view, say) falls through to
         # stock spark.sql DESCRIBE (r10 wave 9)
-        m = re.match(r"describe (?:extended )?([`\w.]+)$", low.strip())
-        if m:
-            name = m.group(1).replace("`", "")
-            if self._exists(name):
-                return self.table(name).describe()
-            # not a lakeshed table (a temp view, say): fall through to
-            # stock spark.sql DESCRIBE for both spellings (r10 wave 10)
+        if low.startswith("desc"):
+            # comment-strip the ORIGINAL text (newline- and
+            # backtick-aware — r10 wave 14: `low` collapsed newlines,
+            # so a -- comment would swallow the statement tail)
+            dstmt = " ".join(_strip_comments(s).lower().split())
+            m = re.match(
+                r"desc(?:ribe)?\s+"
+                r"(?:extended\s+|formatted\s+|table\s+)?"
+                r"([`\w.]+)\s*(.*)$", dstmt)
+            if m:
+                name = m.group(1).replace("`", "")
+                # DESCRIBE DATABASE/FUNCTION/QUERY operate on other
+                # object kinds even when a table spells that name
+                if (name.split(".")[0] not in
+                        ("database", "function", "query", "schema")
+                        and self._exists(name)):
+                    if m.group(2):
+                        # column-/PARTITION-describe on a lakeshed
+                        # table: not supported — raising beats silently
+                        # returning whole-table rows or misrouting to
+                        # the temp view
+                        raise TableError(
+                            f"DESCRIBE ... {m.group(2)!r} is not "
+                            "supported on lakeshed tables; use "
+                            "DESCRIBE <table>")
+                    return self.table(name).describe()
+        # not a lakeshed table (a temp view, say): fall through to
+        # stock spark.sql DESCRIBE for any spelling (r10 waves 10-14)
         if low in ("show databases", "show namespaces"):
             return self.spark.createDataFrame(
                 [(d,) for d in sorted(self.databases())],
@@ -697,13 +718,27 @@ class Catalog:
         compiles each assignment to ``CASE WHEN cond THEN expr ELSE
         t.col END`` so it rides the same rewrite projection."""
         m = re.match(
-            r"merge\s+into\s+([\w.]+)"
+            r"merge\s+into\s+((?:`[\w.]+`|\w+)(?:\.(?:`[\w.]+`|\w+))*)"
             r"(?:\s+(?:as\s+)?(?!using\b)(\w+))?"
             r"\s+using\s+", s, re.IGNORECASE,
         )
         if not m:
             raise TableError(f"cannot parse MERGE INTO: {s[:80]!r}")
-        tbl, talias = m.group(1), m.group(2) or m.group(1)
+        tbl = m.group(1).replace("`", "")
+        talias = m.group(2) or tbl
+        # normalize ticked spellings of the target (as written, plain,
+        # or catalog-less) in the statement tail so unaliased ON/SET
+        # references like `nyc.t`.k reach the clause parsers in one
+        # canonical form — regardless of how the TARGET was spelled
+        spellings = {m.group(1), f"`{tbl}`"}
+        parts = tbl.split(".")
+        if len(parts) == 3:
+            spellings.add("`" + ".".join(parts[1:]) + "`")
+        for spell in spellings:
+            if "`" not in spell:
+                continue
+            s = s[:m.end()] + _sub_outside_quotes(
+                re.escape(spell), spell.replace("`", ""), s[m.end():])
         rest = s[m.end():].lstrip()
 
         # source: balanced-paren subquery or a [db.]table / temp-view name
@@ -718,8 +753,15 @@ class Catalog:
             rest = rest[i + 1:].lstrip()
             salias = "s"
         else:
-            mm = re.match(r"([\w.]+)", rest)
-            src_name = mm.group(1)
+            mm = re.match(
+                r"((?:`[\w.]+`|\w+)(?:\.(?:`[\w.]+`|\w+))*)", rest)
+            if not mm:
+                raise TableError(
+                    f"cannot parse MERGE source: {rest[:60]!r}")
+            src_name = mm.group(1).replace("`", "")
+            if "`" in mm.group(1):
+                rest = rest[:mm.end()] + _sub_outside_quotes(
+                    re.escape(mm.group(1)), src_name, rest[mm.end():])
             if self._exists(src_name):
                 # the pins redirect catalog-table SOURCE reads exactly
                 # like plain SELECTs (a subquery source routed through
@@ -930,19 +972,12 @@ class Catalog:
                     if not re.search(pat, s, re.IGNORECASE):
                         return  # this table is not spelled here at all
                     ms = _mask_quotes(s)
-                    # comments masked too: keywords inside /* */ or --
-                    # must not steer relation-position detection
-                    mcs = re.sub(r"/\*.*?\*/",
-                                 lambda m: " " * len(m.group()), ms,
-                                 flags=re.S)
-                    mcs = re.sub(r"--[^\n]*",
-                                 lambda m: " " * len(m.group()), mcs)
-                    # SCAN mask: backticked identifier contents blanked
-                    # too — a stop-word inside a relation/alias NAME
-                    # (`nyc.order`) must not steer keyword detection
-                    # (r10 wave 10)
-                    mscan = re.sub(r"`[^`\n]*`",
-                                   lambda m: " " * len(m.group()), mcs)
+                    # one-pass comment+identifier classification: mcs
+                    # blanks comments (identifiers intact — alias
+                    # detection reads it), mscan blanks both (all
+                    # position/keyword scanning reads it; a stop-word
+                    # inside `nyc.order` must not steer detection)
+                    mcs, mscan = _bt_masks(ms)
                     # a statement that DEFINES this spelling as an alias
                     # (``... AS `nyc.bt```) uses it as an identifier, not
                     # a relation — suppress prefix rewrites for it
@@ -958,11 +993,20 @@ class Catalog:
                         j = _bt_skip_back(mscan, m.start() - 1)
                         if j >= 0 and mscan[j] == ".":
                             # dot-qualified: a catalog-qualified relation
-                            # (demo.`nyc.bt` — strip the qualifier AND
-                            # normalize, mirroring the plain-spelling
-                            # catalog strip below) vs an alias/struct
-                            # member path (t.`nyc.bt` — leave quoted)
+                            # (demo.`nyc.bt` or `demo`.`nyc.bt` — strip
+                            # the qualifier AND normalize, mirroring the
+                            # plain-spelling catalog strip below) vs an
+                            # alias/struct member path (t.`nyc.bt` —
+                            # leave quoted)
                             k = j - 1
+                            if k >= 0 and mcs[k] == "`":
+                                o = mcs.rfind("`", 0, k)
+                                if (o >= 0 and mcs[o + 1:k].lower()
+                                        == self.name.lower()
+                                        and (o == 0
+                                             or mcs[o - 1] not in ".`")):
+                                    repls.append((o, m.end()))
+                                continue
                             while k >= 0 and (mscan[k].isalnum()
                                               or mscan[k] == "_"):
                                 k -= 1
@@ -998,9 +1042,7 @@ class Catalog:
                         # a quoted identifier. Full alias tracking needs
                         # a real parser; the router is deliberately
                         # regex-level.
-                        skipped_paren = False
                         while j >= 0 and mscan[j] == "(":
-                            skipped_paren = True
                             j = _bt_skip_back(mscan, j - 1)
                         if j >= 0 and mscan[j] == ",":
                             if _bt_comma_in_from_list(mscan, j):
@@ -1011,12 +1053,11 @@ class Catalog:
                                           or mscan[k] == "_"):
                             k -= 1
                         prev_word = mscan[k + 1:j + 1].lower()
-                        if skipped_paren and prev_word == "using":
-                            continue  # USING (cols): a column list —
-                            # only the paren-less MERGE ... USING `t`
-                            # form takes a relation
+                        # no 'using': MERGE routes to _merge_into before
+                        # any SELECT rewriting, and JOIN ... USING (cols)
+                        # is a COLUMN list (r10 wave 11)
                         if prev_word in ("from", "join", "into", "update",
-                                         "table", "using", "lateral"):
+                                         "table", "lateral"):
                             repls.append((m.start(), m.end()))
                         else:
                             # a bare occurrence OUTSIDE relation position
@@ -1235,6 +1276,72 @@ def _mask_quotes(s: str) -> str:
         for i in range(a, b):
             out[i] = " "
     return "".join(out)
+
+
+def _strip_comments(s: str) -> str:
+    """``s`` with /* */ and -- comments blanked to spaces — string
+    literals and backticked identifiers are opaque (a ``--`` inside
+    either is data, not a comment), same classification as
+    :func:`_bt_masks` but applied to the ORIGINAL text."""
+    ms = _mask_quotes(s)
+    out = list(s)
+    i, n = 0, len(ms)
+    while i < n:
+        ch = ms[i]
+        if ch == "`":
+            j = ms.find("`", i + 1)
+            j = n - 1 if j < 0 else j
+            i = j + 1
+        elif ch == "/" and i + 1 < n and ms[i + 1] == "*":
+            j = ms.find("*/", i + 2)
+            j = n - 2 if j < 0 else j
+            for k in range(i, j + 2):
+                out[k] = " "
+            i = j + 2
+        elif ch == "-" and i + 1 < n and ms[i + 1] == "-":
+            j = ms.find("\n", i)
+            j = n if j < 0 else j
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _bt_masks(ms: str) -> tuple[str, str]:
+    """One left-to-right pass over quote-masked text classifying block
+    comments, line comments and backticked identifiers TOGETHER — a
+    ``--`` inside an identifier is identifier text, a backtick inside a
+    comment is comment text (r10 waves 11-12; two-regex ordering gets
+    one or the other wrong). Returns (mcs, mscan): comments blanked
+    with identifiers intact, and both blanked for position scanning."""
+    mcs = list(ms)
+    mscan = list(ms)
+    i, n = 0, len(ms)
+    while i < n:
+        ch = ms[i]
+        if ch == "`":
+            j = ms.find("`", i + 1)
+            j = n - 1 if j < 0 else j
+            for k in range(i, j + 1):
+                mscan[k] = " "
+            i = j + 1
+        elif ch == "/" and i + 1 < n and ms[i + 1] == "*":
+            j = ms.find("*/", i + 2)
+            j = n - 2 if j < 0 else j
+            for k in range(i, j + 2):
+                mcs[k] = mscan[k] = " "
+            i = j + 2
+        elif ch == "-" and i + 1 < n and ms[i + 1] == "-":
+            j = ms.find("\n", i)
+            j = n if j < 0 else j
+            for k in range(i, j):
+                mcs[k] = mscan[k] = " "
+            i = j
+        else:
+            i += 1
+    return "".join(mcs), "".join(mscan)
 
 
 _BT_CLAUSE_STOP = frozenset((

@@ -711,7 +711,11 @@ class LakeTable:
                 continue  # later sibling loses to us, not us to it
             try:
                 c2 = self._read_commit(v2)
-            except (TableError, json.JSONDecodeError, KeyError):
+            except TableError:
+                # missing or corrupt (typed from _read_commit since
+                # r10): an unreadable candidate cannot be validated as
+                # a same-branch winner — skip it deliberately; the
+                # exclusive create + ref CAS still guard the real race
                 continue
             if c2.branch == branch and c2.parent == parent:
                 if won is None:

@@ -2702,3 +2702,80 @@ def test_backtick_stopword_in_name_and_orphan_sweep_debris(cat, spark,
     live_paths = {a.path for a in lt.plan_files()}
     assert not (set(removed) & live_paths)
     assert sorted(r.k for r in lt.read().collect()) == [0, 1]
+
+
+def test_backtick_identifier_containing_comment_marker(cat, spark):
+    """r10 review wave 11: a `--` inside a backticked identifier must
+    not blank the statement tail for the comment mask — the relation
+    after it still normalizes; a real trailing -- comment still masks."""
+    cat.create_database("nyc")
+    cat.create_table("nyc.cm2", spark.createDataFrame([(1,)], "k int"))
+    rows = cat.sql(
+        "SELECT k AS `a--b` FROM `nyc.cm2` -- from `nyc.cm2`"
+    ).collect()
+    assert [r["a--b"] for r in rows] == [1]
+
+
+def test_backtick_comment_interplay_and_merge_target(cat, spark):
+    """r10 review wave 12: (a) a backtick inside a block comment must
+    not derail identifier masking; (b) `demo`.`db.t` (backticked
+    catalog qualifier) normalizes; (c) MERGE accepts backticked target
+    and source spellings."""
+    cat.create_database("nyc")
+    cat.create_table("nyc.m12", spark.createDataFrame([(1, "a")],
+                                                      "k int, v string"))
+    assert cat.sql(
+        "SELECT /* x` y */ count(*) AS c FROM `nyc.m12`").first().c == 1
+    assert cat.sql(
+        "SELECT count(*) AS c FROM `demo`.`nyc.m12`").first().c == 1
+
+    cat.create_table("nyc.msrc", spark.createDataFrame([(1, "b")],
+                                                       "k int, v string"))
+    cat.sql(
+        "MERGE INTO `nyc.m12` t USING `nyc.msrc` s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v")
+    assert [r.v for r in cat.table("nyc.m12").read().collect()] == ["b"]
+
+    with pytest.raises(TableError, match="not supported"):
+        cat.sql("DESCRIBE nyc.m12 PARTITION (k=1)")
+    # trailing comments are NOT a suffix; unaliased ticked references work
+    d = cat.sql("DESCRIBE nyc.m12 -- check schema").collect()
+    assert {r.col_name for r in d} >= {"k", "v"}
+    # unaliased ticked target: ON references by the same ticked spelling
+    cat.sql(
+        "MERGE INTO `nyc.m12` USING `nyc.msrc` s "
+        "ON `nyc.m12`.k = s.k WHEN MATCHED THEN UPDATE SET v = 'c'")
+    assert [r.v for r in cat.table("nyc.m12").read().collect()] == ["c"]
+    # catalog-qualified ticked target with an explicit alias
+    cat.sql(
+        "MERGE INTO `demo`.`nyc.m12` t USING `nyc.msrc` s "
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET t.v = 'd'")
+    assert [r.v for r in cat.table("nyc.m12").read().collect()] == ["d"]
+
+
+def test_describe_spellings_and_merge_ticked_refs(cat, spark):
+    """r10 review wave 14: DESCRIBE comment handling is newline- and
+    backtick-aware and covers TABLE/FORMATTED/DESC spellings; a
+    plain-spelled MERGE target still accepts ticked ON/SET references."""
+    cat.create_database("nyc")
+    cat.create_table("nyc.d14", spark.createDataFrame([(1, "a")],
+                                                      "k int, v string"))
+    want = {r.col_name for r in cat.sql("DESCRIBE nyc.d14").collect()}
+    for stmt in ("DESCRIBE TABLE nyc.d14", "DESCRIBE FORMATTED nyc.d14",
+                 "DESC nyc.d14", "DESCRIBE nyc.d14 -- check\n"):
+        got = {r.col_name for r in cat.sql(stmt).collect()}
+        assert got == want, stmt
+    # a -- comment before the name must not swallow it (newline kept)
+    got = {r.col_name for r in cat.sql("DESCRIBE -- the table\nnyc.d14"
+                                       ).collect()}
+    assert got == want
+    # suffix after a comment still raises (comment itself is not suffix)
+    with pytest.raises(TableError, match="not supported"):
+        cat.sql("DESCRIBE nyc.d14 -- x\nPARTITION (k=1)")
+
+    cat.create_table("nyc.d14s", spark.createDataFrame([(1, "b")],
+                                                       "k int, v string"))
+    cat.sql(
+        "MERGE INTO nyc.d14 USING nyc.d14s s ON `nyc.d14`.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v")
+    assert [r.v for r in cat.table("nyc.d14").read().collect()] == ["b"]
