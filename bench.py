@@ -98,6 +98,26 @@ BENCH_NOTES: dict[str, str] = {
         "itself was contended. Noise; the canary field now makes this "
         "class of drift self-documenting."
     ),
+    "llm_minhash_neardup": (
+        "r10-regression attribution (VERDICT r10 #1): 5 quiet-box runs "
+        "(canaries 0.058-0.084 s after the first = quiet) measured "
+        "2.159-2.743 s — the band contains r9 (2.17) and sits BELOW "
+        "r10's 2.87: the r10 sample was contended (its before-canary "
+        "0.217 s was above the 0.15-0.19 quiet band). Quiet ratio vs "
+        "the r02 baseline (1.45) is 1.49x at the band min — not the "
+        "1.97x the contended sample suggested. The banded-LSH plan is "
+        "unchanged; intrinsic variance on this entry is high (~25% "
+        "band width) because signature materialization is re-paid per "
+        "timed run by design (release_persisted honesty fix, r5)."
+    ),
+    "stream_sessionization": (
+        "r10-regression attribution (VERDICT r10 #1): 5 quiet-box runs "
+        "(canaries 0.053-0.078 s = quiet) measured 1.825-2.769 s — the "
+        "band contains BOTH r9 (1.94) and r10 (2.60). Stateful "
+        "streaming harness rows have high intrinsic variance (floor "
+        "1.103 s + session-window state store timing); noise, not a "
+        "plan change (path untouched in r10)."
+    ),
     "llm_leakage_safe_split": (
         "Times the split projection over a cluster-labels table "
         "materialized ONCE at warmup (the production shape: clustering is "
@@ -108,6 +128,46 @@ BENCH_NOTES: dict[str, str] = {
         "this entry are a workload redefinition, not a plan speedup."
     ),
 }
+
+
+# Measured micro-batch floors (SCALING.md §streaming, r10): fixed
+# per-QUERY harness cost — trigger scheduling + checkpoint filesystem
+# latency — by harness shape. Subtracted per stream row into
+# BENCH_DETAIL's stream_residuals so drift triage reads off the
+# artifact (VERDICT r10 #8). stream_cdc_diff runs no streaming query
+# (batch DML + snapshot diff) — no floor entry.
+STREAM_FLOORS: dict[str, float] = {
+    "stream_windowed_rollup": 1.103,   # stateful agg
+    "stream_sessionization": 1.103,    # stateful agg (session window)
+    "stream_stream_join": 1.103,       # stateful (interval join)
+    "stream_dedup_events": 1.103,      # stateful (dropDuplicates)
+    "stream_static_enrich": 0.246,     # stateless append
+    "stream_changelog_upsert": 2.05,   # merge-shaped (foreachBatch)
+}
+
+# Quiet-box canary bands (same-position comparison; documented with the
+# canary below). A sample outside its band marks the round CONTENDED and
+# triggers the self-serve drift re-run (VERDICT r10 #2).
+CANARY_QUIET_BEFORE_MAX = 0.19
+CANARY_QUIET_AFTER_MAX = 0.10
+
+
+def _prior_detail(repo: str, rnd: int) -> dict[str, float]:
+    """Per-query timings from the newest BENCH_DETAIL_r{M}.json with
+    M < rnd — the comparison base for contended-round re-runs."""
+    best: tuple[int, dict] | None = None
+    for f in os.listdir(repo):
+        m = re.match(r"BENCH_DETAIL_r(\d+)\.json$", f)
+        if not m or int(m.group(1)) >= rnd:
+            continue
+        if best is None or int(m.group(1)) > best[0]:
+            try:
+                with open(os.path.join(repo, f)) as fh:
+                    best = (int(m.group(1)), json.load(fh).get(
+                        "queries", {}))
+            except (OSError, json.JSONDecodeError):
+                continue
+    return best[1] if best else {}
 
 
 def _canary(spark) -> float:
@@ -209,6 +269,41 @@ def main() -> None:
         ]
         rnd = len(prior) + 1
     detail_name = f"BENCH_DETAIL_r{rnd:02d}.json"
+
+    # Contended-round self-attribution (VERDICT r10 #2): when either
+    # canary sample falls outside its quiet band, automatically re-run
+    # the worst drifters vs the PRIOR round's detail file after the
+    # suite and record both samples — the "attribute last round's
+    # drift" task becomes an artifact instead of next round's homework.
+    # The headline total keeps the in-suite samples (methodology
+    # unchanged); re-runs are extra evidence, not replacements.
+    contended = (canary_before > CANARY_QUIET_BEFORE_MAX
+                 or canary_after > CANARY_QUIET_AFTER_MAX)
+    reruns: dict[str, dict[str, float]] = {}
+    if contended and sf == 0.1:
+        prior_t = _prior_detail(repo, rnd)
+        drifters = sorted(
+            (n for n, t in timings.items()
+             # >=0.3 s floor: tiny queries drift multiplicatively on
+             # scheduler jitter alone and would crowd out real signal
+             if prior_t.get(n, 0) >= 0.3 and t / prior_t[n] > 1.15),
+            key=lambda n: timings[n] / prior_t[n], reverse=True)[:5]
+        reg = q.spark_queries()
+        for name in drifters:
+            best = None
+            for _ in range(2):
+                release_persisted()
+                t0 = time.perf_counter()
+                reg[name](spark, SF_DIR).write.format(
+                    "noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            release_persisted()
+            reruns[name] = {
+                "suite_sec": timings[name],
+                "prior_sec": prior_t[name],
+                "rerun_sec": round(best, 3),
+            }
     if sf == 0.1:
         with open(os.path.join(repo, detail_name), "w") as fh:
             json.dump(
@@ -231,6 +326,20 @@ def main() -> None:
                     "canary": {
                         "before_sec": canary_before,
                         "after_sec": canary_after,
+                    },
+                    # True when a canary sample fell outside its quiet
+                    # band (before > 0.19 s / after > 0.10 s) — read
+                    # per-query swings this round with suspicion and
+                    # check contended_reruns for the post-suite samples
+                    "contended": contended,
+                    "contended_reruns": reruns,
+                    # bench minus the measured per-shape micro-batch
+                    # floor (SCALING.md §streaming): the data-dependent
+                    # part of each stream row; |residual drift| ≤0.15 s
+                    # is harness noise by the floor measurements
+                    "stream_residuals": {
+                        n: round(timings[n] - f, 3)
+                        for n, f in STREAM_FLOORS.items() if n in timings
                     },
                     "notes": BENCH_NOTES,
                 },
@@ -256,6 +365,7 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(timings),
             "canary": [canary_before, canary_after],
+            **({"contended": True} if contended else {}),
             "detail": detail_name,
         },
         separators=(",", ":"),

@@ -347,9 +347,14 @@ class Catalog:
             # backtick-aware — r10 wave 14: `low` collapsed newlines,
             # so a -- comment would swallow the statement tail)
             dstmt = " ".join(_strip_comments(s).lower().split())
+            # TABLE may combine with EXTENDED/FORMATTED (Spark accepts
+            # DESCRIBE TABLE EXTENDED t); without the combined prefix
+            # the word after TABLE parsed as the name, so 'extended'
+            # could shadow a real table of that name (r10 ADVICE)
             m = re.match(
                 r"desc(?:ribe)?\s+"
-                r"(?:extended\s+|formatted\s+|table\s+)?"
+                r"(?:table\s+(?:extended\s+|formatted\s+)?"
+                r"|extended\s+|formatted\s+)?"
                 r"([`\w.]+)\s*(.*)$", dstmt)
             if m:
                 name = m.group(1).replace("`", "")
@@ -726,19 +731,38 @@ class Catalog:
             raise TableError(f"cannot parse MERGE INTO: {s[:80]!r}")
         tbl = m.group(1).replace("`", "")
         talias = m.group(2) or tbl
-        # normalize ticked spellings of the target (as written, plain,
-        # or catalog-less) in the statement tail so unaliased ON/SET
-        # references like `nyc.t`.k reach the clause parsers in one
-        # canonical form — regardless of how the TARGET was spelled
-        spellings = {m.group(1), f"`{tbl}`"}
+        # normalize ticked spellings of the target in the statement tail
+        # so unaliased ON/SET references like `nyc.t`.k reach the clause
+        # parsers in one canonical form — regardless of how the TARGET
+        # was spelled. Covered: as-written, whole-quoted (`db.t`), and
+        # every per-part tick combination with >=1 ticked part
+        # (`db`.`t`, db.`t`, `db`.t) — for the full name and, when
+        # catalog-qualified, the catalog-less tail (r10 ADVICE: the
+        # per-part and mixed spellings were missing when the target was
+        # written plain, so references like `db`.`t`.k failed clause
+        # parsing). Plain-ended patterns carry word boundaries so `db`.t
+        # never eats a prefix of `db`.tx.
         parts = tbl.split(".")
+        pat_repl: dict[str, str] = {}
+        whole = [m.group(1), f"`{tbl}`"]
         if len(parts) == 3:
-            spellings.add("`" + ".".join(parts[1:]) + "`")
-        for spell in spellings:
-            if "`" not in spell:
-                continue
-            s = s[:m.end()] + _sub_outside_quotes(
-                re.escape(spell), spell.replace("`", ""), s[m.end():])
+            whole.append("`" + ".".join(parts[1:]) + "`")
+        for spell in whole:
+            if "`" in spell:
+                pat_repl[re.escape(spell)] = spell.replace("`", "")
+        for name_parts in ([parts] + ([parts[1:]]
+                                      if len(parts) == 3 else [])):
+            for mask in range(1, 1 << len(name_parts)):
+                ticked = [f"`{p}`" if mask >> i & 1 else p
+                          for i, p in enumerate(name_parts)]
+                pat = r"\.".join(re.escape(p) for p in ticked)
+                if not ticked[0].startswith("`"):
+                    pat = r"(?<![\w.`])" + pat
+                if not ticked[-1].endswith("`"):
+                    pat += r"(?![\w`])"
+                pat_repl[pat] = ".".join(name_parts)
+        for pat, repl in pat_repl.items():
+            s = s[:m.end()] + _sub_outside_quotes(pat, repl, s[m.end():])
         rest = s[m.end():].lstrip()
 
         # source: balanced-paren subquery or a [db.]table / temp-view name
@@ -988,8 +1012,14 @@ class Catalog:
                     repls = []
                     prefix_repls = []
                     for m in re.finditer(pat, s, re.IGNORECASE):
-                        if mcs[m.start()] != "`":
-                            continue  # inside a string literal/comment
+                        # inside a string literal/comment the masked char
+                        # differs from the original (match starts on a
+                        # backtick or identifier char — never a space, so
+                        # equality is an exact outside-literal test; the
+                        # mixed-spelling patterns start on a word char,
+                        # which the old literal-backtick guard rejected)
+                        if mcs[m.start()] != s[m.start()]:
+                            continue
                         j = _bt_skip_back(mscan, m.start() - 1)
                         if j >= 0 and mscan[j] == ".":
                             # dot-qualified: a catalog-qualified relation
@@ -1076,6 +1106,17 @@ class Catalog:
                     _norm_backticks(
                         rf"`{re.escape(db)}`\.`{re.escape(tbl)}`")
                     _norm_backticks(rf"`{re.escape(base)}`")
+                    # mixed spellings nyc.`taxis` / `nyc`.taxis (r10
+                    # ADVICE: these bypassed normalization and hit raw
+                    # spark.sql). The plain-start pattern forbids a
+                    # preceding word char/backtick but ALLOWS a dot so
+                    # demo.nyc.`taxis` still reaches the catalog-strip
+                    # branch; the plain-end pattern carries a word
+                    # boundary so `nyc`.taxis never eats `nyc`.taxis2.
+                    _norm_backticks(
+                        rf"(?<![\w`]){re.escape(db)}\.`{re.escape(tbl)}`")
+                    _norm_backticks(
+                        rf"`{re.escape(db)}`\.{re.escape(tbl)}(?![\w`])")
                 # catalog-qualified reads — strip a single leading
                 # ``<self.name>.`` segment so ``SELECT ... FROM
                 # demo.nyc.taxis_sample`` resolves like the write path's

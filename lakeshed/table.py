@@ -462,16 +462,19 @@ class LakeTable:
     def _checkpoint_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:08d}.checkpoint.json")
 
-    def _chain(self, version: int) -> list[Commit]:
+    def _chain(self, version: int,
+               stop: frozenset[int] = frozenset()) -> list[Commit]:
         """Commit chain root→version — a driver-side metadata walk that
         stops early at the newest checkpoint (Delta-style): a checkpoint
         file holds the FULL live file set at its version, so state
         reconstruction is O(commits since checkpoint), not O(all commits).
         At 100 TB with millions of commits this is the difference between
-        milliseconds and minutes of driver time per read."""
+        milliseconds and minutes of driver time per read. ``stop``
+        (versions whose state the caller already holds — _state's memo)
+        ends the walk WITHOUT reading the stopped version."""
         out: list[Commit] = []
         v: int | None = version
-        while v is not None:
+        while v is not None and v not in stop:
             cp = self._checkpoint_path(v)
             if os.path.exists(cp):
                 try:
@@ -516,15 +519,38 @@ class LakeTable:
             json.dump(snap.to_json(), fh)
         os.replace(tmp, self._checkpoint_path(version))
 
-    def _state(self, version: int) -> tuple[Commit, list[AddFile]]:
-        """Live file set at ``version``: replay add/remove along the chain."""
-        chain = self._chain(version)
-        live: dict[str, AddFile] = {}
+    def _state(
+        self, version: int,
+        _memo: dict[int, tuple["Commit", dict[str, AddFile]]] | None = None,
+    ) -> tuple[Commit, list[AddFile]]:
+        """Live file set at ``version``: replay add/remove along the chain.
+
+        ``_memo`` (version → (commit, live-dict)) makes replay
+        incremental across calls that walk overlapping chains: the walk
+        stops at the nearest memoized ancestor and seeds from its live
+        set, then records this version. expire_snapshots' referenced-file
+        sweep uses it so a long history with many survivors costs
+        O(total commits) JSON reads, not O(survivors × chain length)
+        (r10 ADVICE). Live dicts in the memo share AddFile objects —
+        memory is dict-entry overhead per (version, file), metadata
+        scale."""
+        if _memo is not None and version in _memo:
+            c, live = _memo[version]
+            return c, list(live.values())
+        stop = frozenset(_memo) if _memo else frozenset()
+        chain = self._chain(version, stop=stop)
+        seed = chain[0].parent if chain else None
+        if _memo is not None and seed is not None and seed in _memo:
+            live = dict(_memo[seed][1])
+        else:
+            live = {}
         for c in chain:
             for rm in c.remove:
                 live.pop(rm, None)
             for a in c.add:
                 live[a.path] = a
+        if _memo is not None:
+            _memo[version] = (chain[-1], live)
         return chain[-1], list(live.values())
 
     # ------------------------------------------------------------- commit op
@@ -2499,6 +2525,12 @@ class LakeTable:
         # it must fail CLOSED before any file is mutated, not after.
         referenced: set[str] = set()
         live_by_v: dict[int, list[AddFile]] = {}
+        # ascending iteration + the _state memo make this sweep
+        # incremental: each survivor replays only the commits between
+        # itself and its nearest already-replayed ancestor — O(total
+        # commits) JSON reads for the whole sweep, not O(survivors ×
+        # chain length) (r10 ADVICE)
+        state_memo: dict[int, tuple[Commit, dict[str, AddFile]]] = {}
         # keep ∪ versions, not just versions: a commit that landed
         # between the _versions() glob and the _refs() read is in keep
         # only — its references protect the acknowledged head (r10 wave
@@ -2507,7 +2539,7 @@ class LakeTable:
             if v in expired_set:
                 continue
             try:
-                _, live = self._state(v)
+                _, live = self._state(v, _memo=state_memo)
             except TableError:
                 if v in keep:
                     raise  # a kept commit must be readable — fail closed

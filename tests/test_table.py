@@ -2779,3 +2779,102 @@ def test_describe_spellings_and_merge_ticked_refs(cat, spark):
         "MERGE INTO nyc.d14 USING nyc.d14s s ON `nyc.d14`.k = s.k "
         "WHEN MATCHED THEN UPDATE SET v = s.v")
     assert [r.v for r in cat.table("nyc.d14").read().collect()] == ["b"]
+
+
+def test_mixed_backtick_relation_spellings(cat, spark):
+    """r10 ADVICE (low): mixed spellings nyc.`bt3` and `nyc`.bt3 must
+    normalize like the fully-quoted ones — previously they bypassed
+    lakeshed routing and hit raw spark.sql (AnalysisException)."""
+    cat.create_database("nyc")
+    cat.create_table(
+        "nyc.bt3", spark.createDataFrame([(1,), (2,)], "k int")
+    )
+    for rel in ("nyc.`bt3`", "`nyc`.bt3",
+                "demo.nyc.`bt3`", "demo.`nyc`.bt3"):
+        assert cat.sql(
+            f"SELECT count(*) AS c FROM {rel}").first().c == 2, rel
+    # qualified-column prefixes in the mixed spelling resolve too
+    assert cat.sql(
+        "SELECT sum(nyc.`bt3`.k) AS s FROM nyc.`bt3`").first().s == 3
+    # a longer name sharing the prefix is NOT eaten by `nyc`.bt3
+    cat.create_table(
+        "nyc.bt3x", spark.createDataFrame([(9,)] * 5, "k int")
+    )
+    assert cat.sql("SELECT count(*) AS c FROM `nyc`.bt3x").first().c == 5
+    # mixed spelling inside a string literal stays data
+    assert cat.sql("SELECT 'nyc.`bt3`' AS s").first().s == "nyc.`bt3`"
+    # an alias path over a different relation is left alone: s.nyc.bt3
+    # would only break if the mixed patterns matched dot-qualified
+    # word-preceded text — the lookbehind forbids it
+    row = cat.sql(
+        "SELECT s.nyc.bt3 AS v FROM (SELECT named_struct('nyc', "
+        "named_struct('bt3', 7)) AS s) t").first()
+    assert row.v == 7
+
+
+def test_merge_per_part_ticked_target_refs(cat, spark):
+    """r10 ADVICE (low): a PLAIN-written MERGE target must accept
+    per-part (`nyc`.`mm`) and mixed (nyc.`mm`) ticked ON/SET
+    references — the spellings set previously only carried the
+    whole-quoted form."""
+    cat.create_database("nyc")
+    cat.create_table("nyc.mm", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"))
+    cat.create_table("nyc.mmsrc", spark.createDataFrame(
+        [(1, "x"), (2, "y")], "k int, v string"))
+    cat.sql(
+        "MERGE INTO nyc.mm USING nyc.mmsrc s ON `nyc`.`mm`.k = s.k "
+        "WHEN MATCHED AND `nyc`.`mm`.v = 'a' THEN UPDATE SET v = s.v")
+    assert sorted(
+        (r.k, r.v) for r in cat.table("nyc.mm").read().collect()
+    ) == [(1, "x"), (2, "b")]
+    cat.sql(
+        "MERGE INTO nyc.mm USING nyc.mmsrc s ON nyc.`mm`.k = s.k "
+        "WHEN MATCHED AND nyc.`mm`.k = 2 THEN UPDATE SET v = s.v")
+    assert sorted(
+        (r.k, r.v) for r in cat.table("nyc.mm").read().collect()
+    ) == [(1, "x"), (2, "y")]
+
+
+def test_describe_table_extended_combined_prefix(cat, spark):
+    """r10 ADVICE (low): DESCRIBE TABLE EXTENDED t must parse the word
+    after EXTENDED as the name — even when a lakeshed table literally
+    named 'extended' exists to shadow the misparse."""
+    cat.create_database("nyc")
+    cat.create_table("nyc.dte", spark.createDataFrame(
+        [(1, "a")], "k int, v string"))
+    cat.create_table("default.extended", spark.createDataFrame(
+        [(1,)], "z int"))
+    want = {r.col_name for r in cat.sql("DESCRIBE nyc.dte").collect()}
+    for stmt in ("DESCRIBE TABLE EXTENDED nyc.dte",
+                 "DESCRIBE TABLE FORMATTED nyc.dte",
+                 "DESC TABLE EXTENDED nyc.dte"):
+        got = {r.col_name for r in cat.sql(stmt).collect()}
+        assert got == want, stmt
+
+
+def test_state_memo_matches_full_replay(cat, spark):
+    """r10 ADVICE (low): _state's incremental memo (expire_snapshots'
+    referenced-file sweep) must reproduce the full-replay live set at
+    every version — across appends, deletes, merges and branches."""
+    cat.create_database("nyc")
+    t = cat.create_table("nyc.sm", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "k int, v string"))
+    t.delete("k = 1")
+    t.create_branch("audit")
+    cat.sql("INSERT INTO nyc.sm VALUES (4, 'd')")
+    t.append(spark.createDataFrame([(5, "e")], "k int, v string"))
+    memo: dict = {}
+    for v in sorted(t._versions()):
+        c_full, live_full = t._state(v)
+        c_memo, live_memo = t._state(v, _memo=memo)
+        assert c_full.version == c_memo.version
+        assert sorted(a.path for a in live_full) == sorted(
+            a.path for a in live_memo), v
+    # memo-first order (cache hits) agrees too
+    for v in sorted(t._versions(), reverse=True):
+        _, live_full = t._state(v)
+        _, live_memo = t._state(v, _memo=memo)
+        assert sorted(a.path for a in live_full) == sorted(
+            a.path for a in live_memo), v
