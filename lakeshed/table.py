@@ -360,6 +360,15 @@ class LakeTable:
     def _commit_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:08d}.json")
 
+    @staticmethod
+    def _now_ms() -> int:
+        """Wall clock in epoch ms — THE seam every time-driven decision
+        reads (commit stamping, expiry cutoffs/in-flight grace/debris
+        sweep, orphan-file sweep), so the lineage model test can inject
+        a deterministic clock and drive older_than_ms / grace-window
+        paths that real time cannot reach at test timescales."""
+        return int(time.time() * 1000)
+
     def _read_commit(self, version: int) -> Commit:
         try:
             with open(self._commit_path(version)) as fh:
@@ -696,7 +705,7 @@ class LakeTable:
             parent=parent,
             branch=branch,
             operation=operation,
-            timestamp_ms=int(time.time() * 1000),
+            timestamp_ms=self._now_ms(),
             schema_version=schema_version or 0,
             schemas=schemas or {},
             partition_spec=partition_spec or [],
@@ -2409,7 +2418,7 @@ class LakeTable:
             # retain_last=0 would keep NOTHING reachable and delete the
             # table out from under its own refs (Iceberg rejects <1 too)
             raise TableError("retain_last must be >= 1")
-        now = int(time.time() * 1000)
+        now = self._now_ms()
         cutoff = now if older_than_ms is None else older_than_ms
         versions = self._versions()
         refs = self._refs()
@@ -2670,7 +2679,7 @@ class LakeTable:
         if older_than_timestamp_ms is not None and max_age_ms is not None:
             raise ValueError(
                 "pass older_than_timestamp_ms OR max_age_ms, not both")
-        now = int(time.time() * 1000)
+        now = self._now_ms()
         if max_age_ms is not None:
             cutoff = now - max_age_ms
         elif older_than_timestamp_ms is None:

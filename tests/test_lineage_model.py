@@ -35,13 +35,24 @@ squash hops, no checkpoint files, no ``squashed-kept-parent`` mechanics.
 If the implementation's hop machinery diverges from "ancestry minus
 expired", this test fails.
 
-Not modeled (documented scope): the 10-minute in-flight grace window is
-always ACTIVE here (every commit is seconds old), so the model includes
-the in-flight protection rule — a live-but-unkept commit survives expiry
-iff its own branch ref exists below it, and (transitively) every
-non-expired ancestor of a surviving commit survives with it; wall-clock
-cutoffs (older_than_ms) are pinned far-future so only retain_last
-drives expiry decisions.
+Two drivers share the machinery (VERDICT r10 #3 closed the second's
+scope gap):
+
+- the ORIGINAL driver pins ``older_than_ms`` far-future so only
+  ``retain_last`` drives decisions, and the 10-minute in-flight grace
+  window is always ACTIVE (every commit is seconds old) — the model's
+  protection rule: a live-but-unkept commit survives expiry iff its own
+  branch ref exists below it, and (transitively) every non-expired
+  ancestor of a surviving commit survives with it;
+- the WALL-CLOCK driver injects a fake clock through the
+  ``LakeTable._now_ms`` seam (commit timestamps, expiry cutoffs and
+  grace ages all read it) and re-stamps every live commit file's mtime
+  to its model-recorded creation time before each expiry (squash
+  rewrites move real mtimes; mtime is the harness-CONTROLLED input the
+  grace rule reads). It drives random ``older_than_ms`` cutoffs
+  (far-future, default-now, and past windows) and clock advances that
+  put commits on BOTH sides of the grace window, so timestamp-keeps,
+  grace activation AND deactivation all steer real expiry decisions.
 
 Bug-catching power (demonstrated during r10 development): reverting the
 r9 stale-hop refresh (the ``stale_hop`` branch of expire_snapshots'
@@ -54,6 +65,7 @@ removed.
 
 from __future__ import annotations
 
+import os
 import random
 
 import pytest
@@ -62,10 +74,22 @@ from lakeshed.catalog import Catalog
 from lakeshed.table import (
     MAIN,
     CommitConflictError,
+    LakeTable,
     TableError,
 )
 
 FAR_FUTURE_MS = 10**15
+GRACE_MS = 10 * 60 * 1000  # expire_snapshots' in-flight grace window
+
+
+class FakeClock:
+    """Deterministic epoch-ms clock injected via LakeTable._now_ms."""
+
+    def __init__(self, start_ms: int) -> None:
+        self.ms = start_ms
+
+    def advance(self, delta_ms: int) -> None:
+        self.ms += delta_ms
 
 
 class Model:
@@ -74,6 +98,7 @@ class Model:
     def __init__(self) -> None:
         self.parent: dict[int, int | None] = {}
         self.ts: dict[int, int] = {}
+        self.mtime: dict[int, int] = {}  # file creation time (== ts)
         self.branch_of: dict[int, str] = {}
         self.content: dict[int, frozenset[int]] = {}
         self.batch: dict[int, int] = {}
@@ -96,6 +121,7 @@ class Model:
         self.squashed.discard(version)
         self.parent[version] = parent
         self.ts[version] = ts
+        self.mtime[version] = ts
         self.branch_of[version] = branch
         self.content[version] = content
         self.batch[version] = batch
@@ -132,16 +158,27 @@ class Model:
             return self.content[v]
         return frozenset({self.batch[v]})
 
-    def expire(self, retain_last: int) -> list[int]:
+    def expire(self, retain_last: int, *, now: int | None = None,
+               cutoff: int | None = None) -> list[int]:
+        """``now=None`` is the original driver's regime: grace always
+        active, no timestamp-keeps. With ``now``/``cutoff`` the rules
+        are the full spec: every ref-reachable commit newer than the
+        cutoff is kept, and the in-flight grace only protects commits
+        whose file is younger than GRACE_MS."""
         keep: set[int] = set()
         for head in self.refs.values():
-            keep.update(self.kept_ancestry(head)[:retain_last])
+            for i, a in enumerate(self.kept_ancestry(head)):
+                if i < retain_last or (cutoff is not None
+                                       and self.ts[a] >= cutoff):
+                    keep.add(a)
         candidates = [v for v in self.live() if v not in keep]
-        # in-flight grace (always active at test timescales): a commit
-        # above its own branch ref is mid-protocol — protected
+        # in-flight grace: a RECENT commit above its own branch ref is
+        # mid-protocol — protected (with now=None every commit counts
+        # as recent, matching the original driver's timescale)
         protected = {
             v for v in candidates
-            if self.refs.get(self.branch_of[v]) is not None
+            if (now is None or now - self.mtime[v] < GRACE_MS)
+            and self.refs.get(self.branch_of[v]) is not None
             and self.refs[self.branch_of[v]] < v
         }
         # transitive: a surviving commit's non-expired ancestors must
@@ -218,7 +255,8 @@ def _check(t, m: Model, rng: random.Random, *, deep: bool) -> None:
             assert _read_content(t, v) == m.content[v], f"content({v})"
 
 
-def _drive(spark, tmp_path, seed: int, n_ops: int = 45) -> None:
+def _drive(spark, tmp_path, seed: int, n_ops: int = 45,
+           clock: FakeClock | None = None) -> None:
     rng = random.Random(seed)
     cat = Catalog(spark, str(tmp_path / f"wh{seed}"))
     cat.create_database("db")
@@ -240,6 +278,12 @@ def _drive(spark, tmp_path, seed: int, n_ops: int = 45) -> None:
 
     last_was_expire = False
     for step in range(n_ops):
+        if clock is not None:
+            # advances straddle the 10-min grace window: 0 (same-ts
+            # commits), seconds, a few minutes (commits stay in grace
+            # across several ops) and 12 min (everything older ages out)
+            clock.advance(rng.choice(
+                [0, 5_000, 90_000, 4 * 60_000, 12 * 60_000]))
         branches = [b for b in m.refs if b != MAIN]
         ops = ["append_main"] * 4 + ["create_branch"] * 2 + ["expire"] * 2
         ops += ["compact", "rewrite_manifests"]
@@ -339,9 +383,28 @@ def _drive(spark, tmp_path, seed: int, n_ops: int = 45) -> None:
             m.refs[MAIN] = c.version
         elif op == "expire":
             r = rng.randint(1, 3)
-            want = m.expire(r)
-            got = sorted(t.expire_snapshots(
-                older_than_ms=FAR_FUTURE_MS, retain_last=r))
+            if clock is None:
+                want = m.expire(r)
+                got = sorted(t.expire_snapshots(
+                    older_than_ms=FAR_FUTURE_MS, retain_last=r))
+            else:
+                # mtime is the INPUT the grace rule reads: re-stamp
+                # every live commit file to its model creation time
+                # (squash rewrites move real mtimes; the harness owns
+                # the clock, so it owns the mtimes too)
+                for v in m.live():
+                    os.utime(t._commit_path(v),
+                             (m.mtime[v] / 1000,) * 2)
+                cut = rng.choice([
+                    FAR_FUTURE_MS,           # retain_last-only
+                    None,                    # impl default: cutoff=now
+                    clock.ms - rng.randint(0, 40) * 60_000,  # past window
+                ])
+                want = m.expire(
+                    r, now=clock.ms,
+                    cutoff=clock.ms if cut is None else cut)
+                got = sorted(t.expire_snapshots(
+                    older_than_ms=cut, retain_last=r))
             assert got == want, (
                 f"step {step}: expire(retain_last={r}) impl {got} != "
                 f"model {want}; refs={m.refs} "
@@ -361,6 +424,23 @@ def _drive(spark, tmp_path, seed: int, n_ops: int = 45) -> None:
 @pytest.mark.parametrize("seed", [11, 23, 37, 59, 71])
 def test_lineage_state_machine_matches_model(spark, tmp_path, seed):
     _drive(spark, tmp_path, seed)
+
+
+@pytest.mark.parametrize("seed", [13, 29, 47, 83])
+def test_lineage_state_machine_matches_model_wallclock(
+        spark, tmp_path, seed, monkeypatch):
+    """VERDICT r10 #3: the same random driver with an injected clock —
+    older_than_ms cutoffs, timestamp-keeps and grace-window expiry all
+    steer decisions. Mutation check (run during development, r11):
+    inverting the grace comparison in expire_snapshots' _in_flight
+    (``age >= grace_ms`` → ``age < grace_ms``) fails seeds 29 and 83
+    (the ones whose sequences expire an aged-out above-ref commit),
+    while the original five seeds — grace always active — cannot see
+    that mutation."""
+    clock = FakeClock(1_700_000_000_000 + seed * 1_000_000)
+    monkeypatch.setattr(LakeTable, "_now_ms",
+                        staticmethod(lambda: clock.ms))
+    _drive(spark, tmp_path, seed, clock=clock)
 
 
 def test_lineage_model_scripted_stale_hop_reexpiry(spark, tmp_path):
@@ -409,3 +489,74 @@ def test_lineage_model_scripted_stale_hop_reexpiry(spark, tmp_path):
     del m.refs["audit"]
     exp(1)          # v1 expires; v4's stale skp must be re-resolved
     exp(1)          # STRICT keep walk — a dangling skp raises here
+
+
+def test_wallclock_debris_sweep_honors_grace(spark, tmp_path, monkeypatch):
+    """VERDICT r10 #3: the r10 debris sweep driven by the injected
+    clock — a crashed writer's *.tmp is left alone while inside the
+    grace window and removed once the clock ages it out. Runs even when
+    nothing is eligible for expiry (the sweep precedes the early
+    return)."""
+    clock = FakeClock(1_700_000_000_000)
+    monkeypatch.setattr(LakeTable, "_now_ms",
+                        staticmethod(lambda: clock.ms))
+    cat = Catalog(spark, str(tmp_path / "whd"))
+    cat.create_database("db")
+    t = cat.create_table("db.d", spark.createDataFrame([(0,)], "k int"))
+    old_tmp = os.path.join(t.log_dir, "00000007.json.deadbeef.tmp")
+    young_tmp = os.path.join(t.log_dir, ".cp.00000001.cafe.tmp")
+    for p, age_ms in ((old_tmp, GRACE_MS + 60_000), (young_tmp, 120_000)):
+        with open(p, "w") as fh:
+            fh.write("{ torn")
+        os.utime(p, ((clock.ms - age_ms) / 1000,) * 2)
+
+    assert t.expire_snapshots(retain_last=1) == []  # nothing expirable
+    assert not os.path.exists(old_tmp)      # aged out: swept
+    assert os.path.exists(young_tmp)        # in grace: untouched
+
+    clock.advance(GRACE_MS)                 # the young one ages out
+    assert t.expire_snapshots(retain_last=1) == []
+    assert not os.path.exists(young_tmp)
+
+
+def test_wallclock_torn_inflight_ages_into_debris(
+        spark, tmp_path, monkeypatch):
+    """VERDICT r10 #3: the fail-closed GC pause driven end-to-end by the
+    injected clock. A torn above-ref commit inside its grace pauses the
+    WHOLE expiry (r10 behavior, previously only example-tested with real
+    time); once the clock ages it past the grace window the same expiry
+    proceeds, expires it as debris, and removes the unreadable file so
+    later runs never re-trip on it."""
+    clock = FakeClock(1_700_000_000_000)
+    monkeypatch.setattr(LakeTable, "_now_ms",
+                        staticmethod(lambda: clock.ms))
+    cat = Catalog(spark, str(tmp_path / "wht"))
+    cat.create_database("db")
+    t = cat.create_table("db.t", spark.createDataFrame([(0,)], "k int"))
+    for i in (1, 2, 3):
+        clock.advance(30_000)
+        t.append(spark.createDataFrame([(i,)], "k int"))
+    t.create_branch("z", at=0)
+    t.rollback_to_snapshot(2)       # v3 becomes an in-flight survivor
+    p3 = t._commit_path(3)
+    with open(p3, "w") as fh:
+        fh.write("{ torn mid-dump")
+    for v in (0, 1, 2, 3):          # harness owns the mtimes
+        os.utime(t._commit_path(v), (clock.ms / 1000,) * 2)
+
+    # inside grace: unvouchable chain -> pause, nothing deleted
+    with pytest.warns(RuntimeWarning, match="paused"):
+        assert t.expire_snapshots(
+            older_than_ms=FAR_FUTURE_MS, retain_last=1) == []
+    assert t._versions() == [0, 1, 2, 3]
+
+    clock.advance(GRACE_MS + 1)     # v3 ages out of its grace window
+    got = sorted(t.expire_snapshots(
+        older_than_ms=FAR_FUTURE_MS, retain_last=1))
+    # keep = {2 (main head), 0 (z head)}; v1 is BELOW its ref (not
+    # in-flight) and v3 is aged-out debris: both expire
+    assert got == [1, 3]
+    assert t._versions() == [0, 2]
+    assert not os.path.exists(p3)   # the torn file itself is gone
+    # the table remains fully readable afterwards
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2]
