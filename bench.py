@@ -103,12 +103,16 @@ BENCH_NOTES: dict[str, str] = {
         "(canaries 0.058-0.084 s after the first = quiet) measured "
         "2.159-2.743 s — the band contains r9 (2.17) and sits BELOW "
         "r10's 2.87: the r10 sample was contended (its before-canary "
-        "0.217 s was above the 0.15-0.19 quiet band). Quiet ratio vs "
-        "the r02 baseline (1.45) is 1.49x at the band min — not the "
-        "1.97x the contended sample suggested. The banded-LSH plan is "
-        "unchanged; intrinsic variance on this entry is high (~25% "
-        "band width) because signature materialization is re-paid per "
-        "timed run by design (release_persisted honesty fix, r5)."
+        "0.217 s was above the 0.15-0.19 quiet band). The banded-LSH "
+        "plan is unchanged. MOREOVER the r02 'baseline' of 1.45 s for "
+        "this entry predates the r5 release_persisted honesty fix: "
+        "r02-r04 timed runs reused WARM persisted LSH signature frames "
+        "(r02 1.454 / r03 1.446 / r04 1.157), while every round since "
+        "r5 re-pays signature materialization per timed run (r07 2.27 "
+        "/ r08 2.44 / r09 2.17). The apparent ~2x vs r02 is an honest-"
+        "vs-warm methodology mismatch on this one entry, not a plan "
+        "regression; the comparable-methodology band has been flat at "
+        "~2.2-2.7 s for four rounds."
     ),
     "stream_sessionization": (
         "r10-regression attribution (VERDICT r10 #1): 5 quiet-box runs "

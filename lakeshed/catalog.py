@@ -53,6 +53,7 @@ class Catalog:
 
     def create_database(self, name: str, if_not_exists: bool = True) -> None:
         """D1 — CREATE DATABASE IF NOT EXISTS (Getting Started.ipynb:53)."""
+        name = name.replace("`", "")  # accept quoted spellings (r11 fuzz)
         p = os.path.join(self.warehouse, name)
         if os.path.isdir(p) and not if_not_exists:
             raise TableError(f"database {name!r} exists")
@@ -65,7 +66,7 @@ class Catalog:
         )
 
     def tables(self, database: str) -> list[str]:
-        p = os.path.join(self.warehouse, database)
+        p = os.path.join(self.warehouse, database.replace("`", ""))
         if not os.path.isdir(p):
             return []
         return sorted(
@@ -76,6 +77,11 @@ class Catalog:
     # ----------------------------------------------------------- resolution
 
     def _path(self, name: str) -> str:
+        # THE resolution funnel: every route (table/_exists/create/drop)
+        # lands here, so stripping backticks once makes every
+        # statement-head regex's ticked captures resolve (r11 fuzz).
+        # Lakeshed names are \w-only, so quoting carries no information.
+        name = name.replace("`", "")
         parts = name.split(".")
         if len(parts) == 1:
             parts = ["default", parts[0]]
@@ -275,15 +281,27 @@ class Catalog:
         """
         if fmt:
             statement = statement.format(**fmt)
-        s = statement.strip().rstrip(";").strip()
+        # comment-strip ONCE, up front (r11 fuzz — generalizing the r10
+        # wave-14 DESCRIBE fix to every route): `low`'s whitespace
+        # collapse would let a `--` comment swallow the statement tail,
+        # and comments inside keyword gaps would break every \s+ in the
+        # statement-head regexes and the VERSION AS OF rewrites.
+        # _strip_comments blanks comments to spaces and is string-
+        # literal- and backtick-aware; stock spark.sql fall-throughs see
+        # semantically identical text.
+        # ... then collapse whitespace outside string literals so the
+        # statement-head regexes' single-space keyword gaps match any
+        # spelling (newlines, tabs, comment-blanked runs)
+        s = _collapse_ws(_strip_comments(statement))
+        s = s.strip().rstrip(";").strip()
         low = " ".join(s.lower().split())
 
-        m = re.match(r"create database (?:if not exists )?([\w.]+)", low)
+        m = re.match(r"create database (?:if not exists )?((?:`[\w.]+`|[\w.])+)", low)
         if m:
             self.create_database(m.group(1))
             return None
         m = re.match(
-            r"create table (if not exists )?([\w.]+)\s*"
+            r"create table (if not exists )?((?:`[\w.]+`|[\w.])+)\s*"
             r"(?:using \w+\s*)?(?:partitioned by \((.*?)\)\s*)?"
             r"(?:tblproperties \((.*?)\)\s*)?as\s+(select\b.+)$",
             s, re.IGNORECASE | re.DOTALL,
@@ -307,7 +325,7 @@ class Catalog:
             )
             return None
         m = re.match(
-            r"create table (if not exists )?([\w.]+)\s*\((.*?)\)\s*"
+            r"create table (if not exists )?((?:`[\w.]+`|[\w.])+)\s*\((.*?)\)\s*"
             r"(?:using \w+\s*)?(?:partitioned by \((.*?)\)\s*)?"
             r"(?:tblproperties \((.*?)\)\s*)?$",
             s, re.IGNORECASE | re.DOTALL,
@@ -327,11 +345,11 @@ class Catalog:
                 properties=_parse_props(props),
             )
             return None
-        m = re.match(r"drop table (?:if exists )?([\w.]+)", low)
+        m = re.match(r"drop table (?:if exists )?((?:`[\w.]+`|[\w.])+)", low)
         if m:
             self.drop_table(m.group(1), if_exists=True)
             return None
-        m = re.match(r"truncate table ([\w.]+)", low)
+        m = re.match(r"truncate table ((?:`[\w.]+`|[\w.])+)", low)
         if m:
             self.table(m.group(1)).truncate()
             return None
@@ -380,14 +398,14 @@ class Catalog:
                 [(d,) for d in sorted(self.databases())],
                 "namespace string",
             )
-        m = re.match(r"show tables(?: (?:in|from) ([\w.]+))?$", low)
+        m = re.match(r"show tables(?: (?:in|from) ((?:`[\w.]+`|[\w.])+))?$", low)
         if m:
-            db = m.group(1) or "default"
+            db = (m.group(1) or "default").replace("`", "")
             return self.spark.createDataFrame(
                 [(db, t) for t in sorted(self.tables(db))],
                 "namespace string, tableName string",
             )
-        m = re.match(r"show\s+create\s+table\s+([\w.]+)$", s,
+        m = re.match(r"show\s+create\s+table\s+((?:`[\w.]+`|[\w.])+)$", s,
                      re.IGNORECASE)
         if m:
             # DDL round-trip: the emitted statement re-executes through
@@ -415,14 +433,14 @@ class Catalog:
             return self.spark.createDataFrame(
                 [(stmt,)], "createtab_stmt string"
             )
-        m = re.match(r"show tblproperties ([\w.]+)$", low)
+        m = re.match(r"show tblproperties ((?:`[\w.]+`|[\w.])+)$", low)
         if m:
             props = self.table(m.group(1)).properties()
             return self.spark.createDataFrame(
                 sorted(props.items()), "key string, value string"
             )
         m = re.match(
-            r"update ([\w.]+) set (.+)$", s,
+            r"update ((?:`[\w.]+`|[\w.])+) set (.+)$", s,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
@@ -442,14 +460,14 @@ class Catalog:
             )
             return None
         m = re.match(
-            r"delete from ([\w.]+) where (.+)$", s, re.IGNORECASE | re.DOTALL
+            r"delete from ((?:`[\w.]+`|[\w.])+) where (.+)$", s, re.IGNORECASE | re.DOTALL
         )
         if m:
             t = self.table(m.group(1))
             self._run_dml(t, lambda **kw: t.delete(m.group(2), **kw))
             return None
         m = re.match(
-            r"alter table ([\w.]+) add constraint (\w+) check \((.+)\)$",
+            r"alter table ((?:`[\w.]+`|[\w.])+) add constraint (\w+) check \((.+)\)$",
             s, re.IGNORECASE | re.DOTALL,
         )
         if m:
@@ -458,13 +476,13 @@ class Catalog:
             self.table(m.group(1)).add_constraint(m.group(2), m.group(3))
             return None
         m = re.match(
-            r"alter table ([\w.]+) drop constraint (\w+)$", s, re.IGNORECASE
+            r"alter table ((?:`[\w.]+`|[\w.])+) drop constraint (\w+)$", s, re.IGNORECASE
         )
         if m:
             self.table(m.group(1)).drop_constraint(m.group(2))
             return None
         m = re.match(
-            r"insert overwrite (?:table )?([\w.]+)\s+(select\b.+|values\b.+)$",
+            r"insert overwrite (?:table )?((?:`[\w.]+`|[\w.])+)\s+(select\b.+|values\b.+)$",
             s, re.IGNORECASE | re.DOTALL,
         )
         if m:
@@ -484,7 +502,8 @@ class Catalog:
             self._run_dml(t, lambda **kw: t.overwrite(df, **kw))
             return None
         m = re.match(
-            r"insert into ([\w.]+) (select .+|values .+)$", s,
+            r"insert into (?:table )?((?:`[\w.]+`|[\w.])+)"
+            r" (select .+|values .+)$", s,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
@@ -518,7 +537,7 @@ class Catalog:
             self._merge_into(s)
             return None
         m = re.match(
-            r"alter table ([\w.]+) create branch (?:if not exists )?(\w+)", low
+            r"alter table ((?:`[\w.]+`|[\w.])+) create branch (?:if not exists )?(\w+)", low
         )
         if m:
             try:
@@ -530,12 +549,12 @@ class Catalog:
                 if "if not exists" not in low:
                     raise
             return None
-        m = re.match(r"alter table ([\w.]+) drop branch (\w+)", low)
+        m = re.match(r"alter table ((?:`[\w.]+`|[\w.])+) drop branch (\w+)", low)
         if m:
             self.table(m.group(1)).drop_branch(m.group(2))
             return None
         m = re.match(
-            r"alter table ([\w.]+) set tblproperties \((.*)\)$", s,
+            r"alter table ((?:`[\w.]+`|[\w.])+) set tblproperties \((.*)\)$", s,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
@@ -545,24 +564,24 @@ class Catalog:
             )
             return None
         m = re.match(
-            r"alter table ([\w.]+) unset tblproperties \((.*)\)$", s,
+            r"alter table ((?:`[\w.]+`|[\w.])+) unset tblproperties \((.*)\)$", s,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
             names = [p.strip().strip("'\"") for p in _split_top(m.group(2))]
             self.table(m.group(1)).unset_properties(*names)
             return None
-        m = re.match(r"alter table ([\w.]+) add partition field (.+)$", low)
+        m = re.match(r"alter table ((?:`[\w.]+`|[\w.])+) add partition field (.+)$", low)
         if m:
             # D12 (Getting Started.ipynb:323; Berlin Buzzwords.ipynb:279)
             self.table(m.group(1)).add_partition_field(m.group(2).strip())
             return None
-        m = re.match(r"alter table ([\w.]+) drop partition field (.+)$", low)
+        m = re.match(r"alter table ((?:`[\w.]+`|[\w.])+) drop partition field (.+)$", low)
         if m:
             self.table(m.group(1)).drop_partition_field(m.group(2).strip())
             return None
         m = re.match(
-            r"alter table ([\w.]+) alter column (\w+) comment (.+)$", s,
+            r"alter table ((?:`[\w.]+`|[\w.])+) alter column (\w+) comment (.+)$", s,
             re.IGNORECASE,
         )
         if m:
@@ -571,7 +590,7 @@ class Catalog:
             )
             return None
         m = re.match(
-            r"alter table ([\w.]+) alter column (\w+) (first|after (\w+))$",
+            r"alter table ((?:`[\w.]+`|[\w.])+) alter column (\w+) (first|after (\w+))$",
             low,
         )
         if m:
@@ -583,7 +602,7 @@ class Catalog:
                     m.group(2), after=m.group(4)
                 )
             return None
-        m = re.match(r"alter table ([\w.]+) drop column (\w+)$", s,
+        m = re.match(r"alter table ((?:`[\w.]+`|[\w.])+) drop column (\w+)$", s,
                      re.IGNORECASE)
         if m:
             # D6-D8 family — DROP COLUMN (field-id projection keeps old
@@ -594,13 +613,13 @@ class Catalog:
             self.table(m.group(1)).drop_column(m.group(2))
             return None
         m = re.match(
-            r"alter table ([\w.]+) rename column (\w+) to (\w+)", low
+            r"alter table ((?:`[\w.]+`|[\w.])+) rename column (\w+) to (\w+)", low
         )
         if m:
             self.table(m.group(1)).rename_column(m.group(2), m.group(3))
             return None
         m = re.match(
-            r"alter table ([\w.]+) add column (\w+) ([\w<>,() ]+?)"
+            r"alter table ((?:`[\w.]+`|[\w.])+) add column (\w+) ([\w<>,() ]+?)"
             r"(?: after (\w+))?$", low
         )
         if m:
@@ -609,7 +628,7 @@ class Catalog:
             )
             return None
         m = re.match(
-            r"alter table ([\w.]+) alter column (\w+) type ([\w<>,() ]+)", low
+            r"alter table ((?:`[\w.]+`|[\w.])+) alter column (\w+) type ([\w<>,() ]+)", low
         )
         if m:
             self.table(m.group(1)).alter_column(m.group(2), type=m.group(3))
@@ -1316,6 +1335,37 @@ def _mask_quotes(s: str) -> str:
     for a, b in _quoted_spans(s):
         for i in range(a, b):
             out[i] = " "
+    return "".join(out)
+
+
+def _collapse_ws(s: str) -> str:
+    """Whitespace runs OUTSIDE string literals and backticked
+    identifiers collapsed to one space (case and content untouched) —
+    the router's statement-head regexes use single literal spaces
+    between keywords, so newlines and comment-blanked gaps must
+    normalize before matching (r11 fuzz), but a run inside ``'a  b'``
+    is data and ``` `a  b` ``` is a (hostile but legal) identifier.
+    Same layering as :func:`_strip_comments`: quote spans from the raw
+    text, backtick spans from the quote-masked text — so the two span
+    sets cannot overlap."""
+    ms = _mask_quotes(s)
+    protected = list(_quoted_spans(s))
+    i, n = 0, len(ms)
+    while i < n:
+        if ms[i] == "`":
+            j = ms.find("`", i + 1)
+            j = n - 1 if j < 0 else j
+            protected.append((i, j + 1))
+            i = j + 1
+        else:
+            i += 1
+    protected.sort()
+    out, pos = [], 0
+    for a, b in protected:
+        out.append(re.sub(r"\s+", " ", s[pos:a]))
+        out.append(s[a:b])
+        pos = b
+    out.append(re.sub(r"\s+", " ", s[pos:]))
     return "".join(out)
 
 

@@ -54,6 +54,9 @@ from pyspark.sql import functions as F
 
 _LOG_DIR = "_lakeshed_log"
 _REFS = "_refs.json"
+# persistent max-allocated-version hint (no .json suffix: _versions()'s
+# [0-9]*.json glob and the expiry debris sweep must both ignore it)
+_HEAD_HINT = "_head_hint"
 _FLOCK_WARNED = False  # one-time per-process flock-degradation warning
 MAIN = "main"
 
@@ -399,6 +402,34 @@ class LakeTable:
             if os.path.basename(p).count(".") == 1
         )
 
+    def _read_head_hint(self) -> int | None:
+        """Highest version ever ALLOCATED, from the persistent hint file
+        — the O(1) replacement for the per-commit directory listing that
+        version allocation used to pay (r10 VERDICT #5: commit latency
+        slope 0.89, the last near-linear curve in SCALING.md). Absent or
+        unreadable → None (legacy table: the caller seeds it once from a
+        full listing)."""
+        try:
+            with open(os.path.join(self.log_dir, _HEAD_HINT)) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _write_head_hint(self, version: int) -> None:
+        """Best-effort monotonic hint update (atomic replace). Racing
+        writers can leave it a step low and a crashed writer a step
+        high — the allocation probe in _commit absorbs both; losing the
+        write entirely (read-only fs hiccup) only means the next commit
+        falls back to the directory listing."""
+        tmp = os.path.join(
+            self.log_dir, f".{_HEAD_HINT}.{uuid.uuid4().hex}.tmp")
+        try:
+            with open(tmp, "w") as fh:
+                fh.write(str(version))
+            os.replace(tmp, os.path.join(self.log_dir, _HEAD_HINT))
+        except OSError:
+            pass
+
     def _refs(self) -> dict[str, int]:
         p = os.path.join(self.log_dir, _REFS)
         if not os.path.exists(p):
@@ -698,10 +729,20 @@ class LakeTable:
                 prev.partition_spec if partition_spec is None else partition_spec
             )
             properties = prev.properties if properties is None else properties
-        versions = self._versions()
-        version = (versions[-1] + 1) if versions else 0
-        commit = Commit(
-            version=version,
+        # O(1) version allocation (r10 VERDICT #5): the persistent hint
+        # tracks the highest version ever allocated, so commits stop
+        # listing the log directory (slope-0.89 commit latency in
+        # SCALING.md — ~17k-entry readdirs per commit by day's end at a
+        # 5 s trigger). Gaps in version numbers were already legal
+        # (expiry leaves them), so a burned slot from an aborted commit
+        # costs nothing.
+        hint = self._read_head_hint()
+        if hint is None:
+            versions = self._versions()  # legacy/new table: seed once
+            version = (versions[-1] + 1) if versions else 0
+        else:
+            version = hint + 1
+        common = dict(
             parent=parent,
             branch=branch,
             operation=operation,
@@ -719,59 +760,57 @@ class LakeTable:
                 **(summary or {}),
             },
         )
-        try:
-            # exclusive create = the atomic commit; two writers racing on the
-            # same version — one wins, one gets the conflict to retry.
-            with open(self._commit_path(version), "x") as fh:
-                json.dump(commit.to_json(), fh)
-        except FileExistsError as e:
-            raise CommitConflictError(
-                f"version {version} already committed under {self.log_dir}"
-            ) from e
+        while True:
+            commit = Commit(version=version, **common)
+            try:
+                # exclusive create = the atomic commit
+                with open(self._commit_path(version), "x") as fh:
+                    json.dump(commit.to_json(), fh)
+                break
+            except FileExistsError:
+                # stale hint or a same-slot race: probe upward. This
+                # turns a version-number collision into a SIBLING at a
+                # higher number, which the reachable-walk guard below
+                # resolves exactly like the old surfaced-conflict-and-
+                # retry round trip — minus the round trip.
+                version += 1
+        self._write_head_hint(version)
         # lost-update guard: another writer may have committed a SIBLING
         # (same branch, same parent) under a lower version number between
         # our head resolution and our exclusive create — publishing ours
-        # would silently discard theirs. Earlier version wins; we abort.
-        # A sibling only "won" if it is REACHABLE from the current ref
-        # head: a same-parent commit orphaned by rollback_to_snapshot is
-        # abandoned history (Iceberg semantics — post-rollback writes
-        # diverge the chain and the orphans await expiration), not a
-        # concurrent winner. The reachable set is built lazily, only
-        # when a candidate matches.
-        won: set[int] | None = None
-        for v2 in self._versions():
-            if v2 == version or (parent is not None and v2 <= parent):
-                continue
-            if v2 > version:
-                continue  # later sibling loses to us, not us to it
-            try:
-                c2 = self._read_commit(v2)
-            except TableError:
-                # missing or corrupt (typed from _read_commit since
-                # r10): an unreadable candidate cannot be validated as
-                # a same-branch winner — skip it deliberately; the
-                # exclusive create + ref CAS still guard the real race
-                continue
-            if c2.branch == branch and c2.parent == parent:
-                if won is None:
-                    won = set()
-                    try:
-                        for wc in self._lineage(self._refs().get(branch)):
-                            if parent is not None and wc.version <= parent:
-                                break
-                            won.add(wc.version)
-                    except TableError:
-                        # corrupt lineage: fail the commit loudly, but
-                        # don't leave our just-written file behind
-                        os.remove(self._commit_path(version))
-                        raise
-                if v2 not in won:
-                    continue  # orphaned by a rollback, not a winner
-                os.remove(self._commit_path(version))
-                raise CommitConflictError(
-                    f"concurrent commit {v2} (branch {branch!r}, parent "
-                    f"{parent}) won the race; re-resolve and retry"
-                )
+        # would silently discard theirs. Only a sibling REACHABLE from
+        # the current ref head "won" (a same-parent commit orphaned by
+        # rollback_to_snapshot is abandoned history awaiting expiration
+        # — Iceberg semantics — not a concurrent winner), so walk the
+        # ref lineage down to the shared parent directly: O(ref head −
+        # parent) commit reads — zero on the linear fast path, where the
+        # walk's first yield IS the parent — instead of the old guard's
+        # full _versions() listing per commit (r10 VERDICT #5). An
+        # unpublished lower sibling (file landed, ref CAS not yet run)
+        # is invisible to this walk by design: whoever publishes first
+        # wins at the ref CAS below, and the other writer's CAS fails
+        # and retries — same outcome the old earlier-version-wins scan
+        # produced, decided at the ref instead of the directory.
+        winner: int | None = None
+        try:
+            for wc in self._lineage(self._refs().get(branch)):
+                if parent is not None and wc.version <= parent:
+                    break
+                if (wc.version < version and wc.branch == branch
+                        and wc.parent == parent):
+                    winner = wc.version
+                    break
+        except TableError:
+            # corrupt lineage: fail the commit loudly, but don't leave
+            # our just-written file behind
+            os.remove(self._commit_path(version))
+            raise
+        if winner is not None:
+            os.remove(self._commit_path(version))
+            raise CommitConflictError(
+                f"concurrent commit {winner} (branch {branch!r}, parent "
+                f"{parent}) won the race; re-resolve and retry"
+            )
         if update_ref:
             # CAS, not a blind set: the ref must still be where this
             # commit resolved it (expected_ref) — a concurrent

@@ -1,0 +1,284 @@
+"""Seeded-random spelling fuzz for the SQL router (VERDICT r10 #4).
+
+r10's review waves 9-14 were all hand-found spelling bugs in
+``catalog.py``'s regex routing layer (DESCRIBE variants, ``--`` comments
+swallowing statement tails through the whitespace-collapsed ``low``,
+backticked MERGE targets, alias-vs-catalog confusion) — evidence hand
+inspection does not saturate this surface. This module generates
+seeded-random EQUIVALENT spellings of each routed statement class —
+keyword case jitter, whitespace/newlines, ``--`` and ``/* */`` comments
+at token boundaries, backticks on any subset of table-name parts,
+optional AS on aliases — and asserts the routed RESULT matches the
+canonical spelling's result (value-compare, not just "did not raise":
+a spelling that silently falls through to stock spark.sql on a temp
+view would return differently-shaped data and fail here).
+
+Mutation sensitivity (verified during development, r11): reverting the
+router's top-of-``sql()`` comment-strip (the generalization of the r10
+wave-14 DESCRIBE fix) fails the comment-bearing spellings of every
+class below; dropping backtick tolerance from any statement-head name
+pattern fails that class's ticked spellings.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from lakeshed.catalog import Catalog
+
+WS = [" ", "  ", "\n", "\t", " \n ", "\n\t"]
+
+
+def _case(rng: random.Random, w: str) -> str:
+    return rng.choice([
+        w.lower(), w.upper(), w.capitalize(),
+        "".join(c.upper() if rng.random() < 0.5 else c.lower()
+                for c in w),
+    ])
+
+
+def _comment(rng: random.Random) -> str:
+    return rng.choice([
+        f"/* c{rng.randint(0, 99)} */",
+        "-- note\n",
+        "/* multi\nline */",
+        "--\n",
+    ])
+
+
+def _ws(rng: random.Random) -> str:
+    s = rng.choice(WS)
+    if rng.random() < 0.35:
+        s += _comment(rng) + rng.choice(WS)
+    return s
+
+
+def _tick(rng: random.Random, dotted: str) -> str:
+    """Random per-part backticks: nyc.fz -> `nyc`.fz / nyc.`fz` / ..."""
+    return ".".join(
+        f"`{p}`" if rng.random() < 0.5 else p
+        for p in dotted.split(".")
+    )
+
+
+def _render(rng: random.Random, tokens: list) -> str:
+    """tokens: str = keyword (case-jittered), ('name', x) = table name
+    (tick-jittered), ('ref', x, suffix) = name-qualified reference
+    (glued), ('lit', x) = verbatim, ('opt', x) = keyword present ~50%.
+    Joined with random whitespace/comments; ~30% trailing comment."""
+    out: list[str] = []
+    for tok in tokens:
+        if isinstance(tok, tuple):
+            kind = tok[0]
+            if kind == "name":
+                out.append(_tick(rng, tok[1]))
+            elif kind == "ref":
+                out.append(_tick(rng, tok[1]) + tok[2])
+            elif kind == "lit":
+                out.append(tok[1])
+            elif kind == "opt":
+                if rng.random() < 0.5:
+                    out.append(_case(rng, tok[1]))
+        else:
+            out.append(_case(rng, tok))
+    stmt = out[0]
+    for piece in out[1:]:
+        stmt += _ws(rng) + piece
+    if rng.random() < 0.3:
+        stmt += rng.choice([" -- tail", "  /* tail */", "\n-- tail"])
+    return stmt
+
+
+N = 12  # spellings per statement class per seed
+
+
+@pytest.fixture()
+def fcat(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "whf"))
+    c.create_database("nyc")
+    return c
+
+
+def _rows(cat: Catalog, name: str = "nyc.fz"):
+    return sorted(
+        (r.k, r.v) for r in cat.table(name).read().collect()
+    )
+
+
+def _reset(cat: Catalog, spark) -> None:
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    if cat._exists("nyc.fz"):
+        cat.table("nyc.fz").overwrite(base)
+    else:
+        cat.create_table("nyc.fz", base)
+
+
+def test_fuzz_select_and_describe(fcat, spark):
+    cat = fcat
+    _reset(cat, spark)
+    rng = random.Random(20260815)
+
+    canon_cnt = cat.sql("SELECT count(*) AS c FROM nyc.fz").first().c
+    for _ in range(N):
+        stmt = _render(rng, [
+            "select", ("lit", "count(*)"), "as", ("lit", "c"),
+            "from", ("name", "nyc.fz"),
+        ])
+        assert cat.sql(stmt).first().c == canon_cnt, stmt
+
+    canon_sum = cat.sql(
+        "SELECT sum(nyc.fz.k) AS s FROM nyc.fz WHERE nyc.fz.k > 1"
+    ).first().s
+    for _ in range(N):
+        stmt = _render(rng, [
+            "select", ("lit", "sum("), ("ref", "nyc.fz", ".k"),
+            ("lit", ")"), "as", ("lit", "s"),
+            "from", ("name", "nyc.fz"),
+            "where", ("ref", "nyc.fz", ".k"), ("lit", "> 1"),
+        ])
+        assert cat.sql(stmt).first().s == canon_sum, stmt
+
+    canon_desc = {r.col_name for r in cat.sql("DESCRIBE nyc.fz").collect()}
+    for _ in range(N):
+        toks: list = [rng.choice(["describe", "desc"])]
+        if rng.random() < 0.5:
+            toks.append("table")
+        if rng.random() < 0.6:
+            toks.append(rng.choice(["extended", "formatted"]))
+        toks.append(("name", "nyc.fz"))
+        stmt = _render(rng, toks)
+        got = {r.col_name for r in cat.sql(stmt).collect()}
+        assert got == canon_desc, stmt
+
+
+def test_fuzz_insert_update_delete(fcat, spark):
+    cat = fcat
+    rng = random.Random(47)
+
+    _reset(cat, spark)
+    cat.sql("INSERT INTO nyc.fz VALUES (9, 'z')")
+    want_ins = _rows(cat)
+    for _ in range(N):
+        _reset(cat, spark)
+        stmt = _render(rng, [
+            "insert", "into", ("opt", "table"), ("name", "nyc.fz"),
+            "values", ("lit", "(9, 'z')"),
+        ])
+        cat.sql(stmt)
+        assert _rows(cat) == want_ins, stmt
+
+    _reset(cat, spark)
+    cat.sql("INSERT OVERWRITE nyc.fz VALUES (7, 'q')")
+    want_ovr = _rows(cat)
+    for _ in range(N):
+        _reset(cat, spark)
+        stmt = _render(rng, [
+            "insert", "overwrite", ("opt", "table"), ("name", "nyc.fz"),
+            "values", ("lit", "(7, 'q')"),
+        ])
+        cat.sql(stmt)
+        assert _rows(cat) == want_ovr, stmt
+
+    _reset(cat, spark)
+    cat.sql("UPDATE nyc.fz SET v = 'Q' WHERE k = 2")
+    want_upd = _rows(cat)
+    for _ in range(N):
+        _reset(cat, spark)
+        stmt = _render(rng, [
+            "update", ("name", "nyc.fz"),
+            "set", ("lit", "v = 'Q'"), "where", ("lit", "k = 2"),
+        ])
+        cat.sql(stmt)
+        assert _rows(cat) == want_upd, stmt
+
+    _reset(cat, spark)
+    cat.sql("DELETE FROM nyc.fz WHERE k = 1")
+    want_del = _rows(cat)
+    for _ in range(N):
+        _reset(cat, spark)
+        stmt = _render(rng, [
+            "delete", "from", ("name", "nyc.fz"),
+            "where", ("lit", "k = 1"),
+        ])
+        cat.sql(stmt)
+        assert _rows(cat) == want_del, stmt
+
+
+def test_fuzz_merge(fcat, spark):
+    cat = fcat
+    rng = random.Random(83)
+    cat.create_table("nyc.fzsrc", spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k int, v string"))
+
+    _reset(cat, spark)
+    cat.sql(
+        "MERGE INTO nyc.fz t USING nyc.fzsrc s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *")
+    want = _rows(cat)
+
+    for _ in range(N):
+        _reset(cat, spark)
+        aliased = rng.random() < 0.5
+        toks: list = ["merge", "into", ("name", "nyc.fz")]
+        if aliased:
+            toks += [("opt", "as"), ("lit", "t")]
+            on_ref = ("lit", "t.k")
+            set_ref = ("lit", "v")
+        else:
+            on_ref = ("ref", "nyc.fz", ".k")
+            set_ref = ("ref", "nyc.fz", ".v") if rng.random() < 0.5 \
+                else ("lit", "v")
+        toks += [
+            "using", ("name", "nyc.fzsrc"), ("opt", "as"), ("lit", "s"),
+            "on", on_ref, ("lit", "="), ("lit", "s.k"),
+            "when", "matched", "then", "update", "set",
+            set_ref, ("lit", "="), ("lit", "s.v"),
+            "when", "not", "matched", "then", "insert", ("lit", "*"),
+        ]
+        stmt = _render(rng, toks)
+        cat.sql(stmt)
+        assert _rows(cat) == want, stmt
+
+
+def test_fuzz_ddl_and_show(fcat, spark):
+    cat = fcat
+    rng = random.Random(9)
+    df = spark.createDataFrame([(1,)], "k int")
+
+    for _ in range(N):
+        if cat._exists("nyc.dd"):
+            cat.drop_table("nyc.dd")
+        cat.create_table("nyc.dd", df,
+                         properties={"owner": "fuzz"})
+        stmt = _render(rng, [
+            "truncate", "table", ("name", "nyc.dd")])
+        cat.sql(stmt)
+        assert cat.table("nyc.dd").read().count() == 0, stmt
+        stmt = _render(rng, [
+            "show", "tblproperties", ("name", "nyc.dd")])
+        props = {r.key: r.value for r in cat.sql(stmt).collect()}
+        assert props.get("owner") == "fuzz", stmt
+        stmt = _render(rng, [
+            "drop", "table", ("opt", "if exists"), ("name", "nyc.dd")])
+        cat.sql(stmt)
+        assert not cat._exists("nyc.dd"), stmt
+
+
+def test_fuzz_time_travel(fcat, spark):
+    cat = fcat
+    rng = random.Random(3)
+    _reset(cat, spark)
+    cat.sql("INSERT INTO nyc.fz VALUES (9, 'z')")
+    canon = cat.sql(
+        "SELECT count(*) AS c FROM nyc.fz VERSION AS OF 0").first().c
+    for _ in range(N):
+        stmt = _render(rng, [
+            "select", ("lit", "count(*)"), "as", ("lit", "c"),
+            "from", ("name", "nyc.fz"),
+            "version", "as", "of", ("lit", "0"),
+        ])
+        assert cat.sql(stmt).first().c == canon, stmt
