@@ -174,6 +174,31 @@ def _prior_detail(repo: str, rnd: int) -> dict[str, float]:
     return best[1] if best else {}
 
 
+def _time_query(spark, fn) -> float:
+    """THE per-query method, shared by the suite and the contended
+    re-run so the two never diverge methodologically (r11 review: the
+    re-run first copy-pasted this minus the warmup, so rerun_sec could
+    include compile cost and read as residual drift — the exact false
+    signal it exists to rule out). One untimed warmup (plan + codegen +
+    parquet footer caches), then min-of-2 timed noop-sink executions
+    with release_persisted() before each so persisted LSH frames are
+    re-materialized per timed run (r05 honesty fix), and once after to
+    keep storage flat."""
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    best = None
+    for _ in range(2):
+        release_persisted()
+        t0 = time.perf_counter()
+        # noop sink materializes every column of every row on the
+        # executors without paying driver-collect transfer — measures
+        # the plan itself.
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    release_persisted()
+    return best
+
+
 def _canary(spark) -> float:
     """Fixed CPU-bound probe (no I/O, no repo code): median-of-3 timing of
     a 20M-row hash-sum over ``spark.range``. Identical work every round, so
@@ -220,32 +245,11 @@ def main() -> None:
     for name, fn in q.spark_queries().items():
         if name in SKIP:
             continue
-        # warmup: plan + codegen + parquet footer caches, untimed
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        # min of two timed runs: this box shows multi-x background
-        # contention spikes; the min is the faithful steady-state cost of
-        # the plan (standard noisy-neighbor benchmarking practice).
-        # release_persisted() runs BEFORE each timed run (r05 methodology
-        # fix): persisted LSH signature frames from the warmup would
-        # otherwise be reused via CacheManager plan dedup, so the timed
-        # runs would measure a cache-warm plan. Each timed run now pays
-        # its own signature materialization — comparable to single-run
-        # rounds r01-r03; r04's numbers for the LSH queries were warm.
-        best = None
-        for _ in range(2):
-            release_persisted()
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            # noop sink materializes every column of every row on the
-            # executors without paying driver-collect transfer — measures
-            # the plan itself.
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        # drop this query's tracked signature persists (LSH frames) before
-        # the next one — untimed, keeps storage flat across the run
-        release_persisted()
+        # min of two timed runs after an untimed warmup (_time_query):
+        # this box shows multi-x background contention spikes; the min
+        # is the faithful steady-state cost of the plan (standard
+        # noisy-neighbor benchmarking practice)
+        timings[name] = round(_time_query(spark, fn), 3)
 
     canary_after = _canary(spark)
 
@@ -294,19 +298,10 @@ def main() -> None:
             key=lambda n: timings[n] / prior_t[n], reverse=True)[:5]
         reg = q.spark_queries()
         for name in drifters:
-            best = None
-            for _ in range(2):
-                release_persisted()
-                t0 = time.perf_counter()
-                reg[name](spark, SF_DIR).write.format(
-                    "noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            release_persisted()
             reruns[name] = {
                 "suite_sec": timings[name],
                 "prior_sec": prior_t[name],
-                "rerun_sec": round(best, 3),
+                "rerun_sec": round(_time_query(spark, reg[name]), 3),
             }
     if sf == 0.1:
         with open(os.path.join(repo, detail_name), "w") as fh:

@@ -361,10 +361,10 @@ class Catalog:
         # is NOT a lakeshed table (a temp view, say) falls through to
         # stock spark.sql DESCRIBE (r10 wave 9)
         if low.startswith("desc"):
-            # comment-strip the ORIGINAL text (newline- and
-            # backtick-aware — r10 wave 14: `low` collapsed newlines,
-            # so a -- comment would swallow the statement tail)
-            dstmt = " ".join(_strip_comments(s).lower().split())
+            # `low` is safe here since r11: sql() comment-strips and
+            # collapses EVERY statement up front, which subsumes the
+            # r10 wave-14 per-branch recomputation this block used to
+            # carry (a -- comment can no longer swallow the tail).
             # TABLE may combine with EXTENDED/FORMATTED (Spark accepts
             # DESCRIBE TABLE EXTENDED t); without the combined prefix
             # the word after TABLE parsed as the name, so 'extended'
@@ -373,7 +373,7 @@ class Catalog:
                 r"desc(?:ribe)?\s+"
                 r"(?:table\s+(?:extended\s+|formatted\s+)?"
                 r"|extended\s+|formatted\s+)?"
-                r"([`\w.]+)\s*(.*)$", dstmt)
+                r"([`\w.]+)\s*(.*)$", low)
             if m:
                 name = m.group(1).replace("`", "")
                 # DESCRIBE DATABASE/FUNCTION/QUERY operate on other
@@ -1359,9 +1359,18 @@ def _collapse_ws(s: str) -> str:
             i = j + 1
         else:
             i += 1
-    protected.sort()
+    # a quote INSIDE a backticked identifier makes the two scans
+    # overlap (the raw-text quote span runs past the closing backtick
+    # it masked) — merge overlaps, or the splice below would emit the
+    # contained region twice and corrupt the statement (r11 review)
+    merged: list[tuple[int, int]] = []
+    for a, b in sorted(protected):
+        if merged and a < merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], b))
+        else:
+            merged.append((a, b))
     out, pos = [], 0
-    for a, b in protected:
+    for a, b in merged:
         out.append(re.sub(r"\s+", " ", s[pos:a]))
         out.append(s[a:b])
         pos = b

@@ -742,6 +742,16 @@ class LakeTable:
             version = (versions[-1] + 1) if versions else 0
         else:
             version = hint + 1
+        # clamp to parent+1: a STALE-LOW hint (a swallowed
+        # _write_head_hint OSError, or a writer on pre-hint code)
+        # combined with an expiry gap below the parent would otherwise
+        # allocate a version LOWER than its parent — the probe loop only
+        # absorbs staleness while the intervening slots still exist, and
+        # a published child-below-parent commit trips _lineage's
+        # monotonicity guard on every later read/commit/expiry,
+        # bricking the table (r11 review)
+        if parent is not None and version <= parent:
+            version = parent + 1
         common = dict(
             parent=parent,
             branch=branch,

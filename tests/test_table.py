@@ -2878,3 +2878,45 @@ def test_state_memo_matches_full_replay(cat, spark):
         _, live_memo = t._state(v, _memo=memo)
         assert sorted(a.path for a in live_full) == sorted(
             a.path for a in live_memo), v
+
+
+def test_stale_low_head_hint_never_allocates_below_parent(cat, spark):
+    """r11 review: a stale-low head hint (swallowed hint write, or a
+    writer on pre-hint code) plus an expiry gap below the parent must
+    not allocate a version LOWER than its parent — a published
+    child-below-parent commit trips _lineage's monotonicity guard on
+    every later read, bricking the table."""
+    cat.create_database("db")
+    t = cat.create_table("db.hint", spark.createDataFrame([(0,)], "k int"))
+    t.append(spark.createDataFrame([(1,)], "k int"))   # v1
+    t.append(spark.createDataFrame([(2,)], "k int"))   # v2 = head
+    # free slots 0 and 1 (below the head)
+    assert t.expire_snapshots(older_than_ms=10**15, retain_last=1) == [0, 1]
+    # simulate the lost hint updates: hint says 0, slots 0/1 are free
+    with open(os.path.join(t.log_dir, "_head_hint"), "w") as fh:
+        fh.write("0")
+    c = t.append(spark.createDataFrame([(3,)], "k int"))
+    assert c.version > 2 and c.parent == 2, (c.version, c.parent)
+    # lineage stays monotone and fully readable afterwards
+    assert [x.version for x in t._lineage(t.head())] == [c.version, 2]
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3]
+
+
+def test_collapse_ws_quote_inside_backticks(cat, spark):
+    """r11 review: a quote character inside a backticked identifier
+    makes the quote-span and backtick-span scans overlap; the splice
+    must merge them instead of emitting the contained region twice."""
+    from lakeshed.catalog import _collapse_ws
+
+    for stmt in ("SELECT k AS `it's` FROM t",
+                 "SELECT `a 'x' b` FROM t"):
+        assert _collapse_ws(stmt) == stmt, stmt
+    # collapse still happens BEFORE the hostile identifier; after it the
+    # raw-text quote scan sees an unterminated literal and protects the
+    # tail — conservative (uncollapsed, possibly unrouted) but never
+    # corrupted
+    assert _collapse_ws("SELECT  k  AS `it's`  FROM\n t") == \
+        "SELECT k AS `it's`  FROM\n t"
+    # end-to-end through the router: the statement reaches spark intact
+    row = cat.sql("SELECT 'v' AS `it's`").first()
+    assert row["it's"] == "v"
