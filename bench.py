@@ -156,9 +156,13 @@ CANARY_QUIET_BEFORE_MAX = 0.19
 CANARY_QUIET_AFTER_MAX = 0.10
 
 
-def _prior_detail(repo: str, rnd: int) -> dict[str, float]:
-    """Per-query timings from the newest BENCH_DETAIL_r{M}.json with
-    M < rnd — the comparison base for contended-round re-runs."""
+def _prior_detail(repo: str, rnd: int) -> tuple[int | None, dict, bool]:
+    """(round, per-query timings, that round's contended flag) from the
+    newest readable BENCH_DETAIL_r{M}.json with M < rnd — the comparison
+    base for contended-round re-runs. The round number and flag are
+    recorded into the artifact so a reader can validate the base (r11
+    review: a silently-skipped corrupt file or an itself-contended base
+    would otherwise be invisible)."""
     best: tuple[int, dict] | None = None
     for f in os.listdir(repo):
         m = re.match(r"BENCH_DETAIL_r(\d+)\.json$", f)
@@ -167,11 +171,13 @@ def _prior_detail(repo: str, rnd: int) -> dict[str, float]:
         if best is None or int(m.group(1)) > best[0]:
             try:
                 with open(os.path.join(repo, f)) as fh:
-                    best = (int(m.group(1)), json.load(fh).get(
-                        "queries", {}))
+                    best = (int(m.group(1)), json.load(fh))
             except (OSError, json.JSONDecodeError):
                 continue
-    return best[1] if best else {}
+    if best is None:
+        return None, {}, False
+    return best[0], best[1].get("queries", {}), bool(
+        best[1].get("contended"))
 
 
 def _time_query(spark, fn) -> float:
@@ -287,9 +293,9 @@ def main() -> None:
     # unchanged); re-runs are extra evidence, not replacements.
     contended = (canary_before > CANARY_QUIET_BEFORE_MAX
                  or canary_after > CANARY_QUIET_AFTER_MAX)
-    reruns: dict[str, dict[str, float]] = {}
+    reruns: dict = {}
     if contended and sf == 0.1:
-        prior_t = _prior_detail(repo, rnd)
+        prior_rnd, prior_t, prior_contended = _prior_detail(repo, rnd)
         drifters = sorted(
             (n for n, t in timings.items()
              # >=0.3 s floor: tiny queries drift multiplicatively on
@@ -302,6 +308,17 @@ def main() -> None:
                 "suite_sec": timings[name],
                 "prior_sec": prior_t[name],
                 "rerun_sec": round(_time_query(spark, reg[name]), 3),
+            }
+        if drifters:
+            # provenance + self-certification (r11 review): which round
+            # the baseline came from, whether THAT round was contended,
+            # and a canary sample taken right after the re-runs — so a
+            # reader can tell "rerun confirms drift" from "rerun
+            # measured the same background noise"
+            reruns["_meta"] = {
+                "prior_round": prior_rnd,
+                "prior_contended": prior_contended,
+                "rerun_canary_sec": _canary(spark),
             }
     if sf == 0.1:
         with open(os.path.join(repo, detail_name), "w") as fh:

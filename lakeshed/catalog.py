@@ -1345,20 +1345,10 @@ def _collapse_ws(s: str) -> str:
     between keywords, so newlines and comment-blanked gaps must
     normalize before matching (r11 fuzz), but a run inside ``'a  b'``
     is data and ``` `a  b` ``` is a (hostile but legal) identifier.
-    Same layering as :func:`_strip_comments`: quote spans from the raw
-    text, backtick spans from the quote-masked text — so the two span
-    sets cannot overlap."""
+    Quote spans come from the raw text, backtick spans from the
+    quote-masked text (the shared :func:`_backtick_spans` scanner)."""
     ms = _mask_quotes(s)
-    protected = list(_quoted_spans(s))
-    i, n = 0, len(ms)
-    while i < n:
-        if ms[i] == "`":
-            j = ms.find("`", i + 1)
-            j = n - 1 if j < 0 else j
-            protected.append((i, j + 1))
-            i = j + 1
-        else:
-            i += 1
+    protected = list(_quoted_spans(s)) + _backtick_spans(ms)
     # a quote INSIDE a backticked identifier makes the two scans
     # overlap (the raw-text quote span runs past the closing backtick
     # it masked) — merge overlaps, or the splice below would emit the
@@ -1378,35 +1368,38 @@ def _collapse_ws(s: str) -> str:
     return "".join(out)
 
 
+def _backtick_spans(ms: str) -> list[tuple[int, int]]:
+    """Spans of backtick-quoted identifiers in a QUOTE-MASKED text
+    (an unterminated tick runs to end of text). Comment-blind by
+    design: callers that must interleave comment classification (a
+    backtick inside ``/* */`` is comment text) go through
+    :func:`_bt_masks`, the authoritative combined walker — this helper
+    serves the positions-only consumers (r11 review: three hand-rolled
+    copies of this walk risked drifting apart)."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(ms)
+    while i < n:
+        if ms[i] == "`":
+            j = ms.find("`", i + 1)
+            j = n - 1 if j < 0 else j
+            spans.append((i, j + 1))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
 def _strip_comments(s: str) -> str:
     """``s`` with /* */ and -- comments blanked to spaces — string
     literals and backticked identifiers are opaque (a ``--`` inside
-    either is data, not a comment), same classification as
-    :func:`_bt_masks` but applied to the ORIGINAL text."""
+    either is data, not a comment). Derived FROM :func:`_bt_masks`
+    rather than re-walking the text: comment positions are exactly
+    where the combined walker's mcs diverges from the quote mask."""
     ms = _mask_quotes(s)
-    out = list(s)
-    i, n = 0, len(ms)
-    while i < n:
-        ch = ms[i]
-        if ch == "`":
-            j = ms.find("`", i + 1)
-            j = n - 1 if j < 0 else j
-            i = j + 1
-        elif ch == "/" and i + 1 < n and ms[i + 1] == "*":
-            j = ms.find("*/", i + 2)
-            j = n - 2 if j < 0 else j
-            for k in range(i, j + 2):
-                out[k] = " "
-            i = j + 2
-        elif ch == "-" and i + 1 < n and ms[i + 1] == "-":
-            j = ms.find("\n", i)
-            j = n if j < 0 else j
-            for k in range(i, j):
-                out[k] = " "
-            i = j
-        else:
-            i += 1
-    return "".join(out)
+    mcs, _ = _bt_masks(ms)
+    return "".join(
+        " " if a != b else c for a, b, c in zip(ms, mcs, s)
+    )
 
 
 def _bt_masks(ms: str) -> tuple[str, str]:

@@ -591,6 +591,14 @@ class LakeTable:
                 live[a.path] = a
         if _memo is not None:
             _memo[version] = (chain[-1], live)
+            # bound driver memory to O(cap × live files): an unbounded
+            # memo over a many-survivor sweep is O(survivors × live)
+            # (r11 review — GB-scale on a 17k-commit streaming day).
+            # Callers iterate ascending, so the lowest version is the
+            # least likely future seed; a miss just replays from the
+            # nearest checkpoint (≤20 commits) like the pre-memo code.
+            if len(_memo) > 32:
+                _memo.pop(min(_memo))
         return chain[-1], list(live.values())
 
     # ------------------------------------------------------------- commit op
