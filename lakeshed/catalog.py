@@ -1307,7 +1307,15 @@ def _quoted_spans(s: str) -> list[tuple[int, int]]:
     """(start, end) spans of single-/double-quoted literals in ``s``.
     The ONE quote scanner every helper shares. Handles backslash escapes
     (``'it\\'s'``) and SQL doubled quotes (``'it''s'`` scans as two
-    adjacent literals — same spans for our purposes)."""
+    adjacent literals — same spans for our purposes).
+
+    Positional precedence with comments, hints and backticked
+    identifiers (r11 review wave 3): whichever construct OPENS first
+    consumes its span, so an apostrophe inside ``-- don't`` or inside
+    ``` `a'b` ``` is NOT a literal opener. The pre-r11 quotes-first scan
+    let a quote inside a comment open a phantom literal that masked the
+    comment's terminator — _strip_comments then leaked comment text
+    into the statement."""
     spans: list[tuple[int, int]] = []
     quote, start = None, 0
     i, n = 0, len(s)
@@ -1322,6 +1330,19 @@ def _quoted_spans(s: str) -> list[tuple[int, int]]:
                 quote = None
         elif ch in "'\"":
             quote, start = ch, i
+        elif ch == "`":
+            j = s.find("`", i + 1)
+            i = (n - 1 if j < 0 else j) + 1
+            continue
+        elif ch == "-" and i + 1 < n and s[i + 1] == "-":
+            j = s.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        elif ch == "/" and i + 1 < n and s[i + 1] == "*":
+            # both plain comments and /*+ hints are opaque blocks here
+            j = s.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
         i += 1
     if quote:
         spans.append((start, n))
@@ -1423,8 +1444,18 @@ def _bt_masks(ms: str) -> tuple[str, str]:
         elif ch == "/" and i + 1 < n and ms[i + 1] == "*":
             j = ms.find("*/", i + 2)
             j = n - 2 if j < 0 else j
-            for k in range(i, j + 2):
-                mcs[k] = mscan[k] = " "
+            if i + 2 < n and ms[i + 2] == "+":
+                # /*+ ... */ is an OPTIMIZER HINT — syntactically a
+                # comment but semantically meaningful to Spark (r11
+                # review wave 3: stripping it silently changed join
+                # strategies). Keep it in mcs (so _strip_comments
+                # preserves it for spark.sql) but blank it in mscan
+                # (so position/keyword scans skip its text).
+                for k in range(i, j + 2):
+                    mscan[k] = " "
+            else:
+                for k in range(i, j + 2):
+                    mcs[k] = mscan[k] = " "
             i = j + 2
         elif ch == "-" and i + 1 < n and ms[i + 1] == "-":
             j = ms.find("\n", i)

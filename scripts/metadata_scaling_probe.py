@@ -153,7 +153,7 @@ def main() -> None:
 
     lines = [
         "",
-        "## Commit-log metadata scaling (r11 re-run; first measured r10, VERDICT r9 #4)",
+        "## Commit-log metadata scaling",
         "",
         f"Streaming-shaped table: {total} single-file appends through the",
         "real commit protocol (exclusive create, sibling guard, ref CAS,",

@@ -45,6 +45,12 @@ def _comment(rng: random.Random) -> str:
         "-- note\n",
         "/* multi\nline */",
         "--\n",
+        # quote characters INSIDE comments (r11 review wave 3: the
+        # quotes-first span scan let these open phantom literals that
+        # leaked comment text into the statement — a pool without them
+        # cannot see that failure mode)
+        "-- don't\n",
+        "/* it's \"x\" */",
     ])
 
 
@@ -282,3 +288,113 @@ def test_fuzz_time_travel(fcat, spark):
             "version", "as", "of", ("lit", "0"),
         ])
         assert cat.sql(stmt).first().c == canon, stmt
+
+
+def test_quoted_comments_and_hints(fcat, spark):
+    """r11 review wave 3: an apostrophe inside a comment must not open
+    a phantom string literal (pre-fix it masked the comment terminator
+    and leaked comment text into the statement), and /*+ ... */
+    optimizer hints — syntactically comments, semantically Spark
+    directives — must survive the router's comment strip."""
+    from lakeshed.catalog import _collapse_ws, _strip_comments
+
+    cat = fcat
+    _reset(cat, spark)
+
+    s = "SELECT k FROM t WHERE k > 0 -- don't touch\nORDER BY k"
+    assert _collapse_ws(_strip_comments(s)) == \
+        "SELECT k FROM t WHERE k > 0 ORDER BY k"
+    s = "-- can't parse\nSELECT a, b FROM t"
+    assert _collapse_ws(_strip_comments(s)).strip() == "SELECT a, b FROM t"
+    hint = "SELECT /*+ BROADCAST(s) */ t.k FROM t JOIN s ON t.k = s.k"
+    assert _strip_comments(hint) == hint
+
+    # end-to-end: quoted comment on a routed statement
+    assert cat.sql(
+        "SELECT count(*) AS c FROM nyc.fz -- don't recount\n"
+    ).first().c == 3
+    cat.sql("UPDATE nyc.fz /* it's urgent */ SET v = 'Q' WHERE k = 1")
+    assert ("Q" in {r.v for r in cat.table("nyc.fz").read().collect()})
+    # end-to-end: the hint reaches Spark (REPARTITION(3) shapes the
+    # output partitioning — observable, not just plan text)
+    df = cat.sql("SELECT /*+ REPARTITION(3) */ k FROM nyc.fz")
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_fuzz_alter_and_call(fcat, spark):
+    """Spelling fuzz for the ALTER TABLE branch/column routes and CALL
+    procedures (the remaining routed classes r11's first fuzz pass did
+    not cover)."""
+    cat = fcat
+    rng = random.Random(5150)
+
+    for i in range(N):
+        name = "nyc.af"
+        if cat._exists(name):
+            cat.drop_table(name)
+        cat.create_table(name, spark.createDataFrame(
+            [(1, "a")], "k int, v string"))
+        stmt = _render(rng, [
+            "alter", "table", ("name", name),
+            "add", "column", ("lit", "w"), ("lit", "int")])
+        cat.sql(stmt)
+        assert "w" in [f.name for f in cat.table(name).schema_fields()], stmt
+        stmt = _render(rng, [
+            "alter", "table", ("name", name),
+            "rename", "column", ("lit", "w"), "to", ("lit", "w2")])
+        cat.sql(stmt)
+        cols = [f.name for f in cat.table(name).schema_fields()]
+        assert "w2" in cols and "w" not in cols, stmt
+        stmt = _render(rng, [
+            "alter", "table", ("name", name),
+            "drop", "column", ("lit", "w2")])
+        cat.sql(stmt)
+        assert "w2" not in [
+            f.name for f in cat.table(name).schema_fields()], stmt
+        stmt = _render(rng, [
+            "alter", "table", ("name", name),
+            "create", "branch", ("lit", f"b{i}")])
+        cat.sql(stmt)
+        assert f"b{i}" in cat.table(name).branches(), stmt
+        stmt = _render(rng, [
+            "alter", "table", ("name", name),
+            "set", "tblproperties", ("lit", "('owner'='fz')")])
+        cat.sql(stmt)
+        assert cat.table(name).properties().get("owner") == "fz", stmt
+
+    # CALL procedures: named-arg + catalog-prefixed spellings
+    cat.create_table("nyc.cf", spark.createDataFrame(
+        [(1, "a")], "k int, v string"))
+    t = cat.table("nyc.cf")
+    for _ in range(3):
+        t.append(spark.createDataFrame([(2, "b")], "k int, v string"))
+    n_files = t.files().count()
+    stmt = _render(rng, [
+        "call", ("lit", "demo.system.rewrite_data_files"),
+        ("lit", "(table => 'nyc.cf')")])
+    out = cat.sql(stmt)
+    assert out.first()["rewritten_data_files_count"] == n_files, stmt
+
+
+def test_fuzz_ctas(fcat, spark):
+    """Spelling fuzz for CTAS and typed CREATE TABLE."""
+    cat = fcat
+    rng = random.Random(606)
+    _reset(cat, spark)
+    for i in range(N // 2):
+        name = f"nyc.ct{i}"
+        stmt = _render(rng, [
+            "create", "table", ("name", name),
+            "as", "select", ("lit", "k, v"),
+            "from", ("name", "nyc.fz"),
+            "where", ("lit", "k > 1")])
+        cat.sql(stmt)
+        assert cat.table(name).read().count() == 2, stmt
+        name2 = f"nyc.cs{i}"
+        stmt = _render(rng, [
+            "create", "table", ("name", name2),
+            ("lit", "(a int, b string)"),
+            "partitioned", "by", ("lit", "(a)")])
+        cat.sql(stmt)
+        assert [f.name for f in cat.table(name2).schema_fields()] == \
+            ["a", "b"], stmt

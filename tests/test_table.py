@@ -1018,10 +1018,15 @@ def test_sql_router_namedarg_call_procedures(cat, nation):
     import time as _time
     from datetime import datetime, timezone
 
-    now_str = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S.000")
-    # the TIMESTAMP literal is wall-clock "now": commits made this test run
-    # are older than it, so everything but the retained head expires
-    _time.sleep(0.01)
+    # derive the cutoff from the HEAD commit's own timestamp (+1 ms) so
+    # every commit is strictly older than it regardless of how fast the
+    # test ran — the old wall-clock literal truncated to whole seconds
+    # and flaked whenever the whole test fit inside one second (which
+    # the r11 O(1) commit path made routine)
+    head_ts = t._read_commit(t.head()).timestamp_ms
+    now_str = datetime.fromtimestamp(
+        (head_ts + 1) / 1000, timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
     out = cat.sql(
         "CALL demo.system.expire_snapshots(table => 'nyc.taxis_sample', "
         f"older_than => TIMESTAMP '{now_str}', retain_last => 1)"
@@ -2911,12 +2916,11 @@ def test_collapse_ws_quote_inside_backticks(cat, spark):
     for stmt in ("SELECT k AS `it's` FROM t",
                  "SELECT `a 'x' b` FROM t"):
         assert _collapse_ws(stmt) == stmt, stmt
-    # collapse still happens BEFORE the hostile identifier; after it the
-    # raw-text quote scan sees an unterminated literal and protects the
-    # tail — conservative (uncollapsed, possibly unrouted) but never
-    # corrupted
+    # since the r11 wave-3 interleaved lexer the tick span wins by
+    # position, the apostrophe never opens a phantom literal, and the
+    # tail collapses normally
     assert _collapse_ws("SELECT  k  AS `it's`  FROM\n t") == \
-        "SELECT k AS `it's`  FROM\n t"
+        "SELECT k AS `it's` FROM t"
     # end-to-end through the router: the statement reaches spark intact
     row = cat.sql("SELECT 'v' AS `it's`").first()
     assert row["it's"] == "v"
