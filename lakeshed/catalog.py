@@ -761,9 +761,12 @@ class Catalog:
         # written plain, so references like `db`.`t`.k failed clause
         # parsing). Plain-ended patterns carry word boundaries so `db`.t
         # never eats a prefix of `db`.tx.
-        parts = tbl.split(".")
         pat_repl: dict[str, str] = {}
-        whole = [m.group(1), f"`{tbl}`"]
+        # tick-free tail (the common spelling): every pattern below only
+        # ever matches text containing a backtick — skip the ~7-12
+        # full-tail normalization scans entirely (r11 wave 4)
+        parts = tbl.split(".") if "`" in s[m.end():] else []
+        whole = [m.group(1), f"`{tbl}`"] if parts else []
         if len(parts) == 3:
             whole.append("`" + ".".join(parts[1:]) + "`")
         for spell in whole:
@@ -1339,9 +1342,25 @@ def _quoted_spans(s: str) -> list[tuple[int, int]]:
             i = n if j < 0 else j + 1
             continue
         elif ch == "/" and i + 1 < n and s[i + 1] == "*":
-            # both plain comments and /*+ hints are opaque blocks here
-            j = s.find("*/", i + 2)
-            i = n if j < 0 else j + 2
+            # bracketed comments NEST in Spark 3.0+ (r11 wave 4: ending
+            # at the first */ corrupted statements with inner blocks);
+            # an unterminated block runs to end of text. A /*+ HINT is
+            # emitted AS a span: it forwards to Spark verbatim, so its
+            # payload (including string literals like FOO('a  b')) must
+            # be opaque to every rewrite/collapse downstream.
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if s.startswith("/*", j):
+                    depth += 1
+                    j += 2
+                elif s.startswith("*/", j):
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            if s[i + 2:i + 3] == "+":
+                spans.append((i, j))
+            i = j
             continue
         i += 1
     if quote:
@@ -1442,21 +1461,25 @@ def _bt_masks(ms: str) -> tuple[str, str]:
                 mscan[k] = " "
             i = j + 1
         elif ch == "/" and i + 1 < n and ms[i + 1] == "*":
-            j = ms.find("*/", i + 2)
-            j = n - 2 if j < 0 else j
-            if i + 2 < n and ms[i + 2] == "+":
-                # /*+ ... */ is an OPTIMIZER HINT — syntactically a
-                # comment but semantically meaningful to Spark (r11
-                # review wave 3: stripping it silently changed join
-                # strategies). Keep it in mcs (so _strip_comments
-                # preserves it for spark.sql) but blank it in mscan
-                # (so position/keyword scans skip its text).
-                for k in range(i, j + 2):
-                    mscan[k] = " "
-            else:
-                for k in range(i, j + 2):
-                    mcs[k] = mscan[k] = " "
-            i = j + 2
+            # nesting-aware (Spark 3.0+ bracketed comments nest; r11
+            # wave 4). /*+ HINTS never reach this branch: _quoted_spans
+            # emits them as opaque spans, so the quote mask has already
+            # blanked them — syntactically comments, but semantically
+            # Spark directives that _strip_comments must preserve
+            # (which deriving mcs==ms there does).
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if ms.startswith("/*", j):
+                    depth += 1
+                    j += 2
+                elif ms.startswith("*/", j):
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            for k in range(i, j):
+                mcs[k] = mscan[k] = " "
+            i = j
         elif ch == "-" and i + 1 < n and ms[i + 1] == "-":
             j = ms.find("\n", i)
             j = n if j < 0 else j

@@ -398,3 +398,37 @@ def test_fuzz_ctas(fcat, spark):
         cat.sql(stmt)
         assert [f.name for f in cat.table(name2).schema_fields()] == \
             ["a", "b"], stmt
+
+
+def test_nested_comments_and_hint_payloads(fcat, spark):
+    """r11 review wave 4: bracketed comments nest in Spark 3.0+ — the
+    strip must track depth, not stop at the first */ — and a preserved
+    /*+ hint's payload (string literals, spacing, relation-name-shaped
+    text) must be opaque to every rewrite and collapse."""
+    from lakeshed.catalog import (
+        _collapse_ws,
+        _strip_comments,
+        _sub_outside_quotes,
+    )
+
+    cat = fcat
+    _reset(cat, spark)
+
+    # nested block comments strip wholly
+    s = "SELECT 1 AS x /* outer /* inner */ tail */ FROM t"
+    assert _collapse_ws(_strip_comments(s)) == "SELECT 1 AS x FROM t"
+    assert cat.sql(
+        "SELECT count(*) AS c /* o /* i */ t */ FROM nyc.fz"
+    ).first().c == 3
+
+    # hint payloads survive strip + collapse verbatim
+    h = "SELECT /*+ FOO('a  b') */ k FROM t"
+    assert _collapse_ws(_strip_comments(h)) == h
+    # ...and are invisible to outside-quotes rewrites (relation-name
+    # rewriting must not rename text inside a hint's arguments)
+    assert _sub_outside_quotes(
+        r"nyc\.fz", "X", "SELECT /*+ F('nyc.fz') */ 1 FROM nyc.fz"
+    ) == "SELECT /*+ F('nyc.fz') */ 1 FROM X"
+    # end-to-end: hint still reaches Spark after the full router
+    df = cat.sql("SELECT /*+ REPARTITION(4) */ k FROM nyc.fz")
+    assert df.rdd.getNumPartitions() == 4
