@@ -771,7 +771,13 @@ class Catalog:
             whole.append("`" + ".".join(parts[1:]) + "`")
         for spell in whole:
             if "`" in spell:
-                pat_repl[re.escape(spell)] = spell.replace("`", "")
+                # catalog-less spellings normalize to the FULL name: the
+                # ON/SET clause parsers only recognize talias (= the
+                # full as-written target), so `nyc.mm` on a demo.nyc.mm
+                # target must become demo.nyc.mm, not nyc.mm (r11 wave 5
+                # — the catalog-less replacement previously produced a
+                # form the clause parser still rejected)
+                pat_repl[re.escape(spell)] = tbl
         for name_parts in ([parts] + ([parts[1:]]
                                       if len(parts) == 3 else [])):
             for mask in range(1, 1 << len(name_parts)):
@@ -782,7 +788,7 @@ class Catalog:
                     pat = r"(?<![\w.`])" + pat
                 if not ticked[-1].endswith("`"):
                     pat += r"(?![\w`])"
-                pat_repl[pat] = ".".join(name_parts)
+                pat_repl[pat] = tbl  # full name, same rationale as above
         for pat, repl in pat_repl.items():
             s = s[:m.end()] + _sub_outside_quotes(pat, repl, s[m.end():])
         rest = s[m.end():].lstrip()
@@ -1387,12 +1393,17 @@ def _collapse_ws(s: str) -> str:
     is data and ``` `a  b` ``` is a (hostile but legal) identifier.
     Quote spans come from the raw text, backtick spans from the
     quote-masked text (the shared :func:`_backtick_spans` scanner)."""
-    ms = _mask_quotes(s)
-    protected = list(_quoted_spans(s)) + _backtick_spans(ms)
-    # a quote INSIDE a backticked identifier makes the two scans
-    # overlap (the raw-text quote span runs past the closing backtick
-    # it masked) — merge overlaps, or the splice below would emit the
-    # contained region twice and corrupt the statement (r11 review)
+    qspans = _quoted_spans(s)
+    ms_l = list(s)  # mask derived from the spans already in hand —
+    for a, b in qspans:  # calling _mask_quotes would re-scan (wave 5)
+        for i in range(a, b):
+            ms_l[i] = " "
+    protected = qspans + _backtick_spans("".join(ms_l))
+    # DEFENSIVE overlap merge: the r11 wave-3 interleaved lexer makes
+    # these span sets disjoint by construction (ticks win by position,
+    # and the backtick scan runs on the quote-masked text) — but an
+    # overlap once duplicated spliced text and corrupted statements
+    # (wave 2), so the 6-line invariant net stays against scanner drift
     merged: list[tuple[int, int]] = []
     for a, b in sorted(protected):
         if merged and a < merged[-1][1]:

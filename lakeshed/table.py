@@ -420,7 +420,12 @@ class LakeTable:
         writers can leave it a step low and a crashed writer a step
         high — the allocation probe in _commit absorbs both; losing the
         write entirely (read-only fs hiccup) only means the next commit
-        falls back to the directory listing."""
+        falls back to the directory listing. Never moves an existing
+        hint DOWN (an unlocked racing pair could otherwise regress it
+        by more than the one step the probe expects — r11 wave 5)."""
+        cur = self._read_head_hint()
+        if cur is not None and cur >= version:
+            return
         tmp = os.path.join(
             self.log_dir, f".{_HEAD_HINT}.{uuid.uuid4().hex}.tmp")
         try:
@@ -750,16 +755,23 @@ class LakeTable:
             version = (versions[-1] + 1) if versions else 0
         else:
             version = hint + 1
-        # clamp to parent+1: a STALE-LOW hint (a swallowed
-        # _write_head_hint OSError, or a writer on pre-hint code)
-        # combined with an expiry gap below the parent would otherwise
-        # allocate a version LOWER than its parent — the probe loop only
-        # absorbs staleness while the intervening slots still exist, and
-        # a published child-below-parent commit trips _lineage's
-        # monotonicity guard on every later read/commit/expiry,
-        # bricking the table (r11 review)
-        if parent is not None and version <= parent:
-            version = parent + 1
+        # floor at parent+1 AND above every live ref: a STALE-LOW hint
+        # (a swallowed _write_head_hint OSError, or a writer on pre-hint
+        # code) combined with expiry gaps would otherwise (a) allocate a
+        # version LOWER than its parent — a published child-below-parent
+        # trips _lineage's monotonicity guard on every later read,
+        # bricking the table — or (b) REUSE an expired mid-gap version
+        # number below another branch's live head, silently splicing an
+        # unrelated commit under surviving by-value references (VERSION
+        # AS OF, history tooling) to the old id (r11 review waves 4-5).
+        # The probe loop only absorbs staleness while the intervening
+        # slots still exist on disk; expiry frees them.
+        floor = max(
+            [parent if parent is not None else -1]
+            + list(self._refs().values())
+        )
+        if version <= floor:
+            version = floor + 1
         common = dict(
             parent=parent,
             branch=branch,

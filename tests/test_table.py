@@ -2924,3 +2924,58 @@ def test_collapse_ws_quote_inside_backticks(cat, spark):
     # end-to-end through the router: the statement reaches spark intact
     row = cat.sql("SELECT 'v' AS `it's`").first()
     assert row["it's"] == "v"
+
+
+def test_merge_three_part_target_catalog_less_ticked_refs(cat, spark):
+    """r11 review wave 5: on a catalog-qualified (3-part) MERGE target,
+    catalog-less ticked ON/SET references must normalize to the FULL
+    as-written name — the clause parsers only recognize talias, so
+    `nyc`.`m3`.k on a demo.nyc.m3 target previously normalized to a
+    form they still rejected."""
+    cat.create_database("nyc")
+    cat.create_table("nyc.m3", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"))
+    cat.create_table("nyc.m3src", spark.createDataFrame(
+        [(1, "x"), (2, "y")], "k int, v string"))
+    cat.sql(
+        "MERGE INTO demo.nyc.m3 USING nyc.m3src s "
+        "ON `nyc`.`m3`.k = s.k "
+        "WHEN MATCHED AND `nyc.m3`.k = 1 THEN UPDATE SET v = s.v")
+    assert sorted(
+        (r.k, r.v) for r in cat.table("nyc.m3").read().collect()
+    ) == [(1, "x"), (2, "b")]
+    cat.sql(
+        "MERGE INTO demo.nyc.m3 USING nyc.m3src s "
+        "ON nyc.`m3`.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v")
+    assert sorted(
+        (r.k, r.v) for r in cat.table("nyc.m3").read().collect()
+    ) == [(1, "x"), (2, "y")]
+
+
+def test_stale_hint_never_reuses_mid_gap_version_below_live_ref(
+        cat, spark):
+    """r11 review wave 5: a stale-low hint plus expiry gaps must not
+    RE-allocate an expired mid-gap version number below another
+    branch's live head — a surviving by-value reference (VERSION AS OF)
+    to the old id would silently resolve to the unrelated new commit."""
+    cat.create_database("db")
+    t = cat.create_table("db.gap", spark.createDataFrame([(0,)], "k int"))
+    t.append(spark.createDataFrame([(1,)], "k int"))   # v1
+    t.append(spark.createDataFrame([(2,)], "k int"))   # v2 = main head
+    t.create_branch("z")                               # z -> v2
+    for i in range(3, 10):                             # v3..v9 on z
+        t.append(spark.createDataFrame([(i,)], "k int"), branch="z")
+    # retain only each head: frees 0,1 and the mid-gap 3..8
+    expired = t.expire_snapshots(older_than_ms=10**15, retain_last=1)
+    assert expired == [0, 1, 3, 4, 5, 6, 7, 8]
+    assert t._versions() == [2, 9]
+    # simulate lost hint updates: hint stale at the main head
+    with open(os.path.join(t.log_dir, "_head_hint"), "w") as fh:
+        fh.write("2")
+    c = t.append(spark.createDataFrame([(10,)], "k int"))  # parent 2
+    assert c.parent == 2
+    # must allocate ABOVE z's live head, never reuse freed slot 3
+    assert c.version > 9, c.version
+    with pytest.raises(TableError):
+        t.read(version=3).collect()  # the old id stays dead
