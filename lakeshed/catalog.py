@@ -502,8 +502,11 @@ class Catalog:
             self._run_dml(t, lambda **kw: t.overwrite(df, **kw))
             return None
         m = re.match(
+            # \b, not a literal space, after SELECT/VALUES: Spark
+            # accepts VALUES(1,'a') glued to the paren (r11 wave 6 —
+            # the spaced pattern silently fell through to spark.sql)
             r"insert into (?:table )?((?:`[\w.]+`|[\w.])+)"
-            r" (select .+|values .+)$", s,
+            r" (select\b.+|values\b.+)$", s,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
@@ -761,42 +764,57 @@ class Catalog:
         # written plain, so references like `db`.`t`.k failed clause
         # parsing). Plain-ended patterns carry word boundaries so `db`.t
         # never eats a prefix of `db`.tx.
-        pat_repl: dict[str, str] = {}
-        # tick-free tail (the common spelling): every pattern below only
-        # ever matches text containing a backtick — skip the ~7-12
-        # full-tail normalization scans entirely (r11 wave 4)
+        # Every ticked spelling of the target normalizes to the FULL
+        # as-written name (the ON/SET clause parsers only recognize
+        # talias). ALL patterns carry the (?<![\w.`]) lookbehind so a
+        # spelling preceded by a qualifier is never rewritten in place
+        # (r11 wave 6: splicing the full name into demo.`nyc.m3`.k
+        # produced demo.demo.nyc.m3.k) — the catalog-QUALIFIED ticked
+        # forms are instead covered by their own explicit patterns
+        # below, and a ref under an unknown catalog (other.`t`) is left
+        # alone to fail loudly in the clause parser. Plain-ended
+        # patterns carry a trailing boundary so `db`.t never eats a
+        # prefix of `db`.tx.
+        # Tick-free tail (the common spelling): every pattern below only
+        # ever matches text containing a backtick — skip the scans
+        # entirely (r11 wave 4).
         parts = tbl.split(".") if "`" in s[m.end():] else []
-        whole = [m.group(1), f"`{tbl}`"] if parts else []
-        if len(parts) == 3:
-            whole.append("`" + ".".join(parts[1:]) + "`")
-        for spell in whole:
-            if "`" in spell:
-                # catalog-less spellings normalize to the FULL name: the
-                # ON/SET clause parsers only recognize talias (= the
-                # full as-written target), so `nyc.mm` on a demo.nyc.mm
-                # target must become demo.nyc.mm, not nyc.mm (r11 wave 5
-                # — the catalog-less replacement previously produced a
-                # form the clause parser still rejected)
-                pat_repl[re.escape(spell)] = tbl
+        tails: set[tuple[str, bool]] = set()  # (pattern, ends-ticked)
+        if parts:
+            tails.add((re.escape(f"`{tbl}`"), True))
+            if "`" in m.group(1):
+                tails.add((re.escape(m.group(1)),
+                           m.group(1).endswith("`")))
         for name_parts in ([parts] + ([parts[1:]]
                                       if len(parts) == 3 else [])):
             for mask in range(1, 1 << len(name_parts)):
                 ticked = [f"`{p}`" if mask >> i & 1 else p
                           for i, p in enumerate(name_parts)]
-                pat = r"\.".join(re.escape(p) for p in ticked)
-                if not ticked[0].startswith("`"):
-                    pat = r"(?<![\w.`])" + pat
-                if not ticked[-1].endswith("`"):
-                    pat += r"(?![\w`])"
-                pat_repl[pat] = tbl  # full name, same rationale as above
-        for pat, repl in pat_repl.items():
-            s = s[:m.end()] + _sub_outside_quotes(pat, repl, s[m.end():])
+                tails.add((r"\.".join(re.escape(p) for p in ticked),
+                           ticked[-1].endswith("`")))
+        if len(parts) == 3:
+            # whole-ticked catalog-less tail — unqualified (`nyc.m3`.k,
+            # the lookbehind keeps it off qualified instances) AND
+            # catalog-qualified (demo.`nyc.m3`, `demo`.`nyc.m3`; the
+            # per-part combos above cover the per-part-ticked forms)
+            cl = re.escape("`" + ".".join(parts[1:]) + "`")
+            tails.add((cl, True))
+            for cat_sp in (re.escape(parts[0]),
+                           re.escape(f"`{parts[0]}`")):
+                tails.add((cat_sp + r"\." + cl, True))
+        for pat, ends_ticked in tails:
+            full = r"(?<![\w.`])" + pat
+            if not ends_ticked:
+                full += r"(?![\w`])"
+            s = s[:m.end()] + _sub_outside_quotes(full, tbl, s[m.end():])
         rest = s[m.end():].lstrip()
 
         # source: balanced-paren subquery or a [db.]table / temp-view name
         if rest.startswith("("):
             depth, i = 0, 0
-            for i, ch in enumerate(rest):
+            # depth counted on the quote mask: a paren inside a string
+            # literal in the subquery is data (r11 wave 6)
+            for i, ch in enumerate(_mask_quotes(rest)):
                 depth += ch == "("
                 depth -= ch == ")"
                 if depth == 0:
@@ -1312,6 +1330,27 @@ def _parse_call_args(argstr: str) -> tuple[list[object], dict[str, object]]:
     return pos, named
 
 
+def _block_comment_end(t: str, i: int) -> int:
+    """Index just past the ``*/`` matching the block comment (or hint)
+    opening at ``i`` — nesting-aware (Spark 3.0+ bracketed comments
+    nest); an unterminated block runs to end of text. THE one depth
+    walker `_quoted_spans` and `_bt_masks` share (r11 wave 6: two
+    copies of this loop were one drift away from the wave-2 class of
+    span-corruption bug)."""
+    depth, j = 1, i + 2
+    n = len(t)
+    while j < n and depth:
+        if t.startswith("/*", j):
+            depth += 1
+            j += 2
+        elif t.startswith("*/", j):
+            depth -= 1
+            j += 2
+        else:
+            j += 1
+    return j
+
+
 def _quoted_spans(s: str) -> list[tuple[int, int]]:
     """(start, end) spans of single-/double-quoted literals in ``s``.
     The ONE quote scanner every helper shares. Handles backslash escapes
@@ -1348,22 +1387,12 @@ def _quoted_spans(s: str) -> list[tuple[int, int]]:
             i = n if j < 0 else j + 1
             continue
         elif ch == "/" and i + 1 < n and s[i + 1] == "*":
-            # bracketed comments NEST in Spark 3.0+ (r11 wave 4: ending
-            # at the first */ corrupted statements with inner blocks);
-            # an unterminated block runs to end of text. A /*+ HINT is
+            # nesting-aware block skip (r11 wave 4: ending at the first
+            # */ corrupted statements with inner blocks). A /*+ HINT is
             # emitted AS a span: it forwards to Spark verbatim, so its
             # payload (including string literals like FOO('a  b')) must
             # be opaque to every rewrite/collapse downstream.
-            depth, j = 1, i + 2
-            while j < n and depth:
-                if s.startswith("/*", j):
-                    depth += 1
-                    j += 2
-                elif s.startswith("*/", j):
-                    depth -= 1
-                    j += 2
-                else:
-                    j += 1
+            j = _block_comment_end(s, i)
             if s[i + 2:i + 3] == "+":
                 spans.append((i, j))
             i = j
@@ -1472,22 +1501,13 @@ def _bt_masks(ms: str) -> tuple[str, str]:
                 mscan[k] = " "
             i = j + 1
         elif ch == "/" and i + 1 < n and ms[i + 1] == "*":
-            # nesting-aware (Spark 3.0+ bracketed comments nest; r11
-            # wave 4). /*+ HINTS never reach this branch: _quoted_spans
-            # emits them as opaque spans, so the quote mask has already
-            # blanked them — syntactically comments, but semantically
-            # Spark directives that _strip_comments must preserve
-            # (which deriving mcs==ms there does).
-            depth, j = 1, i + 2
-            while j < n and depth:
-                if ms.startswith("/*", j):
-                    depth += 1
-                    j += 2
-                elif ms.startswith("*/", j):
-                    depth -= 1
-                    j += 2
-                else:
-                    j += 1
+            # nesting-aware via the shared walker. /*+ HINTS never reach
+            # this branch: _quoted_spans emits them as opaque spans, so
+            # the quote mask has already blanked them — syntactically
+            # comments, but semantically Spark directives that
+            # _strip_comments must preserve (which deriving mcs==ms
+            # there does).
+            j = _block_comment_end(ms, i)
             for k in range(i, j):
                 mcs[k] = mscan[k] = " "
             i = j

@@ -767,8 +767,11 @@ class LakeTable:
         # The probe loop only absorbs staleness while the intervening
         # slots still exist on disk; expiry frees them.
         floor = max(
+            # the entry-time refs read: same pre-create staleness window
+            # as expected_ref resolution, and a ref that moves UP after
+            # it only raises the true floor — the probe + CAS cover that
             [parent if parent is not None else -1]
-            + list(self._refs().values())
+            + list(refs.values())
         )
         if version <= floor:
             version = floor + 1
@@ -822,19 +825,26 @@ class LakeTable:
         # and retries — same outcome the old earlier-version-wins scan
         # produced, decided at the ref instead of the directory.
         winner: int | None = None
-        try:
-            for wc in self._lineage(self._refs().get(branch)):
-                if parent is not None and wc.version <= parent:
-                    break
-                if (wc.version < version and wc.branch == branch
-                        and wc.parent == parent):
-                    winner = wc.version
-                    break
-        except TableError:
-            # corrupt lineage: fail the commit loudly, but don't leave
-            # our just-written file behind
-            os.remove(self._commit_path(version))
-            raise
+        # a FRESH refs read (not the entry-time snapshot): a sibling
+        # published between our head resolution and our create must be
+        # visible here. Fast path: the ref still IS our parent — the
+        # walk's first yield would break immediately, so skip it and
+        # its one commit read entirely (r11 wave 6).
+        guard_head = self._refs().get(branch)
+        if guard_head is not None and guard_head != parent:
+            try:
+                for wc in self._lineage(guard_head):
+                    if parent is not None and wc.version <= parent:
+                        break
+                    if (wc.version < version and wc.branch == branch
+                            and wc.parent == parent):
+                        winner = wc.version
+                        break
+            except TableError:
+                # corrupt lineage: fail the commit loudly, but don't
+                # leave our just-written file behind
+                os.remove(self._commit_path(version))
+                raise
         if winner is not None:
             os.remove(self._commit_path(version))
             raise CommitConflictError(

@@ -432,3 +432,38 @@ def test_nested_comments_and_hint_payloads(fcat, spark):
     # end-to-end: hint still reaches Spark after the full router
     df = cat.sql("SELECT /*+ REPARTITION(4) */ k FROM nyc.fz")
     assert df.rdd.getNumPartitions() == 4
+
+
+def test_wave6_glued_values_qualified_ticks_paren_literal(fcat, spark):
+    """r11 review wave 6: VALUES( glued to the paren routes; a
+    catalog-qualified whole-ticked MERGE ref strips in place (the full-
+    name splice produced demo.demo.nyc.fz.k); an unknown-catalog ticked
+    ref is left alone to fail loudly; a paren inside a string literal
+    in a MERGE subquery source does not derail the balanced-paren scan."""
+    cat = fcat
+    _reset(cat, spark)
+
+    cat.sql("INSERT INTO nyc.fz VALUES(9, 'z')")
+    assert (9, "z") in _rows(cat)
+    cat.sql("INSERT OVERWRITE nyc.fz VALUES(1, 'a'), (2, 'b'), (3, 'c')")
+
+    cat.create_table("nyc.w6src", spark.createDataFrame(
+        [(1, "X")], "k int, v string"))
+    cat.sql(
+        "MERGE INTO demo.nyc.fz USING nyc.w6src s "
+        "ON demo.`nyc.fz`.k = s.k "
+        "WHEN MATCHED AND `demo`.`nyc.fz`.k = 1 "
+        "THEN UPDATE SET v = s.v")
+    assert (1, "X") in _rows(cat)
+
+    from lakeshed.table import TableError
+    with pytest.raises(TableError):
+        cat.sql(
+            "MERGE INTO nyc.fz USING nyc.w6src s "
+            "ON other.`nyc.fz`.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v")
+
+    cat.sql(
+        "MERGE INTO nyc.fz t USING (SELECT 1 AS k, '(' AS v) s "
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v")
+    assert (1, "(") in _rows(cat)
