@@ -753,55 +753,50 @@ class Catalog:
             raise TableError(f"cannot parse MERGE INTO: {s[:80]!r}")
         tbl = m.group(1).replace("`", "")
         talias = m.group(2) or tbl
-        # normalize ticked spellings of the target in the statement tail
-        # so unaliased ON/SET references like `nyc.t`.k reach the clause
-        # parsers in one canonical form — regardless of how the TARGET
-        # was spelled. Covered: as-written, whole-quoted (`db.t`), and
-        # every per-part tick combination with >=1 ticked part
-        # (`db`.`t`, db.`t`, `db`.t) — for the full name and, when
-        # catalog-qualified, the catalog-less tail (r10 ADVICE: the
-        # per-part and mixed spellings were missing when the target was
-        # written plain, so references like `db`.`t`.k failed clause
-        # parsing). Plain-ended patterns carry word boundaries so `db`.t
-        # never eats a prefix of `db`.tx.
-        # Every ticked spelling of the target normalizes to the FULL
-        # as-written name (the ON/SET clause parsers only recognize
-        # talias). ALL patterns carry the (?<![\w.`]) lookbehind so a
-        # spelling preceded by a qualifier is never rewritten in place
-        # (r11 wave 6: splicing the full name into demo.`nyc.m3`.k
-        # produced demo.demo.nyc.m3.k) — the catalog-QUALIFIED ticked
-        # forms are instead covered by their own explicit patterns
-        # below, and a ref under an unknown catalog (other.`t`) is left
-        # alone to fail loudly in the clause parser. Plain-ended
-        # patterns carry a trailing boundary so `db`.t never eats a
-        # prefix of `db`.tx.
-        # Tick-free tail (the common spelling): every pattern below only
-        # ever matches text containing a backtick — skip the scans
-        # entirely (r11 wave 4).
-        parts = tbl.split(".") if "`" in s[m.end():] else []
+        # Normalize EQUIVALENT spellings of the target in the statement
+        # tail to the FULL as-written name, so unaliased ON/SET
+        # references reach the clause parsers (which only recognize
+        # talias) in one canonical form. Every pattern carries the
+        # (?<![\w.`]) lookbehind so a spelling preceded by a qualifier
+        # is never rewritten in place (r11 wave 6: splicing the full
+        # name into demo.`nyc.m3`.k produced demo.demo.nyc.m3.k) — the
+        # catalog-QUALIFIED forms get their own explicit patterns, and a
+        # ref under an unknown catalog (other.`t`) is left alone to fail
+        # loudly in the clause parser. Plain-ended patterns carry a
+        # trailing boundary so `db`.t never eats a prefix of `db`.tx.
         tails: set[tuple[str, bool]] = set()  # (pattern, ends-ticked)
-        if parts:
+        parts = tbl.split(".")
+        # plain alternate spellings run UNGATED (r11 wave 7: ticked
+        # nyc.m3 refs worked on a demo.nyc.m3 target while the plain
+        # equivalent errored): the catalog-less tail of a 3-part target
+        # and the catalog-qualified form of a 2-part one
+        if len(parts) == 3:
+            tails.add((re.escape(".".join(parts[1:])), False))
+        else:
+            tails.add((re.escape(f"{self.name}.{tbl}"), False))
+        if "`" in s[m.end():]:
+            # ticked spellings: as-written, whole-quoted (`db.t`), every
+            # per-part tick combination with >=1 ticked part, and (for
+            # 3-part targets) the whole-ticked catalog-less tail, both
+            # unqualified and catalog-qualified — gated on a backtick
+            # existing in the tail at all (r11 wave 4)
             tails.add((re.escape(f"`{tbl}`"), True))
             if "`" in m.group(1):
                 tails.add((re.escape(m.group(1)),
                            m.group(1).endswith("`")))
-        for name_parts in ([parts] + ([parts[1:]]
-                                      if len(parts) == 3 else [])):
-            for mask in range(1, 1 << len(name_parts)):
-                ticked = [f"`{p}`" if mask >> i & 1 else p
-                          for i, p in enumerate(name_parts)]
-                tails.add((r"\.".join(re.escape(p) for p in ticked),
-                           ticked[-1].endswith("`")))
-        if len(parts) == 3:
-            # whole-ticked catalog-less tail — unqualified (`nyc.m3`.k,
-            # the lookbehind keeps it off qualified instances) AND
-            # catalog-qualified (demo.`nyc.m3`, `demo`.`nyc.m3`; the
-            # per-part combos above cover the per-part-ticked forms)
-            cl = re.escape("`" + ".".join(parts[1:]) + "`")
-            tails.add((cl, True))
-            for cat_sp in (re.escape(parts[0]),
-                           re.escape(f"`{parts[0]}`")):
-                tails.add((cat_sp + r"\." + cl, True))
+            for name_parts in ([parts] + ([parts[1:]]
+                                          if len(parts) == 3 else [])):
+                for mask in range(1, 1 << len(name_parts)):
+                    ticked = [f"`{p}`" if mask >> i & 1 else p
+                              for i, p in enumerate(name_parts)]
+                    tails.add((r"\.".join(re.escape(p) for p in ticked),
+                               ticked[-1].endswith("`")))
+            if len(parts) == 3:
+                cl = re.escape("`" + ".".join(parts[1:]) + "`")
+                tails.add((cl, True))
+                for cat_sp in (re.escape(parts[0]),
+                               re.escape(f"`{parts[0]}`")):
+                    tails.add((cat_sp + r"\." + cl, True))
         for pat, ends_ticked in tails:
             full = r"(?<![\w.`])" + pat
             if not ends_ticked:
@@ -1387,15 +1382,20 @@ def _quoted_spans(s: str) -> list[tuple[int, int]]:
             i = n if j < 0 else j + 1
             continue
         elif ch == "/" and i + 1 < n and s[i + 1] == "*":
-            # nesting-aware block skip (r11 wave 4: ending at the first
-            # */ corrupted statements with inner blocks). A /*+ HINT is
-            # emitted AS a span: it forwards to Spark verbatim, so its
-            # payload (including string literals like FOO('a  b')) must
-            # be opaque to every rewrite/collapse downstream.
-            j = _block_comment_end(s, i)
             if s[i + 2:i + 3] == "+":
-                spans.append((i, j))
-            i = j
+                # /*+ HINT — TRANSPARENT to this scan (r11 wave 7): a
+                # hint argument naming a lakeshed relation must be
+                # rewritten along with the query (BROADCAST(nyc.t) has
+                # to follow the FROM clause's temp-view rename or Spark
+                # drops the hint), so only the STRING LITERALS inside a
+                # hint are protected (wave 4: FOO('a  b') payloads must
+                # not be collapsed or rewritten) — the scan just steps
+                # past the opener and lexes the body normally.
+                i += 2
+                continue
+            # plain comment: nesting-aware block skip (r11 wave 4:
+            # ending at the first */ corrupted inner blocks)
+            i = _block_comment_end(s, i)
             continue
         i += 1
     if quote:
@@ -1501,15 +1501,18 @@ def _bt_masks(ms: str) -> tuple[str, str]:
                 mscan[k] = " "
             i = j + 1
         elif ch == "/" and i + 1 < n and ms[i + 1] == "*":
-            # nesting-aware via the shared walker. /*+ HINTS never reach
-            # this branch: _quoted_spans emits them as opaque spans, so
-            # the quote mask has already blanked them — syntactically
-            # comments, but semantically Spark directives that
-            # _strip_comments must preserve (which deriving mcs==ms
-            # there does).
+            # nesting-aware via the shared walker. A /*+ HINT is
+            # syntactically a comment but a Spark directive: keep it in
+            # mcs (so _strip_comments preserves it verbatim) while
+            # blanking it in mscan (so position/keyword scans skip its
+            # text) — r11 waves 3/7.
             j = _block_comment_end(ms, i)
+            hint = i + 2 < n and ms[i + 2] == "+"
             for k in range(i, j):
-                mcs[k] = mscan[k] = " "
+                if hint:
+                    mscan[k] = " "
+                else:
+                    mcs[k] = mscan[k] = " "
             i = j
         elif ch == "-" and i + 1 < n and ms[i + 1] == "-":
             j = ms.find("\n", i)

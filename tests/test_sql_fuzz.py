@@ -467,3 +467,39 @@ def test_wave6_glued_values_qualified_ticks_paren_literal(fcat, spark):
         "MERGE INTO nyc.fz t USING (SELECT 1 AS k, '(' AS v) s "
         "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v")
     assert (1, "(") in _rows(cat)
+
+
+def test_hint_relation_args_follow_relation_rewrite(fcat, spark):
+    """r11 review wave 7: a hint argument naming a lakeshed relation
+    must follow the FROM clause's temp-view rename (or Spark drops the
+    hint) — while string literals inside hints stay protected."""
+    from lakeshed.catalog import (
+        _collapse_ws,
+        _strip_comments,
+        _sub_outside_quotes,
+    )
+
+    cat = fcat
+    _reset(cat, spark)
+
+    # relation-shaped hint args are rewritten with the query...
+    assert _sub_outside_quotes(
+        r"nyc\.fz", "X",
+        "SELECT /*+ BROADCAST(nyc.fz) */ 1 FROM nyc.fz"
+    ) == "SELECT /*+ BROADCAST(X) */ 1 FROM X"
+    # ...but quoted payloads inside hints remain opaque
+    h = "SELECT /*+ FOO('a  b') */ k FROM t"
+    assert _collapse_ws(_strip_comments(h)) == h
+    assert _sub_outside_quotes(
+        r"nyc\.fz", "X", "SELECT /*+ F('nyc.fz') */ 1 FROM nyc.fz"
+    ) == "SELECT /*+ F('nyc.fz') */ 1 FROM X"
+
+    # end-to-end: a broadcast hint naming the TABLE survives routing —
+    # the joined plan actually broadcasts (observable in the plan text)
+    cat.create_table("nyc.fzdim", spark.createDataFrame(
+        [(1, "d1"), (2, "d2")], "k int, d string"))
+    df = cat.sql(
+        "SELECT /*+ BROADCAST(nyc.fzdim) */ t.k, d.d "
+        "FROM nyc.fz t JOIN nyc.fzdim d ON t.k = d.k")
+    assert "Broadcast" in df._jdf.queryExecution().executedPlan().toString()
+    assert df.count() == 2

@@ -2951,6 +2951,23 @@ def test_merge_three_part_target_catalog_less_ticked_refs(cat, spark):
     assert sorted(
         (r.k, r.v) for r in cat.table("nyc.m3").read().collect()
     ) == [(1, "x"), (2, "y")]
+    # r11 wave 7: PLAIN equivalents of the ticked spellings — the
+    # catalog-less tail on a 3-part target, and the catalog-qualified
+    # form on a 2-part-written one
+    cat.sql(
+        "MERGE INTO demo.nyc.m3 USING nyc.m3src s "
+        "ON nyc.m3.k = s.k "
+        "WHEN MATCHED AND nyc.m3.k = 1 THEN UPDATE SET v = 'p'")
+    assert sorted(
+        (r.k, r.v) for r in cat.table("nyc.m3").read().collect()
+    ) == [(1, "p"), (2, "y")]
+    cat.sql(
+        "MERGE INTO nyc.m3 USING nyc.m3src s "
+        "ON demo.nyc.m3.k = s.k "
+        "WHEN MATCHED AND demo.nyc.m3.k = 2 THEN UPDATE SET v = 'q'")
+    assert sorted(
+        (r.k, r.v) for r in cat.table("nyc.m3").read().collect()
+    ) == [(1, "p"), (2, "q")]
 
 
 def test_stale_hint_never_reuses_mid_gap_version_below_live_ref(
