@@ -753,63 +753,18 @@ class Catalog:
             raise TableError(f"cannot parse MERGE INTO: {s[:80]!r}")
         tbl = m.group(1).replace("`", "")
         talias = m.group(2) or tbl
-        # Normalize EQUIVALENT spellings of the target in the statement
-        # tail to the FULL as-written name, so unaliased ON/SET
-        # references reach the clause parsers (which only recognize
-        # talias) in one canonical form. Every pattern carries the
-        # (?<![\w.`]) lookbehind so a spelling preceded by a qualifier
-        # is never rewritten in place (r11 wave 6: splicing the full
-        # name into demo.`nyc.m3`.k produced demo.demo.nyc.m3.k) — the
-        # catalog-QUALIFIED forms get their own explicit patterns, and a
-        # ref under an unknown catalog (other.`t`) is left alone to fail
-        # loudly in the clause parser. Plain-ended patterns carry a
-        # trailing boundary so `db`.t never eats a prefix of `db`.tx.
-        tails: set[tuple[str, bool]] = set()  # (pattern, ends-ticked)
-        parts = tbl.split(".")
-        # plain alternate spellings run UNGATED (r11 wave 7: ticked
-        # nyc.m3 refs worked on a demo.nyc.m3 target while the plain
-        # equivalent errored): the catalog-less tail of a 3-part target
-        # and the catalog-qualified form of a 2-part one
-        if len(parts) == 3:
-            tails.add((re.escape(".".join(parts[1:])), False))
-        else:
-            tails.add((re.escape(f"{self.name}.{tbl}"), False))
-        if "`" in s[m.end():]:
-            # ticked spellings: as-written, whole-quoted (`db.t`), every
-            # per-part tick combination with >=1 ticked part, and (for
-            # 3-part targets) the whole-ticked catalog-less tail, both
-            # unqualified and catalog-qualified — gated on a backtick
-            # existing in the tail at all (r11 wave 4)
-            tails.add((re.escape(f"`{tbl}`"), True))
-            if "`" in m.group(1):
-                tails.add((re.escape(m.group(1)),
-                           m.group(1).endswith("`")))
-            for name_parts in ([parts] + ([parts[1:]]
-                                          if len(parts) == 3 else [])):
-                for mask in range(1, 1 << len(name_parts)):
-                    ticked = [f"`{p}`" if mask >> i & 1 else p
-                              for i, p in enumerate(name_parts)]
-                    tails.add((r"\.".join(re.escape(p) for p in ticked),
-                               ticked[-1].endswith("`")))
-            if len(parts) == 3:
-                cl = re.escape("`" + ".".join(parts[1:]) + "`")
-                tails.add((cl, True))
-                for cat_sp in (re.escape(parts[0]),
-                               re.escape(f"`{parts[0]}`")):
-                    tails.add((cat_sp + r"\." + cl, True))
-        for pat, ends_ticked in tails:
-            full = r"(?<![\w.`])" + pat
-            if not ends_ticked:
-                full += r"(?![\w`])"
-            s = s[:m.end()] + _sub_outside_quotes(full, tbl, s[m.end():])
         rest = s[m.end():].lstrip()
 
         # source: balanced-paren subquery or a [db.]table / temp-view name
         if rest.startswith("("):
             depth, i = 0, 0
-            # depth counted on the quote mask: a paren inside a string
-            # literal in the subquery is data (r11 wave 6)
-            for i, ch in enumerate(_mask_quotes(rest)):
+            # depth counted on the full scan mask — string literals
+            # (r11 wave 6) AND backticked identifiers (r11 wave 8: a
+            # paren inside `a(b` desynced the count and swallowed the
+            # ON/WHEN tail into the subquery) are blanked; hints are
+            # blanked too, which is paren-neutral (their parens are
+            # balanced and both get blanked)
+            for i, ch in enumerate(_bt_masks(_mask_quotes(rest))[1]):
                 depth += ch == "("
                 depth -= ch == ")"
                 if depth == 0:
@@ -843,6 +798,81 @@ class Catalog:
         if mm:
             salias = mm.group(1)
             rest = rest[mm.end():].lstrip()
+
+        t_obj = self.table(tbl)
+        # validate/expand against the schema the merge will WRITE — a
+        # pinned branch or staged wap-id chain may have evolved past main
+        target_cols = [
+            f.name for f in
+            t_obj.schema_fields(version=self._dml_write_version(t_obj))
+        ]
+
+        # Normalize EQUIVALENT spellings of the target in the ON/WHEN
+        # tail to the FULL as-written name, so unaliased references
+        # reach the clause parsers (which only recognize talias) in one
+        # canonical form. Scoped to the tail AFTER the source clause
+        # (r11 wave 8: rewriting the whole statement hijacked identifiers
+        # inside the USING subquery that merely SPELL the target name,
+        # e.g. SELECT k AS `nyc.fz`). Every pattern carries the
+        # (?<![\w.`]) lookbehind so a spelling preceded by a qualifier
+        # is never rewritten in place (r11 wave 6: splicing the full
+        # name into demo.`nyc.m3`.k produced demo.demo.nyc.m3.k) and a
+        # (?![\w`]) boundary so `db`.t never eats a prefix of `db`.tx;
+        # a ref under an unknown catalog (other.`t`) is left alone to
+        # fail loudly in the clause parser. Each alternation pattern
+        # covers every per-part tick combination in ONE pass (r11 wave
+        # 8: the 2^n enumeration built up to ~14 full-tail scans).
+        def _alt(p: str) -> str:
+            e = re.escape(p)
+            return f"(?:`{e}`|{e})"
+
+        spellings: list[tuple[str, str]] = []  # (leading ident, pattern)
+        parts = tbl.split(".")
+        has_tick = "`" in rest
+        if has_tick:
+            # all per-part tick combinations of the as-written name
+            # (the all-plain combination rewrites to itself — a no-op)
+            # plus the whole-ticked `db.t` form
+            spellings.append(
+                (parts[0], r"\.".join(_alt(p) for p in parts)))
+            spellings.append((tbl, _alt(tbl)))
+        # alternate QUALIFICATIONS run unconditionally (r11 wave 7:
+        # ticked nyc.m3 refs worked on a demo.nyc.m3 target while the
+        # plain equivalent errored): the catalog-less tail of a 3-part
+        # target and the catalog-qualified form of a 2-part one
+        if len(parts) == 3:
+            cl = ".".join(parts[1:])
+            if has_tick:
+                spellings.append(
+                    (parts[1], r"\.".join(_alt(p) for p in parts[1:])))
+                spellings.append((cl, _alt(cl)))
+                spellings.append(
+                    (parts[0], _alt(parts[0]) + r"\." + _alt(cl)))
+            else:
+                spellings.append((parts[1], re.escape(cl)))
+        elif has_tick:
+            spellings.append(
+                (self.name,
+                 _alt(self.name) + r"\."
+                 + r"\.".join(_alt(p) for p in parts)))
+        else:
+            spellings.append(
+                (self.name, re.escape(f"{self.name}.{tbl}")))
+        # column-shadow guard (r11 wave 8): a spelling whose LEADING
+        # identifier names a target or source column is a struct path /
+        # column ref, not a table ref (nyc.m3.f can be column nyc's
+        # field m3.f) — skip the rewrite; an actually-intended table
+        # ref under a shadowing column then fails loudly in the clause
+        # parser instead of silently reading the wrong column.
+        shadowed = (
+            {c.lower() for c in target_cols}
+            | {c.lower() for c in src_df.columns}
+        )
+        for lead, pat in spellings:
+            if lead.lower() in shadowed:
+                continue
+            rest = _sub_outside_quotes(
+                r"(?<![\w.`])" + pat + r"(?![\w`])", tbl, rest)
 
         mm = re.match(
             r"on\s+(.+?)\s+(when\s+(?:not\s+)?matched\b.*)$", rest,
@@ -885,13 +915,6 @@ class Catalog:
         bysrc: str | None = None
         bysrc_upd: dict[str, str] | None = None
         bysrc_upd_cond: str | None = None
-        t_obj = self.table(tbl)
-        # validate/expand against the schema the merge will WRITE — a
-        # pinned branch or staged wap-id chain may have evolved past main
-        target_cols = [
-            f.name for f in
-            t_obj.schema_fields(version=self._dml_write_version(t_obj))
-        ]
         # Spark resolves identifiers case-insensitively (and every
         # keyword regex here is IGNORECASE) — canonicalize assignment
         # targets to the schema's casing so `SET t.V = ...` hits column
@@ -1361,6 +1384,7 @@ def _quoted_spans(s: str) -> list[tuple[int, int]]:
     into the statement."""
     spans: list[tuple[int, int]] = []
     quote, start = None, 0
+    hint = 0  # /*+ hint */ nesting depth — see the /* branch below
     i, n = 0, len(s)
     while i < n:
         ch = s[i]
@@ -1377,25 +1401,38 @@ def _quoted_spans(s: str) -> list[tuple[int, int]]:
             j = s.find("`", i + 1)
             i = (n - 1 if j < 0 else j) + 1
             continue
-        elif ch == "-" and i + 1 < n and s[i + 1] == "-":
+        elif ch == "-" and i + 1 < n and s[i + 1] == "-" and not hint:
+            # `--` INSIDE a hint body is hint text, not a line comment
+            # (r11 wave 8): _bt_masks consumes the whole hint atomically
+            # via _block_comment_end, so treating `--` as a comment here
+            # desynchronized the two walkers — literals AFTER the hint
+            # lost quote protection and _strip_comments truncated at a
+            # `--` inside a post-hint literal.
             j = s.find("\n", i)
             i = n if j < 0 else j + 1
             continue
         elif ch == "/" and i + 1 < n and s[i + 1] == "*":
-            if s[i + 2:i + 3] == "+":
+            if s[i + 2:i + 3] == "+" or hint:
                 # /*+ HINT — TRANSPARENT to this scan (r11 wave 7): a
                 # hint argument naming a lakeshed relation must be
                 # rewritten along with the query (BROADCAST(nyc.t) has
                 # to follow the FROM clause's temp-view rename or Spark
                 # drops the hint), so only the STRING LITERALS inside a
                 # hint are protected (wave 4: FOO('a  b') payloads must
-                # not be collapsed or rewritten) — the scan just steps
-                # past the opener and lexes the body normally.
+                # not be collapsed or rewritten) — the scan lexes the
+                # body with the depth tracked so the closing */ (and any
+                # nested block, which _block_comment_end also counts) is
+                # consumed at the same position _bt_masks consumes it.
+                hint += 1
                 i += 2
                 continue
             # plain comment: nesting-aware block skip (r11 wave 4:
             # ending at the first */ corrupted inner blocks)
             i = _block_comment_end(s, i)
+            continue
+        elif hint and ch == "*" and i + 1 < n and s[i + 1] == "/":
+            hint -= 1
+            i += 2
             continue
         i += 1
     if quote:

@@ -421,19 +421,36 @@ class LakeTable:
         high — the allocation probe in _commit absorbs both; losing the
         write entirely (read-only fs hiccup) only means the next commit
         falls back to the directory listing. Never moves an existing
-        hint DOWN (an unlocked racing pair could otherwise regress it
-        by more than the one step the probe expects — r11 wave 5)."""
-        cur = self._read_head_hint()
-        if cur is not None and cur >= version:
-            return
-        tmp = os.path.join(
-            self.log_dir, f".{_HEAD_HINT}.{uuid.uuid4().hex}.tmp")
+        hint DOWN: the read-check-replace runs under an advisory lock
+        (r11 wave 8 — the unlocked check was a TOCTOU: a writer stalled
+        between read and replace could regress the hint by MORE than
+        the one step the allocation floor covers, and expiry could then
+        free the skipped slots for silent version-id reuse under
+        surviving VERSION AS OF references). On a filesystem without
+        flock(2) the lock degrades to the old best-effort check — the
+        same degradation _mutate_refs already warns about once."""
+        lf = None
         try:
+            lf = open(
+                os.path.join(self.log_dir, f".{_HEAD_HINT}.lock"), "a+")
+            try:
+                import fcntl
+                fcntl.flock(lf, fcntl.LOCK_EX)
+            except (ImportError, OSError):
+                pass  # degrade to the unlocked check (see docstring)
+            cur = self._read_head_hint()
+            if cur is not None and cur >= version:
+                return
+            tmp = os.path.join(
+                self.log_dir, f".{_HEAD_HINT}.{uuid.uuid4().hex}.tmp")
             with open(tmp, "w") as fh:
                 fh.write(str(version))
             os.replace(tmp, os.path.join(self.log_dir, _HEAD_HINT))
         except OSError:
             pass
+        finally:
+            if lf is not None:
+                lf.close()  # releases the flock
 
     def _refs(self) -> dict[str, int]:
         p = os.path.join(self.log_dir, _REFS)

@@ -503,3 +503,67 @@ def test_hint_relation_args_follow_relation_rewrite(fcat, spark):
         "FROM nyc.fz t JOIN nyc.fzdim d ON t.k = d.k")
     assert "Broadcast" in df._jdf.queryExecution().executedPlan().toString()
     assert df.count() == 2
+
+
+def test_wave8_hint_comment_desync_and_merge_scoping(fcat, spark):
+    """r11 review wave 8. (a) ``--`` inside a /*+ hint body is hint
+    text: _quoted_spans treating it as a line-comment opener
+    desynchronized it from _bt_masks (which consumes the hint
+    atomically), so literals AFTER the hint lost quote protection —
+    `'x  y'` collapsed and `'it -- matters'` was truncated mid-literal.
+    (b) MERGE target-spelling normalization is scoped to the tail after
+    the source clause — identifiers inside the USING subquery that
+    merely SPELL the target name stay untouched. (c) A spelling whose
+    leading identifier names a source/target column is a struct path,
+    not a table ref — the rewrite is skipped. (d) The subquery
+    balanced-paren scan blanks backticked identifiers, so a paren
+    inside `x(y` cannot swallow the ON/WHEN tail."""
+    from lakeshed.catalog import _collapse_ws, _quoted_spans, _strip_comments
+
+    cat = fcat
+    _reset(cat, spark)
+
+    # (a) helper level: post-hint literals keep quote protection
+    s = "SELECT /*+ F(a--b) */ 'x  y' AS v FROM t"
+    assert _collapse_ws(_strip_comments(s)) == s
+    assert _quoted_spans(s) == [(22, 28)]
+    s2 = "SELECT /*+ F(a--b) */ 'it -- matters' AS v FROM t"
+    assert _collapse_ws(_strip_comments(s2)) == s2
+    # nested plain block inside a hint tracks depth past its */
+    s3 = "SELECT /*+ F(/* x */a) */ 'p  q' AS v FROM t"
+    assert _collapse_ws(_strip_comments(s3)) == s3
+
+    # (d) backticked alias containing a paren inside the USING subquery
+    cat.sql(
+        "MERGE INTO nyc.fz t USING (SELECT kk AS k, vv AS v FROM "
+        "(SELECT 1 AS kk, 'Z' AS vv) `x(y`) s "
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v")
+    assert (1, "Z") in _rows(cat)
+
+    # (b) a subquery alias SPELLING the target name is not rewritten
+    cat.sql(
+        "MERGE INTO nyc.fz t USING (SELECT 2 AS k, 'Q' AS `nyc.fz`) s "
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.`nyc.fz`")
+    assert (2, "Q") in _rows(cat)
+
+    # (c) bare struct path nyc.fz.q (source column `nyc`) shadows the
+    # catalog-less tail of the 3-part target — rewrite skipped, the
+    # struct field is read, not t.q
+    cat.sql(
+        "MERGE INTO demo.nyc.fz USING (SELECT 3 AS k, "
+        "named_struct('fz', named_struct('q', 'S')) AS nyc) s "
+        "ON demo.nyc.fz.k = s.k WHEN MATCHED THEN UPDATE SET v = nyc.fz.q")
+    assert (3, "S") in _rows(cat)
+
+    # ticked spellings still normalize after the restructure (waves 6-7)
+    cat.create_table("nyc.w8src", spark.createDataFrame(
+        [(1, "X")], "k int, v string"))
+    cat.sql(
+        "MERGE INTO demo.nyc.fz USING nyc.w8src s "
+        "ON demo.`nyc.fz`.k = s.k "
+        "WHEN MATCHED AND `demo`.`nyc.fz`.k = 1 THEN UPDATE SET v = s.v")
+    assert (1, "X") in _rows(cat)
+    cat.sql(
+        "MERGE INTO nyc.fz USING nyc.w8src s ON `nyc`.`fz`.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET `nyc`.fz.v = 'T'")
+    assert (1, "T") in _rows(cat)

@@ -2996,3 +2996,58 @@ def test_stale_hint_never_reuses_mid_gap_version_below_live_ref(
     assert c.version > 9, c.version
     with pytest.raises(TableError):
         t.read(version=3).collect()  # the old id stays dead
+
+
+def test_head_hint_write_is_atomic_under_contention(cat, spark):
+    """r11 review wave 8: _write_head_hint's monotonicity check was an
+    unlocked read-check-replace — a writer stalled between its read and
+    its os.replace could regress the hint by MORE than the one step the
+    allocation floor covers (and expiry could then free the skipped
+    slots for version-id reuse). The check now runs under an advisory
+    lock: hammering interleaved values from many threads must always
+    leave the hint at the maximum, and a barrier-staged stale writer
+    (read old value, then lose the race) must never clobber a higher
+    hint."""
+    import threading
+
+    cat.create_database("db")
+    t = cat.create_table(
+        "db.hintlock", spark.createDataFrame([(0,)], "k int"))
+
+    # staged TOCTOU: thread B enters _write_head_hint(6) but its lock
+    # acquisition is delayed until thread A has written 9 — without the
+    # lock B's pre-read check (cur=5) would pass and regress 9 -> 6
+    t._write_head_hint(5)
+    errs: list[BaseException] = []
+
+    def stale_writer():
+        try:
+            t._write_head_hint(6)
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    t._write_head_hint(9)
+    b = threading.Thread(target=stale_writer)
+    b.start()
+    b.join()
+    assert not errs
+    assert t._read_head_hint() == 9
+
+    # contention sweep: 16 threads x interleaved values, max must win
+    vals = list(range(10, 74))
+    chunks = [vals[i::16] for i in range(16)]
+
+    def worker(chunk):
+        try:
+            for v in chunk:
+                t._write_head_hint(v)
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(c,)) for c in chunks]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert t._read_head_hint() == max(vals)
