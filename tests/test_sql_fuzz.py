@@ -567,3 +567,48 @@ def test_wave8_hint_comment_desync_and_merge_scoping(fcat, spark):
         "MERGE INTO nyc.fz USING nyc.w8src s ON `nyc`.`fz`.k = s.k "
         "WHEN MATCHED THEN UPDATE SET `nyc`.fz.v = 'T'")
     assert (1, "T") in _rows(cat)
+
+
+def test_fuzz_merge_subquery_source(fcat, spark):
+    """Generative cover for the r11 wave-8 MERGE fixes: sources that are
+    subqueries whose INTERNALS spell router-sensitive shapes — column
+    aliases ticked with parens, dots, or the target's own name; string
+    literals containing parens; comment jitter — must produce the same
+    result as the canonical statement. Fails if the spelling rewriter
+    reaches inside USING (alias hijack) or if the balanced-paren scan
+    miscounts a paren inside backticks/literals (tail swallowed)."""
+    cat = fcat
+    rng = random.Random(977)
+
+    _reset(cat, spark)
+    cat.sql(
+        "MERGE INTO nyc.fz t USING (SELECT 2 AS k, 'B' AS v) s "
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *")
+    want = _rows(cat)
+
+    for _ in range(N):
+        _reset(cat, spark)
+        # decoy column whose ALIAS is the tricky spelling; it carries
+        # the same value so SET may read either it or plain v
+        dcol = rng.choice(["pad", "`nyc.fz`", "`v(x`", "`v.y`"])
+        lit = rng.choice(["'('", "')'", "'((('", "'-- no comment'"])
+        sub_alias = rng.choice(["`x(y`", "`nyc.fz`", "`a)b`", "q"])
+        inner_comment = _comment(rng) if rng.random() < 0.5 else " "
+        sub = (
+            f"(SELECT kk AS k, vv AS v, vv AS {dcol}, {lit} AS lit "
+            f"{inner_comment} FROM (SELECT 2 AS kk, 'B' AS vv) "
+            f"{sub_alias})"
+        )
+        set_src = f"s.{dcol}" if rng.random() < 0.5 else "s.v"
+        toks: list = [
+            "merge", "into", ("name", "nyc.fz"), ("opt", "as"),
+            ("lit", "t"), "using", ("lit", sub), ("opt", "as"),
+            ("lit", "s"), "on", ("lit", "t.k"), ("lit", "="),
+            ("lit", "s.k"), "when", "matched", "then", "update", "set",
+            ("lit", "v"), ("lit", "="), ("lit", set_src),
+            "when", "not", "matched", "then", "insert", ("lit", "*"),
+        ]
+        stmt = _render(rng, toks)
+        cat.sql(stmt)
+        assert _rows(cat) == want, stmt
