@@ -845,9 +845,16 @@ class Catalog:
             if has_tick:
                 spellings.append(
                     (parts[1], r"\.".join(_alt(p) for p in parts[1:])))
-                spellings.append((cl, _alt(cl)))
+                # whole-ticked ONLY: _alt(cl)'s plain alternative would
+                # re-admit plain nyc.m3 under the WRONG guard lead (the
+                # dotted whole name instead of parts[1] — r11 wave 9:
+                # that bypassed the column-shadow guard whenever the
+                # tail contained any backtick); the plain form is
+                # already covered above with the correct lead
+                spellings.append((cl, re.escape(f"`{cl}`")))
                 spellings.append(
-                    (parts[0], _alt(parts[0]) + r"\." + _alt(cl)))
+                    (parts[0],
+                     _alt(parts[0]) + r"\." + re.escape(f"`{cl}`")))
             else:
                 spellings.append((parts[1], re.escape(cl)))
         elif has_tick:
@@ -1369,6 +1376,40 @@ def _block_comment_end(t: str, i: int) -> int:
     return j
 
 
+def _hint_end(t: str, i: int) -> int:
+    """Index just past the ``*/`` closing the /*+ hint opening at ``i``
+    — the hint-body walk ``_bt_masks`` uses, mirroring construct-by-
+    construct what ``_quoted_spans`` lexes in-line (r11 wave 9: the two
+    previously used _block_comment_end here, which is backtick-blind,
+    so ``BROADCAST(`a*/b`)`` ended the hint early for one walker only
+    and desynced every downstream span). Spark lexes hint bodies as a
+    normal token stream, so a backticked identifier is atomic (its
+    ``*/`` is identifier text); a nested plain ``/* */`` block is
+    consumed atomically via the shared depth walker; a nested ``/*+``
+    nests. String literals are the caller's concern: _quoted_spans
+    records them in-line, and _bt_masks receives them pre-masked (a
+    literal's ``*/`` is already spaces). An unterminated hint runs to
+    end of text."""
+    depth, j = 1, i + 3
+    n = len(t)
+    while j < n and depth:
+        c = t[j]
+        if c == "`":
+            k = t.find("`", j + 1)
+            j = (n - 1 if k < 0 else k) + 1
+        elif t.startswith("/*+", j):
+            depth += 1
+            j += 3
+        elif t.startswith("/*", j):
+            j = _block_comment_end(t, j)
+        elif t.startswith("*/", j):
+            depth -= 1
+            j += 2
+        else:
+            j += 1
+    return j
+
+
 def _quoted_spans(s: str) -> list[tuple[int, int]]:
     """(start, end) spans of single-/double-quoted literals in ``s``.
     The ONE quote scanner every helper shares. Handles backslash escapes
@@ -1412,7 +1453,7 @@ def _quoted_spans(s: str) -> list[tuple[int, int]]:
             i = n if j < 0 else j + 1
             continue
         elif ch == "/" and i + 1 < n and s[i + 1] == "*":
-            if s[i + 2:i + 3] == "+" or hint:
+            if s[i + 2:i + 3] == "+":
                 # /*+ HINT — TRANSPARENT to this scan (r11 wave 7): a
                 # hint argument naming a lakeshed relation must be
                 # rewritten along with the query (BROADCAST(nyc.t) has
@@ -1420,14 +1461,17 @@ def _quoted_spans(s: str) -> list[tuple[int, int]]:
                 # drops the hint), so only the STRING LITERALS inside a
                 # hint are protected (wave 4: FOO('a  b') payloads must
                 # not be collapsed or rewritten) — the scan lexes the
-                # body with the depth tracked so the closing */ (and any
-                # nested block, which _block_comment_end also counts) is
-                # consumed at the same position _bt_masks consumes it.
+                # body with the depth tracked so the closing */ is
+                # consumed at the same position _hint_end walks to for
+                # _bt_masks (r11 wave 9: the two walkers must agree
+                # construct-by-construct, not just end-to-end).
                 hint += 1
                 i += 2
                 continue
-            # plain comment: nesting-aware block skip (r11 wave 4:
-            # ending at the first */ corrupted inner blocks)
+            # plain comment — ATOMIC nesting-aware skip, in or out of a
+            # hint (r11 waves 4/9: ending at the first */ corrupted
+            # inner blocks; lexing a hint-nested comment char-by-char
+            # let an apostrophe inside it open a phantom literal)
             i = _block_comment_end(s, i)
             continue
         elif hint and ch == "*" and i + 1 < n and s[i + 1] == "/":
@@ -1538,13 +1582,14 @@ def _bt_masks(ms: str) -> tuple[str, str]:
                 mscan[k] = " "
             i = j + 1
         elif ch == "/" and i + 1 < n and ms[i + 1] == "*":
-            # nesting-aware via the shared walker. A /*+ HINT is
-            # syntactically a comment but a Spark directive: keep it in
-            # mcs (so _strip_comments preserves it verbatim) while
-            # blanking it in mscan (so position/keyword scans skip its
-            # text) — r11 waves 3/7.
-            j = _block_comment_end(ms, i)
+            # A /*+ HINT is syntactically a comment but a Spark
+            # directive: keep it in mcs (so _strip_comments preserves
+            # it verbatim) while blanking it in mscan (so position/
+            # keyword scans skip its text) — r11 waves 3/7. Its end is
+            # found by _hint_end (backtick-aware, r11 wave 9), plain
+            # comments by the nesting-aware shared walker (wave 4).
             hint = i + 2 < n and ms[i + 2] == "+"
+            j = _hint_end(ms, i) if hint else _block_comment_end(ms, i)
             for k in range(i, j):
                 if hint:
                     mscan[k] = " "

@@ -431,13 +431,34 @@ class LakeTable:
         same degradation _mutate_refs already warns about once."""
         lf = None
         try:
-            lf = open(
-                os.path.join(self.log_dir, f".{_HEAD_HINT}.lock"), "a+")
             try:
+                lf = open(
+                    os.path.join(self.log_dir, f".{_HEAD_HINT}.lock"),
+                    "a+")
                 import fcntl
                 fcntl.flock(lf, fcntl.LOCK_EX)
-            except (ImportError, OSError):
-                pass  # degrade to the unlocked check (see docstring)
+            except (ImportError, OSError) as e:
+                # degrade to the unlocked check — but NEVER silently
+                # (r11 wave 9): same contract as _mutate_refs, because
+                # an operator who opted into LAKESHED_REQUIRE_FLOCK=1
+                # did so precisely to refuse unserialized RMWs like
+                # this one (the statement fails post-create; the
+                # unpublished commit file is debris the sweep removes)
+                if os.environ.get("LAKESHED_REQUIRE_FLOCK", "") == "1":
+                    raise TableError(
+                        f"head-hint lock unavailable on {self.log_dir} "
+                        f"({e!r}) and LAKESHED_REQUIRE_FLOCK=1 — an "
+                        "unserialized hint update could regress the "
+                        "allocation head") from e
+                global _FLOCK_WARNED
+                if not _FLOCK_WARNED:
+                    _FLOCK_WARNED = True
+                    warnings.warn(
+                        f"head-hint lock unavailable on {self.log_dir} "
+                        f"({e!r}): concurrent head-hint updates are NOT "
+                        "serialized on this filesystem; set "
+                        "LAKESHED_REQUIRE_FLOCK=1 to fail hard instead",
+                        RuntimeWarning, stacklevel=3)
             cur = self._read_head_hint()
             if cur is not None and cur >= version:
                 return

@@ -612,3 +612,68 @@ def test_fuzz_merge_subquery_source(fcat, spark):
         stmt = _render(rng, toks)
         cat.sql(stmt)
         assert _rows(cat) == want, stmt
+
+
+def test_wave9_hint_nested_comment_and_shadow_guard_with_ticks(fcat, spark):
+    """r11 review wave 9. (a) A plain /* */ comment nested inside a /*+
+    hint is consumed atomically — lexing it char-by-char let an
+    apostrophe inside it open a phantom literal that corrupted post-hint
+    literals (a wave-8 regression). (b) A backticked identifier whose
+    text contains */ does not end the hint early for either walker
+    (_quoted_spans and _bt_masks now share construct-by-construct hint
+    lexing via _hint_end). (c) The column-shadow guard holds even when
+    the tail contains a backtick: the whole-ticked catalog-less-tail
+    spelling no longer carries a plain alternative under the wrong
+    guard lead."""
+    from lakeshed.catalog import (
+        _bt_masks,
+        _collapse_ws,
+        _mask_quotes,
+        _quoted_spans,
+        _strip_comments,
+    )
+
+    cat = fcat
+    _reset(cat, spark)
+
+    # (a) apostrophe inside a hint-nested plain comment
+    s = "SELECT /*+ F(/* don't */ a) */ 'x  y' AS v FROM t"
+    assert _quoted_spans(s) == [(31, 37)]
+    assert _collapse_ws(_strip_comments(s)) == s
+
+    # (b) `a*/b` inside a hint: both walkers reach the real closing */
+    h = "SELECT /*+ F(`a*/b`) */ 'x  y' AS v FROM t"
+    assert _quoted_spans(h) == [(24, 30)]
+    assert _collapse_ws(_strip_comments(h)) == h
+    # ...and the MERGE paren scan's mask still closes the subquery
+    w = "(SELECT /*+ F(`a*/b(`) */ k FROM x) tail"
+    sc = _bt_masks(_mask_quotes(w))[1]
+    depth = 0
+    for i, ch in enumerate(sc):
+        depth += ch == "("
+        depth -= ch == ")"
+        if depth == 0:
+            break
+    assert w[i] == ")" and w[i + 1:].strip() == "tail"
+
+    # (c) has_tick via t.`k` must not re-admit the plain nyc.fz spelling
+    # past the shadow guard (source column `nyc` shadows it)
+    cat.sql(
+        "MERGE INTO demo.nyc.fz t USING (SELECT 3 AS k, "
+        "named_struct('fz', named_struct('q', 'S')) AS nyc) s "
+        "ON t.k = s.k WHEN MATCHED AND t.`k` > 0 "
+        "THEN UPDATE SET v = nyc.fz.q")
+    assert (3, "S") in _rows(cat)
+
+    # unshadowed whole-ticked catalog-less tail still normalizes
+    cat.create_table("nyc.w9src", spark.createDataFrame(
+        [(1, "Y")], "k int, v string"))
+    cat.sql(
+        "MERGE INTO demo.nyc.fz USING nyc.w9src s ON `nyc.fz`.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v")
+    assert (1, "Y") in _rows(cat)
+    cat.sql(
+        "MERGE INTO demo.nyc.fz USING nyc.w9src s "
+        "ON demo.`nyc.fz`.k = s.k "
+        "WHEN MATCHED AND `demo`.`nyc.fz`.k = 1 THEN UPDATE SET v = 'W'")
+    assert (1, "W") in _rows(cat)

@@ -2998,38 +2998,59 @@ def test_stale_hint_never_reuses_mid_gap_version_below_live_ref(
         t.read(version=3).collect()  # the old id stays dead
 
 
-def test_head_hint_write_is_atomic_under_contention(cat, spark):
-    """r11 review wave 8: _write_head_hint's monotonicity check was an
-    unlocked read-check-replace — a writer stalled between its read and
-    its os.replace could regress the hint by MORE than the one step the
-    allocation floor covers (and expiry could then free the skipped
-    slots for version-id reuse). The check now runs under an advisory
-    lock: hammering interleaved values from many threads must always
-    leave the hint at the maximum, and a barrier-staged stale writer
-    (read old value, then lose the race) must never clobber a higher
-    hint."""
+def test_head_hint_write_is_atomic_under_contention(cat, spark, monkeypatch):
+    """r11 review wave 8 (staging fixed in wave 9): _write_head_hint's
+    monotonicity check was an unlocked read-check-replace — a writer
+    stalled between its read and its os.replace could regress the hint
+    by MORE than the one step the allocation floor covers (and expiry
+    could then free the skipped slots for version-id reuse). The check
+    now runs under an advisory lock. The staged section interposes FOR
+    REAL: thread B's in-critical-section read is paused (patched
+    _read_head_hint blocks on an event) while writer A attempts 9 — with
+    the lock A must wait for B, so B's 6 lands first and A's 9 wins; on
+    the unlocked code A's 9 lands during B's pause and B's stale replace
+    regresses it to 6, failing the assert deterministically."""
     import threading
 
     cat.create_database("db")
     t = cat.create_table(
         "db.hintlock", spark.createDataFrame([(0,)], "k int"))
 
-    # staged TOCTOU: thread B enters _write_head_hint(6) but its lock
-    # acquisition is delayed until thread A has written 9 — without the
-    # lock B's pre-read check (cur=5) would pass and regress 9 -> 6
     t._write_head_hint(5)
     errs: list[BaseException] = []
+    b_read_done = threading.Event()
+    resume_b = threading.Event()
+    orig_read = LakeTable._read_head_hint
 
-    def stale_writer():
+    def patched_read(self):
+        v = orig_read(self)
+        if (threading.current_thread().name == "staleB"
+                and not b_read_done.is_set()):
+            b_read_done.set()
+            resume_b.wait(timeout=30)
+        return v
+
+    monkeypatch.setattr(LakeTable, "_read_head_hint", patched_read)
+
+    def write(v):
         try:
-            t._write_head_hint(6)
+            t._write_head_hint(v)
         except BaseException as e:  # noqa: BLE001
             errs.append(e)
 
-    t._write_head_hint(9)
-    b = threading.Thread(target=stale_writer)
+    b = threading.Thread(target=write, args=(6,), name="staleB")
     b.start()
-    b.join()
+    assert b_read_done.wait(timeout=30)  # B read cur=5 inside its RMW
+    a = threading.Thread(target=write, args=(9,))
+    a.start()  # under the lock, A blocks until B's replace completes
+    # give A time to finish — it only CAN on unlocked code (on locked
+    # code it is parked on the flock), which is what makes the stale
+    # replace deterministic when the lock is reverted
+    a.join(timeout=2)
+    resume_b.set()
+    b.join(timeout=30)
+    a.join(timeout=30)
+    monkeypatch.setattr(LakeTable, "_read_head_hint", orig_read)
     assert not errs
     assert t._read_head_hint() == 9
 
