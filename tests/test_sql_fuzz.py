@@ -61,6 +61,25 @@ def _ws(rng: random.Random) -> str:
     return s
 
 
+def _hint(rng: random.Random) -> str:
+    """A /*+ hint */ legal right after SELECT — Spark warns on unknown
+    hint names but still parses. The pool deliberately carries the
+    shapes the r11 hint-lexer waves fixed: quoted payloads with runs of
+    spaces (wave 4), relation-shaped args that must follow rewrites
+    (wave 7), nested plain comments with apostrophes and backticked
+    args containing `*/` (wave 9). `--` inside a hint body (wave 8)
+    stays helper-level only: Spark's own lexer treats it as a line
+    comment, so it cannot round-trip end-to-end."""
+    return rng.choice([
+        "/*+ REPARTITION(3) */",
+        "/*+ COALESCE(1) */",
+        "/*+ FOO('a  b') */",
+        "/*+ BROADCAST(nyc.fz) */",
+        "/*+ F(/* don't */ x) */",
+        "/*+ F(`a*/b`) */",
+    ])
+
+
 def _tick(rng: random.Random, dotted: str) -> str:
     """Random per-part backticks: nyc.fz -> `nyc`.fz / nyc.`fz` / ..."""
     return ".".join(
@@ -129,10 +148,14 @@ def test_fuzz_select_and_describe(fcat, spark):
 
     canon_cnt = cat.sql("SELECT count(*) AS c FROM nyc.fz").first().c
     for _ in range(N):
-        stmt = _render(rng, [
-            "select", ("lit", "count(*)"), "as", ("lit", "c"),
+        toks: list = ["select"]
+        if rng.random() < 0.5:  # hint-lexer shapes in a legal position
+            toks.append(("lit", _hint(rng)))
+        toks += [
+            ("lit", "count(*)"), "as", ("lit", "c"),
             "from", ("name", "nyc.fz"),
-        ])
+        ]
+        stmt = _render(rng, toks)
         assert cat.sql(stmt).first().c == canon_cnt, stmt
 
     canon_sum = cat.sql(
