@@ -61,6 +61,33 @@ _FLOCK_WARNED = False  # one-time per-process flock-degradation warning
 MAIN = "main"
 
 
+def _flock_or_degrade(lf, log_dir: str, what: str, consequence: str) -> None:
+    """Take LOCK_EX on ``lf`` or degrade LOUDLY — the ONE acquire-or-
+    degrade policy for every advisory-lock RMW site (refs CAS, head-hint
+    update; r11 wave 10 deduplicated two verbatim copies that were one
+    edit away from divergent contracts). Non-POSIX, or a filesystem
+    without flock(2) support (ENOLCK/EOPNOTSUPP on some NFS/SMB/overlay
+    mounts): the caller's write stays an atomic swap, but the RMW mutual
+    exclusion is VOIDED — so fail hard when the operator opted in via
+    LAKESHED_REQUIRE_FLOCK=1, else warn once per process."""
+    try:
+        import fcntl
+        fcntl.flock(lf, fcntl.LOCK_EX)
+    except (ImportError, OSError) as e:
+        if os.environ.get("LAKESHED_REQUIRE_FLOCK", "") == "1":
+            raise TableError(
+                f"{what} lock unavailable on {log_dir} ({e!r}) and "
+                f"LAKESHED_REQUIRE_FLOCK=1 — {consequence}") from e
+        global _FLOCK_WARNED
+        if not _FLOCK_WARNED:
+            _FLOCK_WARNED = True
+            warnings.warn(
+                f"{what} lock unavailable on {log_dir} ({e!r}): "
+                f"concurrent {what} mutations are NOT serialized on "
+                "this filesystem; set LAKESHED_REQUIRE_FLOCK=1 to "
+                "fail hard instead", RuntimeWarning, stacklevel=4)
+
+
 class TableError(RuntimeError):
     pass
 
@@ -435,30 +462,20 @@ class LakeTable:
                 lf = open(
                     os.path.join(self.log_dir, f".{_HEAD_HINT}.lock"),
                     "a+")
-                import fcntl
-                fcntl.flock(lf, fcntl.LOCK_EX)
-            except (ImportError, OSError) as e:
-                # degrade to the unlocked check — but NEVER silently
-                # (r11 wave 9): same contract as _mutate_refs, because
-                # an operator who opted into LAKESHED_REQUIRE_FLOCK=1
-                # did so precisely to refuse unserialized RMWs like
-                # this one (the statement fails post-create; the
-                # unpublished commit file is debris the sweep removes)
+                _flock_or_degrade(
+                    lf, self.log_dir, "head-hint",
+                    "an unserialized hint update could regress the "
+                    "allocation head")
+            except OSError as e:
+                # the lock FILE itself could not be opened (read-only
+                # fs): same degradation contract as a failed flock —
+                # the REQUIRE_FLOCK raise below fires pre-publish, so
+                # the statement fails and the commit file is debris
+                # the sweep removes (r11 wave 9)
                 if os.environ.get("LAKESHED_REQUIRE_FLOCK", "") == "1":
                     raise TableError(
                         f"head-hint lock unavailable on {self.log_dir} "
-                        f"({e!r}) and LAKESHED_REQUIRE_FLOCK=1 — an "
-                        "unserialized hint update could regress the "
-                        "allocation head") from e
-                global _FLOCK_WARNED
-                if not _FLOCK_WARNED:
-                    _FLOCK_WARNED = True
-                    warnings.warn(
-                        f"head-hint lock unavailable on {self.log_dir} "
-                        f"({e!r}): concurrent head-hint updates are NOT "
-                        "serialized on this filesystem; set "
-                        "LAKESHED_REQUIRE_FLOCK=1 to fail hard instead",
-                        RuntimeWarning, stacklevel=3)
+                        f"({e!r}) and LAKESHED_REQUIRE_FLOCK=1") from e
             cur = self._read_head_hint()
             if cur is not None and cur >= version:
                 return
@@ -503,32 +520,10 @@ class LakeTable:
             raise TableError(f"no table log at {self.log_dir}")
         lf = open(os.path.join(self.log_dir, ".refs.lock"), "a+")
         try:
-            try:
-                import fcntl
-                fcntl.flock(lf, fcntl.LOCK_EX)
-            except (ImportError, OSError) as e:
-                # non-POSIX, or a filesystem without flock(2) support
-                # (ENOLCK/EOPNOTSUPP on some NFS/SMB/overlay mounts):
-                # best-effort — the write itself stays an atomic swap,
-                # but the RMW mutual exclusion the ref CAS / ancestry
-                # checks rely on is VOIDED. Never degrade silently:
-                # warn once per process, or fail hard when the operator
-                # opted in via LAKESHED_REQUIRE_FLOCK=1.
-                if os.environ.get("LAKESHED_REQUIRE_FLOCK", "") == "1":
-                    raise TableError(
-                        f"refs lock unavailable on {self.log_dir} "
-                        f"({e!r}) and LAKESHED_REQUIRE_FLOCK=1 — "
-                        "concurrent ref mutations would not be "
-                        "serialized on this filesystem") from e
-                global _FLOCK_WARNED
-                if not _FLOCK_WARNED:
-                    _FLOCK_WARNED = True
-                    warnings.warn(
-                        f"refs lock unavailable on {self.log_dir} "
-                        f"({e!r}): concurrent ref mutations are NOT "
-                        "serialized on this filesystem; set "
-                        "LAKESHED_REQUIRE_FLOCK=1 to fail hard instead",
-                        RuntimeWarning, stacklevel=3)
+            _flock_or_degrade(
+                lf, self.log_dir, "refs",
+                "concurrent ref mutations would not be serialized on "
+                "this filesystem")
             refs = self._refs()
             fn(refs)
             self._write_refs(refs)

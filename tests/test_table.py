@@ -3046,11 +3046,10 @@ def test_head_hint_write_is_atomic_under_contention(cat, spark, monkeypatch):
     # give A time to finish — it only CAN on unlocked code (on locked
     # code it is parked on the flock), which is what makes the stale
     # replace deterministic when the lock is reverted
-    a.join(timeout=2)
+    a.join(timeout=0.5)
     resume_b.set()
     b.join(timeout=30)
     a.join(timeout=30)
-    monkeypatch.setattr(LakeTable, "_read_head_hint", orig_read)
     assert not errs
     assert t._read_head_hint() == 9
 
