@@ -1,0 +1,147 @@
+"""Property tests for the LLM text-op arithmetic (r11).
+
+The chunking / n-gram / packing ops carry the kind of off-by-one
+arithmetic (integer ceils, shifted slices, cumulative offsets) that
+example tests under-cover and the DuckDB oracle gates only probe at the
+fixture's shapes. Each op is compared against a plain-Python reference
+over Hypothesis-generated inputs — one generated BATCH of documents per
+example so few examples still cover many docs, the same economy
+``test_merge_property`` uses.
+
+Input texts are generated pre-normalized (lowercase words, single
+spaces), so the Python reference tokenization is exactly
+``text.split(" ")`` — including the Spark quirk that an empty string
+splits to ``[""]`` (one empty token), which Python matches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakeshed.llm import text as T
+from lakeshed.llm import sampling as S
+
+WORD = st.text(alphabet="abcde", min_size=1, max_size=4)
+DOC = st.lists(WORD, min_size=0, max_size=60)
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _toks(joined: str) -> list[str]:
+    return joined.split(" ")  # "" -> [""], matching Spark's split
+
+
+def _ref_ngrams(toks: list[str], n: int) -> list[str]:
+    cnt = max(len(toks) - n + 1, 1)
+    return [" ".join(toks[j:j + n]) for j in range(cnt)]
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(DOC, min_size=1, max_size=12),
+       window=st.integers(min_value=1, max_value=9),
+       stride=st.integers(min_value=1, max_value=12))
+def test_chunk_documents_matches_reference(spark, docs, window, stride):
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id int, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_digest)
+        for r in T.chunk_documents(
+            df, window=window, stride=stride).collect()
+    }
+    want = {}
+    for i, d in enumerate(docs):
+        toks = _toks(" ".join(d))
+        extra = max(len(toks) - window, 0)
+        nch = (extra + stride - 1) // stride + 1
+        for ci in range(nch):
+            ch = toks[ci * stride:ci * stride + window]
+            want[(i, ci)] = (
+                len(ch),
+                hashlib.md5(" ".join(ch).encode()).hexdigest(),
+            )
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(DOC, min_size=1, max_size=12),
+       n=st.integers(min_value=1, max_value=4))
+def test_ngrams_matches_reference(spark, docs, n):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id int, text string")
+    got = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", T.ngrams(T.tokens("text"), n).alias("g")).collect()
+    }
+    want = {i: _ref_ngrams(_toks(" ".join(d)), n)
+            for i, d in enumerate(docs)}
+    assert got == want
+
+    # fingerprint rides the same grams: min md5 over full n-grams, or
+    # md5 of the whole text for docs shorter than n tokens
+    fps = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", T.fingerprint("text", ngram=n).alias("fp")).collect()
+    }
+    for i, d in enumerate(docs):
+        toks = _toks(" ".join(d))
+        if len(toks) >= n:
+            exp = min(hashlib.md5(g.encode()).hexdigest()
+                      for g in _ref_ngrams(toks, n))
+        else:
+            exp = hashlib.md5(" ".join(d).encode()).hexdigest()
+        assert fps[i] == exp, (i, d)
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(
+    st.tuples(st.sampled_from(["en", "fr"]), DOC),
+    min_size=1, max_size=16),
+    budget=st.integers(min_value=1, max_value=40))
+def test_pack_tokens_matches_reference(spark, docs, budget):
+    df = spark.createDataFrame(
+        [(i, lang, " ".join(d)) for i, (lang, d) in enumerate(docs)],
+        "doc_id int, lang string, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.start_offset, r.pack_id, r.pack_offset)
+        for r in S.pack_tokens(df, budget=budget).collect()
+    }
+    want = {}
+    for lang in {x for x, _ in docs}:
+        cum = 0
+        for i, (lg, d) in enumerate(docs):  # doc_id order == index order
+            if lg != lang:
+                continue
+            n = len(_toks(" ".join(d)))
+            want[i] = (n, cum, cum // budget, cum % budget)
+            cum += n
+    assert got == want
+
+
+def test_shard_assign_structural_invariants(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(257)], "doc_id int")
+    a = sorted(
+        (r.doc_id, r.shard, r.pos)
+        for r in S.shard_assign(df, n_shards=8).collect())
+    b = sorted(
+        (r.doc_id, r.shard, r.pos)
+        for r in S.shard_assign(df, n_shards=8).collect())
+    assert a == b  # deterministic
+    assert len(a) == 257  # every doc assigned exactly once
+    by_shard: dict[int, list[int]] = {}
+    for _, shard, pos in a:
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
