@@ -22,6 +22,8 @@ Scale design (the whole point at 100 TB):
 from __future__ import annotations
 
 import atexit
+import os
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -411,6 +413,15 @@ def minhash_lsh_pairs(
     ``packed=False`` restores the string-shingle pipeline (shingles built
     JVM-side, Jaccard over string sets) — the parity baseline.
     """
+    if bands < 1 or num_hashes % bands:
+        # r11 review wave 11: bands > num_hashes made rows = 0, every
+        # band key the hash of an EMPTY slice (one constant bucket) and
+        # the join silently all-pairs — the exact blow-up this function
+        # exists to avoid; a non-divisible split silently discarded the
+        # trailing hashes and changed the documented recall curve.
+        raise ValueError(
+            f"bands must divide num_hashes (got num_hashes={num_hashes}, "
+            f"bands={bands})")
     rows = num_hashes // bands
     if signatures is not None:
         # stored signature table: no text scan, no persist — the parquet
@@ -638,49 +649,82 @@ def build_cluster_table(
         pairs, docs.select(id_col), id_col=id_col,
         shuffle_partitions=shuffle_partitions,
     )
-    return catalog.create_table(
-        name, labels, mode=mode,
-        properties={
-            "lakeshed.clusters.kind": "minhash-lsh-cc",
-            "lakeshed.clusters.threshold": str(threshold),
-            "lakeshed.clusters.num_hashes": str(num_hashes),
-            "lakeshed.clusters.bands": str(bands),
-            "lakeshed.clusters.shingle": str(shingle),
-            "lakeshed.clusters.seed": str(seed),
-        },
-    )
+    try:
+        return catalog.create_table(
+            name, labels, mode=mode,
+            properties=_cluster_props(
+                threshold, num_hashes, bands, shingle, seed),
+        )
+    finally:
+        # terminal consumer (r11 review wave 11): dedup_clusters eagerly
+        # checkpointed the edges and create_table wrote the labels — the
+        # scoped (id, sh, sig) persist is never read again; holding it
+        # would accumulate one corpus-sized cache per built table
+        release_persisted("minhash_lsh_pairs")
+
+
+def _cluster_props(threshold, num_hashes, bands, shingle, seed):
+    return {
+        "lakeshed.clusters.kind": "minhash-lsh-cc",
+        "lakeshed.clusters.threshold": str(threshold),
+        "lakeshed.clusters.num_hashes": str(num_hashes),
+        "lakeshed.clusters.bands": str(bands),
+        "lakeshed.clusters.shingle": str(shingle),
+        "lakeshed.clusters.seed": str(seed),
+    }
 
 
 class _Ckpt:
     """Storage-checkpoint harness for iterative jobs: parquet round-trips
     truncate plan lineage; ``keep_only`` deletes every round but the
-    converged one before the caller returns; the surviving dir is removed
-    at interpreter exit (registered once at module import)."""
+    converged one before the caller returns.
+
+    Checkpoint root (r11 review wave 11 — a driver-local tempdir breaks
+    on a multi-node cluster: executors would write parquet parts to
+    THEIR OWN local disks): ``lakeshed.cc.checkpointDir`` conf, else the
+    session's ``setCheckpointDir`` location — both cluster-shared by the
+    operator's choice, deleted through the Hadoop FileSystem API. Only
+    the local[-mode] tempfile fallback registers the atexit rmtree."""
 
     def __init__(self, spark: SparkSession, prefix: str):
-        import tempfile
-
+        root = spark.conf.get("lakeshed.cc.checkpointDir", None)
+        if not root:
+            root = spark.sparkContext.getCheckpointDir()
         self.spark = spark
-        self.dir = tempfile.mkdtemp(prefix=prefix)
-        _CC_CKPT_DIRS.append(self.dir)
+        if root:
+            self.dir = root.rstrip("/") + f"/{prefix}{uuid.uuid4().hex}"
+            self._local = False
+        else:
+            import tempfile
+
+            self.dir = tempfile.mkdtemp(prefix=prefix)
+            self._local = True
+            _CC_CKPT_DIRS.append(self.dir)
         self.names: list[str] = []
 
-    def put(self, df: DataFrame, name: str) -> DataFrame:
-        import os
+    def _rm(self, path: str) -> None:
+        if self._local:
+            import shutil
 
-        path = os.path.join(self.dir, name)
+            shutil.rmtree(path, ignore_errors=True)
+            return
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs.delete(p, True)
+
+    def put(self, df: DataFrame, name: str) -> DataFrame:
+        path = f"{self.dir}/{name}" if not self._local else os.path.join(
+            self.dir, name)
         df.write.mode("overwrite").parquet(path)
         self.names.append(name)
         return self.spark.read.parquet(path)
 
     def keep_only(self, name: str) -> None:
-        import os
-        import shutil
-
         for n in self.names:
             if n != name:
-                shutil.rmtree(os.path.join(self.dir, n),
-                              ignore_errors=True)
+                self._rm(f"{self.dir}/{n}" if not self._local
+                         else os.path.join(self.dir, n))
         self.names = [name]
 
 
@@ -904,12 +948,22 @@ def edit_distance_pairs(
     stable prefix + a coarse attribute). The self-join shuffles once on
     the block key and the quadratic work is bounded by the largest
     block; ``levenshtein`` runs JVM-side (classic DP, same semantics as
-    DuckDB's, so gates value-match)."""
-    keys = [F.expr(b) if isinstance(b, str) else b for b in (block_by or [])]
+    DuckDB's, so gates value-match).
+
+    ``block_by`` is REQUIRED (r11 review wave 11): an empty default
+    silently ran the exact all-pairs join this docstring calls
+    unthinkable — a caller that really wants the brute path at oracle
+    scale should say so with an explicit trivial block (``["1"]``)."""
+    if not block_by:
+        raise ValueError(
+            "edit_distance_pairs requires block_by — all-pairs "
+            "Levenshtein is O(n²·len²); pass an explicit trivial block "
+            "like ['1'] if you really want the brute path at toy scale")
+    keys = [F.expr(b) if isinstance(b, str) else b for b in block_by]
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(col).alias("v"),
-        *[k.alias(f"__bk{i}") for i in range(len(keys)) for k in [keys[i]]],
+        *[k.alias(f"__bk{i}") for i, k in enumerate(keys)],
     )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
@@ -1006,6 +1060,13 @@ def simhash_pairs(
     verifies candidates."""
     chunks = max_hamming + 1
     step = bits // chunks
+    if step < 1:
+        # r11 review wave 11: chunks > bits made step = 0, every chunk
+        # value the 0-bit mask of 0 (one constant bucket) and the join
+        # silently all-pairs
+        raise ValueError(
+            f"max_hamming + 1 must not exceed bits (got "
+            f"max_hamming={max_hamming}, bits={bits})")
     sig_expr = (
         simhash_arrow(bits) if use_arrow
         else lambda c: simhash_from_hashes(c, bits)
@@ -1071,8 +1132,6 @@ def ngram_overlap(
     are tiny next to the corpus), so the corpus side is one narrow
     explode + broadcast semi-join + count: no corpus-sized shuffle. Docs
     with zero overlap report 0/false."""
-    from lakeshed.llm.text import ngrams, tokens
-
     grams = lambda c: F.array_distinct(ngrams(tokens(c), n))
     corpus = df.select(
         F.col(id_col), F.explode(grams(text_col)).alias("g")

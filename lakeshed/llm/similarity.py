@@ -420,7 +420,13 @@ def ivf_index(
         )
         cents = [(r[0], list(r[1])) for r in cent_rows]
     cn = np.asarray([c[1] for c in cents], dtype=np.float64)
-    cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)  # (k, dim)
+    # zero-norm guard (r11 review wave 11): an all-zero centroid (zero
+    # seed vector, or a kmeans cluster that averaged to zero) would
+    # otherwise become a NaN row, and np.argmax(mat @ cn.T) returns the
+    # NaN column for EVERY row — the whole corpus lands in one list the
+    # probe ranking (which guards zero norms itself) then never probes
+    cn = cn / np.maximum(
+        np.linalg.norm(cn, axis=1, keepdims=True), 1e-30)  # (k, dim)
 
     @F.pandas_udf("int")
     def assign(vs: pd.Series) -> pd.Series:
@@ -651,6 +657,10 @@ def pca_fit(df: DataFrame, dim: int, k: int = 8,
         partial, schema="n long, s array<double>, ss array<double>"
     ).collect()
     n = sum(r.n for r in parts)
+    if n == 0:
+        # fail loudly (r11 review wave 11): dividing by n produced a NaN
+        # mean with only a RuntimeWarning and an opaque eigh LinAlgError
+        raise ValueError("PCA requires at least one vector")
     s = np.sum([np.array(r.s) for r in parts], axis=0)
     ss = np.sum([np.array(r.ss).reshape(dim, dim) for r in parts], axis=0)
     mean = s / n
@@ -703,6 +713,14 @@ def kmeans_fit(
         .limit(k)
         .collect()
     )
+    if not init_rows:
+        raise ValueError("k-means needs at least one vector")
+    if len(init_rows) < k:
+        # fewer rows than clusters (r11 review wave 11: the k-length hit
+        # mask previously indexed the shorter centroid array and crashed
+        # with an opaque IndexError): clamp — at k == n every point is
+        # its own cluster, which is the correct degenerate fit
+        k = len(init_rows)
     cents = np.asarray([list(r[1]) for r in init_rows], dtype=np.float64)
     if dim is None:  # infer from the init sample — saves a probe job
         dim = cents.shape[1]
@@ -717,12 +735,16 @@ def kmeans_fit(
                 if len(pdf) == 0:  # np.stack raises on an empty batch
                     continue
                 m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is constant
+                # per row → argmin of the matmul form. ALWAYS this form
+                # (r11 review wave 11): a per-batch switch between this
+                # and the (m-c)² tensor made near-tie assignments depend
+                # on Arrow batch sizing, contradicting the documented
+                # reproducibility across partitionings — and this is
+                # also the exact formula kmeans_assign evaluates, so
+                # fit-time and assign-time decisions agree.
                 a = np.argmin(
-                    ((m[:, None, :] - _c[None, :, :]) ** 2).sum(axis=2)
-                    if k * len(m) * dim <= 2_000_000 else
-                    # large batches: ||x-c||² = ||x||² - 2x·c + ||c||²;
-                    # ||x||² is constant per row → argmin of the matmul form
-                    (-2.0 * (m @ _c.T) + (_c * _c).sum(axis=1)[None, :]),
+                    -2.0 * (m @ _c.T) + (_c * _c).sum(axis=1)[None, :],
                     axis=1,
                 )
                 np.add.at(cnt, a, 1)

@@ -921,3 +921,104 @@ def test_dedup_clusters_auto_stays_label_on_shallow_components(spark,
     assert {r.id: r.cluster for r in got.collect()} == {
         0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 99: 99,
     }
+
+
+def test_wave11_parameter_guards_and_degenerate_inputs(spark):
+    """r11 review wave 11: silent degenerate behavior became loud.
+    bands must divide num_hashes (rows=0 made one constant band bucket
+    — an all-pairs join); max_hamming+1 must not exceed bits (step=0,
+    same degeneration); edit_distance_pairs requires block_by (the
+    empty default silently ran the all-pairs Levenshtein its docstring
+    calls unthinkable); pca_fit on an empty frame raises instead of
+    NaN-ing through eigh; kmeans_fit clamps k to the row count instead
+    of crashing on a boolean-mask length mismatch."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands must divide"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=64)
+    with pytest.raises(ValueError, match="bands must divide"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=128, bands=48)
+    with pytest.raises(ValueError, match="must not exceed bits"):
+        dedup.simhash_pairs(docs, max_hamming=64, bits=64)
+    with pytest.raises(ValueError, match="requires block_by"):
+        dedup.edit_distance_pairs(docs, col="text", id_col="doc_id")
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="at least one vector"):
+        similarity.pca_fit(empty, dim=4)
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)],
+        "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_fit(tiny, k=8, iters=2)
+    assert len(cents) == 3  # clamped to the row count, not an IndexError
+    with pytest.raises(ValueError, match="at least one vector"):
+        similarity.kmeans_fit(
+            spark.createDataFrame([], "vec_id long, embedding array<double>"),
+            k=2)
+
+
+def test_wave11_ivf_zero_norm_centroid_guarded(spark):
+    """A zero vector seeded as a centroid must not become a NaN row that
+    argmax-hijacks every assignment into one list: with k == corpus size
+    every vector (including the zero one) is a centroid, and the
+    non-zero vectors must still spread across lists."""
+    vecs = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    idx, _cents = similarity.ivf_index(df, k=4, train_iters=0)
+    lists = {r.id: r.list for r in idx.collect()}
+    assert len(set(lists.values())) > 1  # not all hijacked into one list
+    # each non-zero vector lands in the list of a centroid it actually
+    # maximizes cosine with (its own direction)
+    assert lists[1] != lists[3]
+
+
+def test_wave11_ckpt_uses_configured_checkpoint_dir(spark, tmp_path):
+    """dedup_clusters' checkpoint root honors lakeshed.cc.checkpointDir
+    (a cluster-shared location on a real deployment — the tempfile
+    fallback is driver-local and only correct on local mode), and
+    intermediate rounds are deleted through the filesystem API."""
+    root = str(tmp_path / "cc-ckpt")
+    spark.conf.set("lakeshed.cc.checkpointDir", root)
+    try:
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+        ids = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+        labels = {
+            r.doc_id: r.cluster
+            for r in dedup.dedup_clusters(
+                pairs, ids, id_col="doc_id").collect()
+        }
+        assert labels[1] == labels[2] == labels[3] == 1
+        assert labels[10] == labels[11] == 10
+        assert labels[99] == 99
+        run_dirs = os.listdir(root)
+        assert run_dirs, "checkpoint root was not used"
+        for d in run_dirs:
+            kept = os.listdir(os.path.join(root, d))
+            # only the converged round survives keep_only
+            assert len(kept) == 1, kept
+    finally:
+        spark.conf.unset("lakeshed.cc.checkpointDir")
+
+
+def test_wave11_build_cluster_table_releases_persist(spark, tmp_path):
+    """build_cluster_table is a terminal consumer: after the labels
+    table is written the scoped signature persist must be released, not
+    held for the session lifetime."""
+    import tempfile
+
+    from lakeshed.catalog import Catalog
+    from lakeshed.llm._persist import _LIVE
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        "doc_id long, text string")
+    cat = Catalog(spark, str(tmp_path / "wh11"))
+    dedup.build_cluster_table(docs, cat, "default.cl11", bands=32)
+    assert not _LIVE.get("minhash_lsh_pairs")
