@@ -206,8 +206,17 @@ def diff_versions(table: LakeTable, v_from: int, v_to: int | None = None
     commits' schema maps while still adapting every row to v_to's
     current schema."""
     v_to = v_to if v_to is not None else table.head()
-    commit_new, live_new = table._state(v_to)
-    commit_from, live_old = table._state(v_from)
+    # one shared memo, lower version replayed first: the two states walk
+    # overlapping chains, so the second replay seeds from the first's
+    # nearest memoized ancestor instead of re-reading the same commit
+    # JSONs (r11 review wave 12)
+    memo: dict = {}
+    if v_from <= v_to:
+        commit_from, live_old = table._state(v_from, _memo=memo)
+        commit_new, live_new = table._state(v_to, _memo=memo)
+    else:
+        commit_new, live_new = table._state(v_to, _memo=memo)
+        commit_from, live_old = table._state(v_from, _memo=memo)
     new_paths = {a.path for a in live_new}
     old_paths = {a.path for a in live_old}
     added = [a for a in live_new if a.path not in old_paths]

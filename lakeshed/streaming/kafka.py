@@ -43,7 +43,13 @@ def kafka_reader_options(
 def kafka_typed_view(raw: DataFrame) -> DataFrame:
     """Binary (key, value) → strings; per-partition ``offset`` → ``__seq``
     (the arrival-order column MERGE needs, SURVEY §7.3). Works on the
-    live stream and on recorded ``KAFKA_RAW_SCHEMA`` frames alike."""
+    live stream and on recorded ``KAFKA_RAW_SCHEMA`` frames alike —
+    and is IDEMPOTENT on an already-typed view (r11 review wave 12:
+    ``kafka_changelog(kafka_stream_source(...))`` — the composition the
+    S9 docstring recommends — re-applied this mapping and failed on the
+    already-dropped ``offset`` column)."""
+    if "__seq" in raw.columns and "offset" not in raw.columns:
+        return raw.select("key", "value", "__seq")
     return raw.select(
         F.col("key").cast("string").alias("key"),
         F.col("value").cast("string").alias("value"),

@@ -130,6 +130,15 @@ def sessionize_stream(
             }
         )
 
+    def _key_val(key: tuple):
+        # a NULL group key arrives as None/NaN — int() on it killed the
+        # whole query (r11 review wave 12); emit a null-user row like
+        # sessionize_batch does
+        k = key[0]
+        if k is None or (isinstance(k, float) and k != k):
+            return None
+        return int(k)
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -140,7 +149,7 @@ def sessionize_stream(
                 open_start, open_end, open_cnt = state.get
                 state.remove()
                 out = _emit_one(open_start, open_end, open_cnt)
-                out["user_id"] = int(key[0])
+                out["user_id"] = _key_val(key)
                 yield out
             return
         if state.exists:
@@ -161,7 +170,13 @@ def sessionize_stream(
                 cnts.append(open_cnt)
                 open_start, open_end, open_cnt = t, t, 1
             else:
-                open_end, open_cnt = t, open_cnt + 1
+                # a cross-batch LATE event (t below the stored open_end;
+                # within a batch ts is sorted) must not REGRESS the open
+                # session's bounds (r11 review wave 12: open_end = t
+                # shrank session_end below events already counted and
+                # corrupted later gap decisions)
+                open_start = min(open_start, t)
+                open_end, open_cnt = max(open_end, t), open_cnt + 1
         if open_start is not None:
             state.update((int(open_start), int(open_end), int(open_cnt)))
             if idle_timeout_ms is not None:
@@ -173,9 +188,12 @@ def sessionize_stream(
                             // 1_000_000) * 1_000_000
                 return pd.to_datetime(us_floor, unit="us")
 
+            kv = _key_val(key)
             yield pd.DataFrame(
                 {
-                    "user_id": int(key[0]),
+                    "user_id": pd.Series(
+                        [kv] * len(starts),
+                        dtype="int64" if kv is not None else "object"),
                     "session_start": trunc(starts),
                     "session_end": trunc(ends),
                     "n_events": pd.Series(cnts, dtype="int64"),

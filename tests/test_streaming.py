@@ -553,3 +553,101 @@ def test_restart_recovery_mid_stream_crash_exactly_once(spark, tmp_path):
     )
     q3.awaitTermination(120)
     assert table.head() == max(merges_after)
+
+
+def test_wave12_sessionize_null_user_and_late_event(spark, tmp_path):
+    """r11 review wave 12: (a) a NULL user_id group key must produce a
+    null-user session row like sessionize_batch does — int(NaN) killed
+    the whole query; (b) a cross-batch LATE event within the gap must
+    not regress the open session's end below events already counted."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lakeshed.streaming import sessionize_stream
+
+    src = tmp_path / "sess12-src"
+    src.mkdir()
+
+    def write_file(rows, name, mtime):
+        df = spark.createDataFrame(rows, "user_id bigint, ts string")
+        df = df.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        part = str(tmp_path / ("stage12-" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(part)
+        data = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        dst = str(src / name)
+        os.rename(os.path.join(part, data), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    # batch 1: null user with two events > gap apart (a session CLOSES
+    # for the null key — the int(key) crash path) + user 1's open
+    # session ending 10:00
+    write_file([(None, "2024-01-01 00:00:00"),
+                (None, "2024-01-02 00:00:00"),
+                (1, "2024-01-01 09:00:00"),
+                (1, "2024-01-01 10:00:00")], "a.parquet", now - 100)
+    # batch 2: LATE event for user 1 at 09:30 (within gap, below the
+    # stored open_end) then a 12:00 event whose gap must be measured
+    # from 10:00, not 09:30; sentinels close everything
+    write_file([(1, "2024-01-01 09:30:00"),
+                (1, "2024-01-01 12:00:00"),
+                (1, "2100-01-01 00:00:00"),
+                (None, "2100-01-01 00:00:00")], "b.parquet", now)
+
+    q = (
+        sessionize_stream(
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src)),
+            gap_minutes=480,
+        )
+        .writeStream.format("memory")
+        .queryName("sess_w12")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt12"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) > 1  # cross-batch state was exercised
+
+    rows = spark.table("sess_w12").where(
+        F.col("session_start") < "2099-01-01").collect()
+    null_sessions = {
+        (str(r.session_start), str(r.session_end), r.n_events)
+        for r in rows if r.user_id is None
+    }
+    # the null user's two singleton sessions both arrived (no crash)
+    assert ("2024-01-01 00:00:00", "2024-01-01 00:00:00", 1) in null_sessions
+    assert ("2024-01-02 00:00:00", "2024-01-02 00:00:00", 1) in null_sessions
+    u1 = {
+        (str(r.session_start), str(r.session_end), r.n_events)
+        for r in rows if r.user_id == 1
+    }
+    # late 09:30 joined the open session WITHOUT regressing its end:
+    # 12:00 measured its gap from 10:00 (2h < 8h) and extended it
+    assert u1 == {("2024-01-01 09:00:00", "2024-01-01 12:00:00", 4)}, u1
+
+
+def test_wave12_kafka_changelog_composes_with_stream_source_view(spark):
+    """r11 review wave 12: kafka_changelog(kafka_stream_source(...)) — the
+    composition the S9 docstring recommends — re-applied the typed-view
+    mapping and failed on the already-dropped offset column; the mapping
+    is now idempotent. Exercised on a recorded raw frame (no broker)."""
+    from lakeshed.streaming.kafka import (
+        KAFKA_RAW_SCHEMA,
+        kafka_changelog,
+        kafka_typed_view,
+    )
+
+    raw = spark.createDataFrame(
+        [(b"k1", b"I,1,a#p0", "t", 0, 0, None, None),
+         (b"k2", b"garbage", "t", 0, 1, None, None)],
+        KAFKA_RAW_SCHEMA)
+    once = kafka_typed_view(raw)
+    twice = kafka_changelog(once)  # idempotent re-typing, then parse
+    keep = [c for c in twice.columns if c != "ts"]  # ts = processing time
+    rows = twice.select(keep).collect()
+    assert len(rows) == 1  # malformed line dropped, valid one parsed
+    assert rows == kafka_changelog(raw).select(keep).collect()
