@@ -69,16 +69,21 @@ def extract_features(df: DataFrame) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # NULL payload → NULL features, SQL-style (r11 review wave
+            # 13: len(None) killed the whole job on one null row)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "mime": [m["mime"] for m in pdf["meta"]],
-                    "n_bytes": payloads.map(len).astype("int32"),
+                    "mime": [None if m is None else m["mime"]
+                             for m in pdf["meta"]],
+                    "n_bytes": payloads.map(
+                        lambda p: None if p is None else len(p)),
                     # cheap stand-in checksum: sum of bytes mod 2^31
                     "checksum": payloads.map(
-                        lambda p: sum(p) % (1 << 31)
-                    ).astype("int64"),
-                    "feature": payloads.map(_decode_stub),
+                        lambda p: None if p is None
+                        else sum(p) % (1 << 31)),
+                    "feature": payloads.map(
+                        lambda p: None if p is None else _decode_stub(p)),
                 }
             )
 
@@ -94,12 +99,15 @@ def resize_payloads(df: DataFrame, target_bytes: int = 256) -> DataFrame:
 
     The codec being stubbed, resize = deterministic stride downsample of
     the byte stream to ``target_bytes`` (a real kernel would be
-    PIL resize / ffmpeg scale). Payloads already small pass through."""
+    PIL resize / ffmpeg scale). Payloads already small pass through;
+    NULL payloads pass through as NULL (r11 review wave 13)."""
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            def shrink(p: bytes) -> bytes:
-                if len(p) <= target_bytes:
+            def shrink(p: bytes) -> bytes | None:
+                if p is None or len(p) <= target_bytes:
                     return p
                 step = len(p) / target_bytes
                 return bytes(p[int(i * step)] for i in range(target_bytes))
@@ -110,7 +118,9 @@ def resize_payloads(df: DataFrame, target_bytes: int = 256) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "payload": out,
                     "meta": [
-                        {"mime": m["mime"], "byte_len": len(p)}
+                        None if m is None and p is None
+                        else {"mime": None if m is None else m["mime"],
+                              "byte_len": None if p is None else len(p)}
                         for m, p in zip(pdf["meta"], out)
                     ],
                 }
@@ -130,12 +140,19 @@ def sample_frames(df: DataFrame, frame_bytes: int = 64,
     The payload is treated as a concatenation of fixed-size frames
     (codec stub); every ``every_nth`` complete frame is emitted. Rows
     with fewer than one complete frame produce nothing. A real kernel
-    would be ffmpeg keyframe extraction with the same batch shape."""
+    would be ffmpeg keyframe extraction with the same batch shape. NULL
+    payloads produce no frames (r11 review wave 13)."""
+    if frame_bytes <= 0 or every_nth <= 0:
+        raise ValueError(
+            f"frame_bytes and every_nth must be positive, got "
+            f"frame_bytes={frame_bytes}, every_nth={every_nth}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    continue
                 n_frames = len(p) // frame_bytes
                 for i in range(0, n_frames, every_nth):
                     ids.append(doc_id)

@@ -18,7 +18,12 @@ from lakeshed.llm import dedup, multimodal, similarity, text
 from lakeshed.queries import qdef
 
 # normalization shared by all oracles ('g' = replace-all, Spark's default)
-_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+# collapse-then-trim with the explicit Java-\s class — MUST stay in
+# lockstep with text.normalize / text.WS_CLASS (r11 review wave 13:
+# trim-before-collapse left edge whitespace as a phantom empty token,
+# and RE2's \s omits \x0B while Java's includes it)
+_NORM = (r"trim(regexp_replace(lower(text), "
+         r"'[ \t\n\x0B\f\r]+', ' ', 'g'))")
 _TOKS = f"string_split({_NORM}, ' ')"
 
 
@@ -51,7 +56,7 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                ['the','a','an','and','of','to','in','is','it','that']))
                                                               AS stopword_hits,
            array_length(regexp_extract_all(text,
-               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))           AS bpe_tokens
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))           AS bpe_tokens
     FROM documents
     """,
     "LLM-text-stats",
@@ -399,7 +404,7 @@ def llm_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ('the','a','an','and','of','to','in','is','it','that')))
                * 1.0 / greatest(len({_TOKS}), 1) AS en_score,
              array_length(regexp_extract_all(d.text,
-                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS bpe
       FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
     )
     SELECT lang,

@@ -118,6 +118,10 @@ def pack_tokens(
     Documents longer than ``budget`` still get exactly one pack (their
     start pack) — splitting oversize docs is the tokenizer's job.
     """
+    if budget <= 0:
+        # non-ANSI Spark turns x/0 and pmod(x, 0) into NULL — every row
+        # would get a NULL pack silently (r11 review wave 13)
+        raise ValueError(f"budget must be positive, got {budget}")
     n_tok = F.size(tokens(text_col))
     w = (
         Window.partitionBy(by)
@@ -151,6 +155,10 @@ def shard_assign(
     ordering work parallelizes across shards and each shard's sort fits
     its own executors — at 100 TB you raise ``n_shards`` (it doubles as
     the write parallelism), not the partition size."""
+    if n_shards <= 0:
+        # pmod(x, 0) is NULL in non-ANSI Spark — every row would get a
+        # NULL shard and one global window partition (r11 wave 13)
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
     b = _hash_bucket(F.col(id_col), salt)
     staged = df.select(
         F.col(id_col),
@@ -186,6 +194,10 @@ def leakage_safe_split(
     Assignment uses the same md5-bucket arithmetic as the samplers
     (reproducible across engines/partitionings): cumulative thresholds
     over the sorted split names."""
+    if any(f < 0 for f in fractions.values()):
+        # a negative fraction can still sum to 1 and silently produce an
+        # empty/mis-sized split (r11 review wave 13)
+        raise ValueError(f"fractions must be non-negative: {fractions}")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions sum to {total}, expected 1.0")

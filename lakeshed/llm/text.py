@@ -15,17 +15,27 @@ from pyspark.sql import functions as F
 # oracles.)
 EN_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
+# Whitespace class shared by every cross-engine pattern: Java's \s is
+# exactly [ \t\n\x0B\f\r] but RE2's \s OMITS \x0B (r11 review wave 13:
+# a vertical tab collapsed in Spark but not DuckDB, silently diverging
+# md5 group keys) — spell the class out so both engines read the same
+# set. Same portability discipline as the PII \b note below.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+
 # BPE-ish pre-tokenizer: word pieces or single non-space symbols — the
 # standard GPT-2-style split shape, minus lookaheads Spark's RE2-like engine
 # and DuckDB both accept.
-BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def normalize(col: Column | str) -> Column:
     """Canonical text form shared by every dedup/analysis op (and the
-    oracles): lowercase, trim, collapse internal whitespace."""
+    oracles): lowercase, collapse whitespace runs, THEN trim (r11 review
+    wave 13: trim-before-collapse strips only ASCII spaces, so a
+    trailing newline/tab survived as an edge space and split() emitted a
+    phantom empty token into every token count, n-gram and digest)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.trim(F.regexp_replace(F.lower(c), WS_CLASS + "+", " "))
 
 
 def tokens(col: Column | str) -> Column:
@@ -46,8 +56,10 @@ def bpe_token_count(col: Column | str) -> Column:
 
 def stopword_count(col: Column | str, words: tuple[str, ...] = EN_STOPWORDS
                    ) -> Column:
+    # array_intersect already returns distinct elements — no extra
+    # array_distinct pass on the hot per-document path (r11 wave 13)
     lit_words = F.array(*[F.lit(w) for w in words])
-    return F.size(F.array_intersect(F.array_distinct(tokens(col)), lit_words))
+    return F.size(F.array_intersect(tokens(col), lit_words))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -190,7 +202,12 @@ def language_score(col: Column | str,
     toks = tokens(col)
     lit_words = F.array(*[F.lit(w) for w in words])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(lit_words, t)))
-    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 4)
+    # RAW ratio — rounding belongs at the surface (r11 review wave 13:
+    # avg(round(x,4)) != round(avg(x),4), so the pre-rounded score was a
+    # latent hash divergence against llm_lang_id's round-after-avg
+    # oracle, and a near-boundary doc could pass llm_corpus_pipeline's
+    # >= 0.05 gate in one engine only)
+    return hits / F.greatest(F.size(toks), F.lit(1))
 
 
 def ngrams(toks: Column, n: int) -> Column:
@@ -227,6 +244,15 @@ def chunk_documents(
     need the text itself can re-slice by (id, chunk_idx)."""
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        # tokens between window ends and the next stride start would be
+        # in NO chunk, and the tail chunk could slice past the document
+        # into an empty phantom — silent data loss for a training-window
+        # prep step (r11 review wave 13); the docstring's "tail window
+        # keeps otherwise-lost tokens" holds only for stride <= window
+        raise ValueError(
+            f"stride ({stride}) must not exceed window ({window}) — "
+            "tokens between windows would be silently dropped")
     toks = tokens(text_col)
     n = F.size(toks)
     # integer ceil((n-window)/stride) without float rounding hazards
@@ -284,7 +310,7 @@ def fingerprint(col: Column | str, ngram: int = 3) -> Column:
 # engines, which is the contract that matters.
 PII_PATTERNS = {
     "emails": r"()([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})()",
-    "urls": r"()(https?://[^\s]+)()",
+    "urls": r"()(https?://[^ \t\n\x0B\f\r]+)()",
     "phones": r"(^|[^0-9])(\d{3}[-.]\d{3,4}[-.]\d{4})($|[^0-9])",
 }
 PII_MATCH_GROUP = 2
