@@ -100,11 +100,21 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
     hammering one.
 
     Semantically identical to ``left.join(right, on, how)`` for any salt
-    assignment. Use when ONE side is explosively skewed and the other is
-    modest (the replicated side grows ×salt); for balanced skew prefer
-    AQE's skew-join split (on by default in session.py), which salts at
-    runtime only the partitions that overflow.
+    assignment — for LEFT-side-preserving joins only: the right side is
+    replicated ×salt, so an outer join that preserves unmatched RIGHT
+    rows would emit each of them salt times (r11 review wave 14); such
+    ``how`` values are rejected. Use when ONE side is explosively skewed
+    and the other is modest (the replicated side grows ×salt); for
+    balanced skew prefer AQE's skew-join split (on by default in
+    session.py), which salts at runtime only the partitions that
+    overflow.
     """
+    if how.replace("_", "").lower() in (
+            "right", "rightouter", "full", "outer", "fullouter"):
+        raise ValueError(
+            f"salted_join cannot express {how!r}: unmatched right rows "
+            "would be replicated once per salt bucket — salt the other "
+            "side or use a plain join with AQE skew handling")
     sl = left.withColumn(
         "__salt", F.floor(F.rand(seed=7) * salt).cast("int")
     )

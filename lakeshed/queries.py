@@ -9,7 +9,16 @@ Conventions for oracle parity:
 - round float aggregates (sums/avgs/ratios) to a fixed scale on BOTH sides —
   different accumulation orders otherwise differ in the last ulp;
 - cast integer SUMs explicitly (DuckDB widens to HUGEINT, Spark to BIGINT);
-- break ties in every top-k with a unique key so LIMIT is deterministic.
+- break ties in every top-k with a unique key so LIMIT is deterministic;
+- make ASC null ordering explicit (Spark defaults nulls-FIRST, DuckDB
+  nulls-LAST — r11 review wave 14);
+- known residual (wave 14, verified): round() itself differs at exact
+  half-way shortest-repr boundaries — Spark rounds HALF_UP on the
+  double's decimal rendering (round(1.005, 2) = 1.01) while DuckDB
+  rounds the binary value (= 1.0). No fixed-scale discipline removes
+  this class; it needs decimal-typed pipelines end to end. Probability
+  per value is ~0 on continuous aggregates; accepted and documented
+  rather than papered over.
 
 SURVEY §2 coverage is cited per query (S/P/A/O/J/D/W ids).
 """
@@ -328,7 +337,11 @@ def histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 @qdef(
     "map_subscript_json",
     """
-    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS cnt
+    SELECT CASE WHEN json_valid(props) AND regexp_matches(
+                  coalesce(json_extract_string(props, '$.k'), ''),
+                  '^[+-]?[0-9]+$')
+                THEN CAST(json_extract_string(props, '$.k') AS INT)
+           END AS k, count(*) AS cnt
     FROM events GROUP BY 1
     """,
     "P8",
@@ -351,13 +364,13 @@ def map_subscript_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parse_changelog_lines",
     """
     WITH lines AS (
-      SELECT concat(event_type, ',', CAST(user_id AS VARCHAR), ',',
-                    CAST(event_id AS VARCHAR)) AS line
+      SELECT concat_ws(',', event_type, CAST(user_id AS VARCHAR),
+                       CAST(event_id AS VARCHAR)) AS line
       FROM events
     )
-    SELECT split_part(line, ',', 1)                  AS op,
-           CAST(split_part(line, ',', 2) AS BIGINT)  AS key,
-           CAST(split_part(line, ',', 3) AS BIGINT)  AS seq
+    SELECT split_part(line, ',', 1)                      AS op,
+           TRY_CAST(split_part(line, ',', 2) AS BIGINT)  AS key,
+           TRY_CAST(split_part(line, ',', 3) AS BIGINT)  AS seq
     FROM lines
     WHERE length(line) - length(replace(line, ',', '')) = 2
     """,
@@ -503,9 +516,14 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(
             F.array(F.col("n_nationkey"), F.col("n_regionkey")), 2
         ).alias("arr_second"),
+        # ignoreNullFields=false: Spark's default OMITS null struct
+        # fields ('{"k":1}') while DuckDB's to_json serializes them
+        # ('{"k":1,"n":null}') — a NULL n_name would hash-diverge
+        # (r11 review wave 14; the fixture has none, latent only)
         F.to_json(
             F.struct(F.col("n_nationkey").alias("k"),
-                     F.col("n_name").alias("n"))
+                     F.col("n_name").alias("n")),
+            {"ignoreNullFields": "false"},
         ).alias("as_json"),
         # try_divide: null-on-zero under BOTH ANSI modes — the harness runs
         # an ANSI-on session (Spark 4 default), plain `/` would throw
@@ -696,7 +714,12 @@ def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on the partition key serves all three (same window spec);
     the unique o_orderkey tiebreak makes every output deterministic."""
     orders = load_star(spark, sf_dir, "orders")["orders"]
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # explicit NULLS LAST: Spark's default ASC is nulls-FIRST while the
+    # ANSI/DuckDB default is nulls-last, so a single NULL o_orderdate
+    # would shift rank/lag for its whole partition (r11 review wave 14)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last())
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return orders.select(
         "o_custkey", "o_orderkey",
@@ -853,7 +876,7 @@ def percentile_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correlated_scalar_subquery",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+    WHERE c_acctbal > (SELECT round(avg(c2.c_acctbal), 2) FROM customer c2
                        WHERE c2.c_nationkey = c.c_nationkey)
     """,
     "S3+",
@@ -866,7 +889,7 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c_custkey, c_name FROM customer c
-        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        WHERE c_acctbal > (SELECT round(avg(c2.c_acctbal), 2) FROM customer c2
                            WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
@@ -893,7 +916,8 @@ def window_range_sliding_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_star(spark, sf_dir, "orders")["orders"]
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
+        # nulls-last like the oracle's ANSI default (r11 review wave 14)
+        .orderBy(F.unix_timestamp("o_orderdate").asc_nulls_last())
         .rangeBetween(-30 * 86400, 0)
     )
     return orders.select(
@@ -1052,7 +1076,11 @@ def fuzzy_dedup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nation, 16-char name prefix) — the record-linkage shape. The oracle
     replays the same blocks, so the documented blocking-recall contract
     (an edit inside the block key escapes) is part of the spec, not a
-    discrepancy."""
+    discrepancy. Known dialect gap (r11 review wave 14, verified):
+    DuckDB's levenshtein is BYTE-based while Spark's is CHARACTER-based
+    — 'café'→'cafe' is distance 2 vs 1 — so non-ASCII names can differ
+    in pair membership; the fixture names are ASCII and neither engine
+    exposes the other's unit, so this is documented, not fixable."""
     from lakeshed.llm.dedup import edit_distance_pairs
 
     cust = load_star(spark, sf_dir, "customer")["customer"]
@@ -1066,8 +1094,8 @@ def fuzzy_dedup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explode_top_tokens",
     """
     SELECT tok, count(*) AS cnt FROM (
-      SELECT unnest(string_split(regexp_replace(lower(trim(text)),
-                                                '\\s+', ' ', 'g'), ' ')) AS tok
+      SELECT unnest(string_split(trim(regexp_replace(lower(text),
+          '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS tok
       FROM documents
     ) GROUP BY tok ORDER BY cnt DESC, tok LIMIT 25
     """,
@@ -1226,9 +1254,13 @@ def _approx_sketch_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("approx_users") - F.col("exact_users"))
             <= 0.05 * F.col("exact_users")
         ).alias("hll_in_bound"),
-        (
+        # coalesce: a group whose value column is all NULL has NULL
+        # percentiles on BOTH engines — the bound comparison is then
+        # NULL, not the oracle's literal TRUE (r11 review wave 14)
+        F.coalesce(
             F.abs(F.col("approx_p50") - F.col("exact_p50"))
-            <= 0.05 * F.greatest(F.abs(F.col("exact_p50")), F.lit(1.0))
+            <= 0.05 * F.greatest(F.abs(F.col("exact_p50")), F.lit(1.0)),
+            F.lit(True),
         ).alias("quantile_in_bound"),
     )
 
