@@ -43,6 +43,21 @@ SKIP: set[str] = {"llm_embedding_neardup"}
 # stay comparable across rounds (r7 ADVICE: a workload redefinition must
 # be labeled as such, not read as a speedup).
 BENCH_NOTES: dict[str, str] = {
+    "stream_windowed_rollup": (
+        "Workload change in r11 (review wave 12): the gate's derived "
+        "events parquet now goes through the per-sf fixture cache like "
+        "the other stream gates, so the timed runs no longer pay the "
+        "fixture write. The r10->r11 step (1.10->0.73 s at sf0.1, quiet "
+        "canaries) is setup I/O leaving the measurement, not a plan "
+        "change."
+    ),
+    "stream_sessionization": (
+        "Same r11 fixture-cache change as stream_windowed_rollup "
+        "(review wave 12): 2.60->1.79 s at sf0.1 on a quiet run — below "
+        "the r9 level, which also closes the r10 drift watch item for "
+        "this entry (the r10 sample was contended per "
+        "scripts/attribution_r11.json)."
+    ),
     "llm_semantic_dedup": (
         "Workload change in r9 (VERDICT r8 #1): the gated output now "
         "carries oracle-checkable audit columns — a per-cluster numpy "
