@@ -36,10 +36,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 def read_json(spark: SparkSession, path: str, multiline: bool = True) -> DataFrame:
     """S2 — JSON scan with schema inference
-    (reference: Iceberg - Write-Audit-Publish (WAP) with Branches.ipynb:94)."""
+    (reference: Iceberg - Write-Audit-Publish (WAP) with Branches.ipynb:94).
+    Inference is the JSON reader's default — no toggle needed (the
+    'inferSchema' option is CSV-only and was a misleading no-op here,
+    r11 review wave 15)."""
     return (
-        spark.read.option("inferSchema", "true")
-        .option("multiline", "true" if multiline else "false")
+        spark.read.option("multiline", "true" if multiline else "false")
         .json(path)
     )
 

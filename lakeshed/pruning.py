@@ -198,7 +198,8 @@ def parse_predicate(sql: str) -> Node:
 
 
 _TEMPORAL_RE = re.compile(
-    r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?$"
+    r"^\d{4}-\d{2}-\d{2}"
+    r"([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:\d{2})?)?$"
 )
 
 
@@ -240,8 +241,41 @@ def _coerce(stat: str, value: Any, op: str = "=") -> tuple[Any, Any] | None:
         except ValueError:
             return None
     v = str(value)
+    try:
+        fs, fv = float(stat), float(v)
+    except ValueError:
+        pass
+    else:
+        # QUOTED numeric literal against number-shaped stats (r11 review
+        # wave 15): the column's type is unknown — a numeric column
+        # casts the literal ('9' > '30' numerically False) while a
+        # string column compares text ('9' > '30' lexically True). Prune
+        # only when BOTH interpretations agree on the ordering;
+        # otherwise conservative keep. The same rule makes the dict
+        # path's '=' undecidable for '030' vs '30' (numerically equal,
+        # textually not) instead of wrongly pruning.
+        num_ord = (fs > fv) - (fs < fv)
+        str_ord = (stat > v) - (stat < v)
+        if num_ord != str_ord:
+            return None
+        return fs, fv
     ts, tv = _parse_temporal(stat), _parse_temporal(v)
     if ts is not None and tv is not None:
+        aware_s = ts.tzinfo is not None
+        aware_v = tv.tzinfo is not None
+        if aware_s or aware_v:
+            # offset-suffixed stats (tz-adjusted / externally written
+            # parquet — r11 review wave 15: these previously FAILED the
+            # temporal regex and fell to the lexicographic path, which
+            # disagrees with temporal order across offsets): datetime
+            # compare is exact for '=' when both sides are aware (string
+            # equality implies datetime equality, so pruning on datetime
+            # inequality is safe under both interpretations); every
+            # other combination mixes incomparable interpretations —
+            # conservative keep.
+            if op == "=" and aware_s and aware_v:
+                return ts, tv
+            return None
         if ("T" in stat) != ("T" in v):
             # mixed ' '/'T' separator styles: 'T' (0x54) sorts ABOVE ' '
             # (0x20), so lexicographic order disagrees with datetime

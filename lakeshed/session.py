@@ -71,9 +71,14 @@ def get_spark(
     # Derby (used by Spark's embedded catalog plumbing even without Hive
     # support — it boots an in-memory DB) writes derby.log into the JVM's
     # user.dir when derby.system.home is unset, littering the repo root on
-    # every bench run. `spark.driver.extraJavaOptions` does not reach an
-    # already-launched local JVM, so set the system property through the
-    # gateway before the session exists (the documented escape hatch).
+    # every bench run. Routed through spark.driver.extraJavaOptions (r11
+    # review wave 15): the previous SparkContext.setSystemProperty call
+    # LAUNCHED the gateway JVM before the builder conf could reach
+    # spark-submit, so spark.driver.memory was silently ignored and every
+    # fresh process ran the driver on the ~1g default heap. If the JVM is
+    # already up (in-process session reuse), the property is set through
+    # the gateway instead — driver memory is already fixed at that point
+    # either way.
     try:
         derby_home = os.environ.get("LAKESHED_DERBY_HOME")
         if derby_home is None:
@@ -97,7 +102,13 @@ def get_spark(
         try:
             from pyspark import SparkContext
 
-            SparkContext.setSystemProperty("derby.system.home", derby_home)
+            if SparkContext._gateway is not None:
+                # JVM already launched elsewhere in-process: the builder
+                # conf can't reach it, but the property still can (Derby
+                # boots lazily)
+                SparkContext.setSystemProperty(
+                    "derby.system.home", derby_home)
+                derby_home = None  # handled; skip the conf route
         except Exception:  # pragma: no cover - gateway quirks are not a
             pass  # derby-home misconfiguration; stay quiet, don't block
     builder = SparkSession.builder.appName(app_name)
@@ -108,6 +119,11 @@ def get_spark(
     conf = dict(_DEFAULT_CONF)
     if extra_conf:
         conf.update(extra_conf)
+    if derby_home is not None:
+        conf["spark.driver.extraJavaOptions"] = (
+            conf.get("spark.driver.extraJavaOptions", "")
+            + f" -Dderby.system.home={derby_home}"
+        ).strip()
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -84,6 +84,13 @@ def asof_join(
             for c in rnames:
                 out[c] = pd.Series(dtype="object")
             return out[lcols + rnames]
+        # NULL on/by rows (r11 review wave 15): merge_asof raises on NaT
+        # keys. A null right row can never match (l.ts >= NULL is NULL)
+        # — drop it; a null left row matches nothing but is KEPT with
+        # null right values (left-join semantics, same as a too-early ts)
+        lnull = lpdf[lpdf[on].isna() | lpdf[by].isna()]
+        lpdf = lpdf[lpdf[on].notna() & lpdf[by].notna()]
+        rpdf = rpdf[rpdf[on].notna() & rpdf[by].notna()]
         lsort = lpdf.sort_values(on, kind="mergesort")
         if rpdf.empty:
             out = lsort.copy()
@@ -94,6 +101,11 @@ def asof_join(
             out = pd.merge_asof(
                 lsort, rsort, on=on, by=by, direction=direction
             )
+        if len(lnull):
+            lnull = lnull.copy()
+            for c in rnames:
+                lnull[c] = None
+            out = pd.concat([out, lnull], ignore_index=True)
         for c in int_cols:  # nullable ints survive the Arrow crossing
             out[c] = out[c].astype("Int64")
         return out[lcols + rnames]
@@ -141,7 +153,13 @@ def asof_join_union(
     l2 = left.withColumn("__is_left", F.lit(1)).withColumn(
         "__rv", F.lit(None).cast(rv_type)
     )
-    r2 = right.withColumn("__is_left", F.lit(0)).withColumn(
+    # NULL-key/-ts right rows can never be an ASOF match (l.ts >= NULL
+    # and l.by = NULL are both NULL) — but Spark sorts NULL ts FIRST and
+    # windows group NULL keys together, so unfiltered they'd be carried
+    # into every later left row (r11 review wave 15)
+    r2 = right.where(
+        F.col(on).isNotNull() & F.col(by).isNotNull()
+    ).withColumn("__is_left", F.lit(0)).withColumn(
         "__rv", F.struct(*[F.col(c) for c in rvals])
     )
     for c in lcols:
@@ -183,16 +201,27 @@ def range_join(
     shared = (set(points.columns) & set(intervals.columns)) - {key}
     if shared:
         raise ValueError(f"ambiguous columns across inputs: {shared}")
+    if how.replace("_", "").lower() in (
+            "right", "rightouter", "full", "outer", "fullouter"):
+        # an unmatched interval was exploded into one row PER BIN — an
+        # interval-preserving outer join would emit every copy (r11
+        # review wave 15); express those as a left join from intervals
+        raise ValueError(
+            f"range_join cannot express {how!r}: unmatched intervals "
+            "appear once per exploded time bin")
     bin_us = bin_seconds * 1_000_000
+    # INTEGER floor-div (r11 review wave 15): float division + floor
+    # mis-bins timestamps whose quotient rounds up across a bin edge
+    # beyond 2^53 µs — same hazard io.py's nanos conversion avoids
     p = points.withColumn(
-        "__bin", F.floor(F.unix_micros(F.col(point_ts)) / bin_us)
+        "__bin", F.expr(f"unix_micros({point_ts}) div {bin_us}")
     ).alias("p")
     i = intervals.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(start_col)) / bin_us),
-                F.floor(F.unix_micros(F.col(end_col)) / bin_us),
+                F.expr(f"unix_micros({start_col}) div {bin_us}"),
+                F.expr(f"unix_micros({end_col}) div {bin_us}"),
             )
         ),
     ).alias("i")
@@ -224,12 +253,19 @@ def time_rollup(
     encoding). At scale this materialization IS the rollup table you'd
     refresh incrementally per partition."""
     aggs = aggs or [F.count(F.lit(1)).alias("cnt")]
+    # carry the VALUE columns through the projection — projecting only
+    # buckets+keys made every caller-supplied agg over a data column
+    # fail to resolve (r11 review wave 15); Catalyst prunes the unused
+    # ones right back out, so the default count path costs nothing extra
+    passthrough = [c for c in df.columns
+                   if c != ts_col and c not in key_cols]
     proj = df.select(
         *[
             F.date_trunc(g, F.col(ts_col)).alias(f"bucket_{g}")
             for g in grains
         ],
         *key_cols,
+        *passthrough,
     )
     sets = [
         [F.col(f"bucket_{g}"), *[F.col(k) for k in key_cols]]

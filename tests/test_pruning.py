@@ -478,3 +478,38 @@ def test_bloom_bits_round_to_bytes():
     vals = [f"doc-{i}" for i in range(50)]
     b = bloom_encode(vals, 1001)
     assert all(bloom_may_contain(b, v) for v in vals)
+
+
+def test_wave15_quoted_numeric_and_tz_stats_never_wrong_prune(cat, spark):
+    """r11 review wave 15: (a) a QUOTED numeric literal compared against
+    number-shaped stats must not prune lexicographically ('9' > '30'
+    textually but 9 < 30 numerically — the file with k=30 was dropped
+    while Spark's cast matched its rows); (b) offset-suffixed timestamp
+    stats (tz-adjusted / externally written parquet) previously failed
+    the temporal regex and fell to the lexicographic path."""
+    from lakeshed.pruning import _coerce, parse_predicate
+
+    # (a) unit: interpretations disagree -> conservative keep (None)
+    assert _coerce("9", "30") is None           # 9<30 num, '9'>'30' lex
+    assert _coerce("100", "200") == (100.0, 200.0)  # both agree: num pair
+    assert _coerce("030", "30", "=") is None    # equal num, unequal text
+    # (a) end-to-end: file with k in [9, 100] must match k = '30'
+    assert file_may_match(
+        parse_predicate("k = '30'"), {"k": "9"}, {"k": "100"}, {})
+    # lexicographic pruning for string-typed data still works
+    assert not file_may_match(
+        parse_predicate("k = 'zzz'"), {"k": "aaa"}, {"k": "mmm"}, {})
+
+    # (b) tz-suffixed stats: '=' both-aware compares temporally; every
+    # mixed/range case keeps conservatively
+    lo = {"ts": "1995-01-01 00:00:00+00:00"}
+    hi = {"ts": "1995-06-01 00:00:00+00:00"}
+    assert file_may_match(
+        parse_predicate("ts = '1995-01-01 00:00:00+00:00'"), lo, hi, {})
+    assert not file_may_match(
+        parse_predicate("ts = '1996-01-01 00:00:00+00:00'"), lo, hi, {})
+    # aware stat vs naive literal: keep (Spark would cast and match)
+    assert file_may_match(
+        parse_predicate("ts = '1995-01-01'"), lo, hi, {})
+    assert file_may_match(
+        parse_predicate("ts >= '1995-01-01 00:00:00'"), lo, hi, {})

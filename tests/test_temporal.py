@@ -140,3 +140,52 @@ def test_asof_union_null_right_values_row_atomic(spark):
     pandas_got = {r.event_id: (r.purchase_id, r.tag)
                   for r in asof_join(left, right).collect()}
     assert pandas_got == got
+
+
+def test_wave15_null_keys_and_timestamps(spark):
+    """r11 review wave 15: NULL on/by rows must not crash merge_asof or
+    be carried as phantom matches. Null-ts/key right rows can never be
+    an ASOF match; null left rows are kept with null right values."""
+    from lakeshed.temporal import asof_join_union
+
+    left = _ts(spark, [
+        (1, 10, "2024-01-01 00:00:05"),
+        (2, 10, None),                       # null ts: kept, no match
+        (3, None, "2024-01-01 00:00:30"),    # null key: kept, no match
+    ], "event_id bigint, user_id bigint, ts string")
+    right = _ts(spark, [
+        (10, "2024-01-01 00:00:01", 100),
+        (10, None, 999),                     # null ts: never a match
+        (None, "2024-01-01 00:00:00", 888),  # null key: never a match
+    ], "user_id bigint, ts string, purchase_id bigint")
+
+    for impl in (asof_join, asof_join_union):
+        got = {r.event_id: r.purchase_id
+               for r in impl(left, right).collect()}
+        assert got == {1: 100, 2: None, 3: None}, (impl.__name__, got)
+
+
+def test_wave15_range_join_outer_guard_and_rollup_value_aggs(spark):
+    from lakeshed.temporal import time_rollup
+
+    points = _ts(spark, [(1, "2024-01-01 00:30:00")],
+                 "pid bigint, tp string")
+    ivals = _ts(spark, [(7, "2024-01-01 00:00:00", "2024-01-01 05:00:00")],
+                "iid bigint, t_start string, t_end string")
+    with pytest.raises(ValueError, match="cannot express"):
+        range_join(points, ivals, "tp", "t_start", "t_end", how="full")
+
+    # caller-supplied aggs over VALUE columns resolve (wave 15: the
+    # projection used to drop every non-bucket/key column)
+    ev = _ts(spark, [
+        ("a", "2024-01-01 00:10:00", 5.0),
+        ("a", "2024-01-01 00:40:00", 7.0),
+        ("b", "2024-01-02 03:00:00", 1.0),
+    ], "event_type string, ts string, value double")
+    out = time_rollup(
+        ev, aggs=[F.count(F.lit(1)).alias("cnt"),
+                  F.round(F.sum("value"), 2).alias("total")])
+    hour_a = [r for r in out.collect()
+              if r.event_type == "a" and r.bucket_hour is not None]
+    assert {(str(r.bucket_hour), r.cnt, r.total) for r in hour_a} == {
+        ("2024-01-01 00:00:00", 2, 12.0)}
