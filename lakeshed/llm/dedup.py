@@ -523,12 +523,44 @@ def minhash_lsh_pairs(
 # be deleted eagerly; intermediate rounds ARE deleted before returning)
 _CC_CKPT_DIRS: list[str] = []
 
+# shared-root survivors (r11 ADVICE): when ``lakeshed.cc.checkpointDir``
+# or the session checkpoint dir is the root, ``keep_only`` removes the
+# non-converged rounds but the converged round's directory must outlive
+# the call (the returned frame reads it lazily) — previously it leaked
+# one corpus-sized parquet directory on shared storage per call. Every
+# shared-root ``_Ckpt`` registers here; terminal consumers release the
+# survivors they created once the labels are materialized
+# (``build_cluster_table``), callers holding a returned frame can call
+# :func:`release_cc_checkpoints` after materializing it, and the atexit
+# hook best-effort deletes the rest through the Hadoop FileSystem API
+# while the JVM is still up.
+_CC_SHARED_SURVIVORS: list[tuple[SparkSession, str]] = []
+
+
+def release_cc_checkpoints(*, _from: int = 0) -> None:
+    """Delete shared-root checkpoint survivor directories recorded at or
+    after index ``_from`` (default: all). Call ONLY after every frame
+    returned by ``dedup_clusters``-family calls made in that span has
+    been materialized (written to a table / collected) or abandoned —
+    the frames read the survivors lazily. Best-effort: a stopped JVM or
+    an already-deleted path is ignored."""
+    while len(_CC_SHARED_SURVIVORS) > max(0, _from):
+        spark, d = _CC_SHARED_SURVIVORS.pop()
+        try:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(d)
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(p, True)
+        except Exception:
+            pass
+
 
 def _cc_cleanup_at_exit() -> None:
     import shutil
 
     for d in _CC_CKPT_DIRS:
         shutil.rmtree(d, ignore_errors=True)
+    release_cc_checkpoints()
 
 
 atexit.register(_cc_cleanup_at_exit)
@@ -641,6 +673,7 @@ def build_cluster_table(
     clustering. Mirrors :func:`build_signature_table`; the LSH/clustering
     parameters are stamped as table properties so a reader can validate
     the labels' provenance before trusting them."""
+    ckpt_mark = len(_CC_SHARED_SURVIVORS)
     pairs = minhash_lsh_pairs(
         docs, text_col=text_col, id_col=id_col, threshold=threshold,
         num_hashes=num_hashes, bands=bands, shingle=shingle, seed=seed,
@@ -661,6 +694,12 @@ def build_cluster_table(
         # scoped (id, sh, sig) persist is never read again; holding it
         # would accumulate one corpus-sized cache per built table
         release_persisted("minhash_lsh_pairs")
+        # ... and the labels now live in the table, so the shared-root
+        # checkpoint survivors THIS call created are dead weight — delete
+        # them instead of leaking a corpus-sized parquet dir per build on
+        # shared storage (r11 ADVICE). Scoped to ckpt_mark so frames from
+        # unrelated earlier dedup_clusters calls stay readable.
+        release_cc_checkpoints(_from=ckpt_mark)
 
 
 def _cluster_props(threshold, num_hashes, bands, shingle, seed):
@@ -683,8 +722,12 @@ class _Ckpt:
     on a multi-node cluster: executors would write parquet parts to
     THEIR OWN local disks): ``lakeshed.cc.checkpointDir`` conf, else the
     session's ``setCheckpointDir`` location — both cluster-shared by the
-    operator's choice, deleted through the Hadoop FileSystem API. Only
-    the local[-mode] tempfile fallback registers the atexit rmtree."""
+    operator's choice, deleted through the Hadoop FileSystem API. The
+    local[-mode] tempfile fallback registers an atexit rmtree; shared
+    roots register the per-call dir in ``_CC_SHARED_SURVIVORS`` so the
+    CONVERGED round (which the returned frame reads lazily) is deleted
+    later by a terminal consumer / ``release_cc_checkpoints`` / atexit
+    instead of leaking on shared storage (r11 ADVICE)."""
 
     def __init__(self, spark: SparkSession, prefix: str):
         root = spark.conf.get("lakeshed.cc.checkpointDir", None)
@@ -694,6 +737,10 @@ class _Ckpt:
         if root:
             self.dir = root.rstrip("/") + f"/{prefix}{uuid.uuid4().hex}"
             self._local = False
+            # the surviving converged round outlives this call — record
+            # the per-call dir for deferred shared-storage cleanup
+            # (release_cc_checkpoints / atexit; r11 ADVICE)
+            _CC_SHARED_SURVIVORS.append((spark, self.dir))
         else:
             import tempfile
 

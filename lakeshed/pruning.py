@@ -266,14 +266,22 @@ def _coerce(stat: str, value: Any, op: str = "=") -> tuple[Any, Any] | None:
         if aware_s or aware_v:
             # offset-suffixed stats (tz-adjusted / externally written
             # parquet — r11 review wave 15: these previously FAILED the
-            # temporal regex and fell to the lexicographic path, which
-            # disagrees with temporal order across offsets): datetime
-            # compare is exact for '=' when both sides are aware (string
-            # equality implies datetime equality, so pruning on datetime
-            # inequality is safe under both interpretations); every
-            # other combination mixes incomparable interpretations —
+            # temporal regex and fell to the lexicographic path). The
+            # column's type is unknown: for a TIMESTAMP column min/max
+            # bound the instants (datetime order), but for a STRING
+            # column holding mixed-offset text the min/max are
+            # LEXICOGRAPHIC bounds, which do not bound datetime order —
+            # a file holding '…T01:00:00+00:00' and '…T05:00:00+07:00'
+            # has lo_dt (01:00Z) above v_dt (Dec31 22:00Z) even though
+            # the literal string is exactly in the file (r11 ADVICE).
+            # So even for '=', prune only when BOTH interpretations
+            # agree on the ordering of (stat, value); otherwise
             # conservative keep.
             if op == "=" and aware_s and aware_v:
+                dt_ord = (ts > tv) - (ts < tv)
+                str_ord = (stat > v) - (stat < v)
+                if dt_ord != str_ord:
+                    return None
                 return ts, tv
             return None
         if ("T" in stat) != ("T" in v):

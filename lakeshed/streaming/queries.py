@@ -55,6 +55,46 @@ _FIXTURE_CACHE: dict[tuple[str, str], str] = {}
 LAST_CHANGELOG_SOURCE: str | None = None
 
 
+def _is_socket_transport_failure(e: BaseException) -> bool:
+    """True iff a StreamingQueryException's failure originated in the TCP
+    socket SOURCE transport (java.net.* exception anywhere in the JVM
+    cause chain, or a stack frame inside the TextSocket* source classes).
+
+    r11 ADVICE: the previous gate substring-matched generic words
+    ('connection', 'connect') in the rendered message, so a genuine
+    pipeline bug inside foreachBatch whose message contained e.g. a JDBC
+    'connection refused' would silently rerun via the file path — the
+    exact masking the wave-12 fix removed. Walking the throwable chain
+    keys the decision on WHERE the failure arose, not on message prose."""
+    jt = getattr(e, "_origin", None)
+    hops = 0
+    while jt is not None and hops < 16:
+        try:
+            cls = jt.getClass().getName()
+        except Exception:
+            break
+        if cls.startswith("java.net."):
+            return True
+        try:
+            frames = jt.getStackTrace()
+        except Exception:
+            frames = []
+        for fr in frames:
+            if "TextSocket" in fr.getClassName():
+                return True
+        try:
+            jt = jt.getCause()
+        except Exception:
+            break
+        hops += 1
+    # Connect-mode / no-JVM-throwable fallback: the captured exception
+    # only carries rendered text. Match the CLASS NAMES the chain walk
+    # would have found — 'java.net.' / 'TextSocket' can't appear in an
+    # unrelated JDBC or metastore message the way 'connection' can.
+    text = "%s\n%s" % (str(e), getattr(e, "_stackTrace", "") or "")
+    return "java.net." in text or "TextSocket" in text
+
+
 def _run_to_memory(spark: SparkSession, df: DataFrame, mode: str,
                    ckpt: str, prefix: str) -> DataFrame:
     """THE memory-sink runner every streaming gate shares (r11 review
@@ -213,12 +253,14 @@ def stream_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # real MERGE/pipeline bug inside foreachBatch — in this type
         # (r11 review wave 12: a blanket catch let a multi-batch-only
         # regression silently rerun via the single-batch file path and
-        # pass the gate). Fall back only when the failure text points at
-        # the socket transport itself; anything else is a real bug and
-        # must surface.
-        msg = str(e).lower()
-        if not any(s in msg for s in
-                   ("socket", "connection", "connect", "bind")):
+        # pass the gate). Fall back only when the SOCKET TRANSPORT
+        # itself failed; anything else is a real bug and must surface.
+        # r11 ADVICE: generic substrings ('connection', 'connect') also
+        # match unrelated pipeline errors whose message happens to say
+        # e.g. 'connection refused' (JDBC/Derby/metastore) — so inspect
+        # the JVM cause chain for java.net.* exceptions or frames in the
+        # socket source class instead of word-matching the rendering.
+        if not _is_socket_transport_failure(e):
             raise
         LAST_CHANGELOG_SOURCE = "file"
 

@@ -1007,6 +1007,49 @@ def test_wave11_ckpt_uses_configured_checkpoint_dir(spark, tmp_path):
         spark.conf.unset("lakeshed.cc.checkpointDir")
 
 
+def test_wave16_shared_root_survivor_released_not_leaked(spark, tmp_path):
+    """r11 ADVICE: with a shared checkpoint root, keep_only removed the
+    non-converged rounds but the CONVERGED round's directory leaked one
+    corpus-sized parquet dir per dedup_clusters call. The survivor must
+    be registered and deletable via release_cc_checkpoints once the
+    returned frame is materialized — and build_cluster_table (a terminal
+    consumer) must clean up its own survivors."""
+    root = str(tmp_path / "cc-ckpt")
+    spark.conf.set("lakeshed.cc.checkpointDir", root)
+    try:
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long")
+        ids = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 9)], "doc_id long")
+        mark = len(dedup._CC_SHARED_SURVIVORS)
+        out = dedup.dedup_clusters(pairs, ids, id_col="doc_id")
+        assert len(dedup._CC_SHARED_SURVIVORS) > mark  # registered
+        assert os.listdir(root)                        # survivor on disk
+        out.collect()                                  # materialize
+        dedup.release_cc_checkpoints(_from=mark)
+        assert len(dedup._CC_SHARED_SURVIVORS) == mark
+        assert os.listdir(root) == []                  # nothing leaked
+
+        # terminal consumer: build_cluster_table self-releases — the
+        # shared root holds zero run dirs after the table is written,
+        # and the labels remain readable from the TABLE
+        from lakeshed.catalog import Catalog
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+             (3, "zeta eta theta")],
+            "doc_id long, text string")
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        t = dedup.build_cluster_table(docs, cat, "default.cl",
+                                      threshold=0.5)
+        assert os.listdir(root) == []                  # self-cleaned
+        labels = {r.doc_id: r.cluster for r in t.read().collect()}
+        assert labels[1] == labels[2]
+        assert labels[3] == 3
+    finally:
+        spark.conf.unset("lakeshed.cc.checkpointDir")
+
+
 def test_wave11_build_cluster_table_releases_persist(spark, tmp_path):
     """build_cluster_table is a terminal consumer: after the labels
     table is written the scoped signature persist must be released, not

@@ -513,3 +513,31 @@ def test_wave15_quoted_numeric_and_tz_stats_never_wrong_prune(cat, spark):
         parse_predicate("ts = '1995-01-01'"), lo, hi, {})
     assert file_may_match(
         parse_predicate("ts >= '1995-01-01 00:00:00'"), lo, hi, {})
+
+
+def test_wave16_mixed_offset_string_stats_never_wrong_prune():
+    """r11 ADVICE (medium): for a STRING column holding timestamp text
+    with MIXED UTC offsets, the lexicographic min/max do not bound
+    datetime order — a file containing '2024-01-01T01:00:00+00:00' and
+    '2024-01-01T05:00:00+07:00' (= Dec31 22:00Z, the lexicographic max
+    but datetime MIN) must not be pruned for an '=' on the latter
+    literal, which is exactly in the file. Prune only when string and
+    datetime orderings of (stat, value) agree."""
+    from lakeshed.pruning import _coerce, file_may_match, parse_predicate
+
+    lo = {"ts": "2024-01-01T01:00:00+00:00"}   # lexicographic min
+    hi = {"ts": "2024-01-01T05:00:00+07:00"}   # lexicographic max
+    # the literal IS in the file: lo_dt (01:00Z) > v_dt (Dec31 22:00Z)
+    # used to fire the prune; orderings disagree -> conservative keep
+    assert file_may_match(
+        parse_predicate("ts = '2024-01-01T05:00:00+07:00'"), lo, hi, {})
+    # unit: disagreement -> None; agreement -> comparable datetime pair
+    assert _coerce("2024-01-01T01:00:00+00:00",
+                   "2024-01-01T05:00:00+07:00", "=") is None
+    c = _coerce("2024-01-01T01:00:00+00:00",
+                "2024-01-02T05:00:00+00:00", "=")
+    assert c is not None and c[0] < c[1]
+    # agreed orderings still prune: literal above both bounds under
+    # string AND datetime interpretations
+    assert not file_may_match(
+        parse_predicate("ts = '2025-06-01T00:00:00+00:00'"), lo, hi, {})

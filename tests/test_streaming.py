@@ -472,6 +472,87 @@ def test_changelog_gate_runs_on_real_tcp_socket(spark, monkeypatch):
         socket_rows
 
 
+def test_wave16_socket_fallback_keys_on_cause_chain_not_prose():
+    """r11 ADVICE: the StreamingQueryException fallback gate matched
+    generic substrings ('connection', 'connect'), so a real foreachBatch
+    bug whose message said e.g. JDBC 'connection refused' silently reran
+    via the file path. The gate must key on the JVM cause chain
+    (java.net.* / TextSocket* frames), not message prose."""
+    from lakeshed.streaming.queries import _is_socket_transport_failure
+
+    class _Cls:
+        def __init__(self, name):
+            self._n = name
+
+        def getName(self):
+            return self._n
+
+    class _Frame:
+        def __init__(self, cls):
+            self._c = cls
+
+        def getClassName(self):
+            return self._c
+
+    class _JThrowable:
+        def __init__(self, cls, frames=(), cause=None):
+            self._cls, self._frames, self._cause = cls, frames, cause
+
+        def getClass(self):
+            return _Cls(self._cls)
+
+        def getStackTrace(self):
+            return [_Frame(c) for c in self._frames]
+
+        def getCause(self):
+            return self._cause
+
+    class _Exc(Exception):
+        def __init__(self, msg, origin=None, stack=""):
+            super().__init__(msg)
+            self._origin = origin
+            self._stackTrace = stack
+
+    # a pipeline bug whose MESSAGE says 'connection refused' (Derby/JDBC
+    # shape) must SURFACE, not fall back — the exact ADVICE scenario
+    derby = _JThrowable(
+        "java.sql.SQLNonTransientConnectionException",
+        frames=["org.apache.derby.client.net.NetConnection"],
+    )
+    bug = _Exc("Query failed: connection refused to metastore",
+               origin=_JThrowable("org.apache.spark.SparkException",
+                                  frames=["org.apache.spark.sql.X"],
+                                  cause=derby))
+    assert _is_socket_transport_failure(bug) is False
+
+    # a genuine transport failure: java.net.* in the cause chain
+    net = _JThrowable("java.net.ConnectException",
+                      frames=["java.net.PlainSocketImpl"])
+    transport = _Exc("Connection refused", origin=_JThrowable(
+        "org.apache.spark.SparkException", cause=net))
+    assert _is_socket_transport_failure(transport) is True
+
+    # a failure raised FROM the socket source class counts even when the
+    # exception type is generic
+    src = _Exc("read failed", origin=_JThrowable(
+        "org.apache.spark.SparkException",
+        frames=["org.apache.spark.sql.execution.streaming.sources."
+                "TextSocketMicroBatchStream"]))
+    assert _is_socket_transport_failure(src) is True
+
+    # connect-mode fallback (no _origin): class names in the rendered
+    # trace decide, generic words do not
+    assert _is_socket_transport_failure(
+        _Exc("x", stack="Caused by: java.net.SocketException")) is True
+    assert _is_socket_transport_failure(
+        _Exc("could not connect to the metastore database")) is False
+
+    # a cyclic / self-caused chain must terminate (hop cap)
+    loop = _JThrowable("org.apache.spark.SparkException")
+    loop._cause = loop
+    assert _is_socket_transport_failure(_Exc("x", origin=loop)) is False
+
+
 def test_restart_recovery_mid_stream_crash_exactly_once(spark, tmp_path):
     """T2 exactly-once across PROCESS restarts (not just batch replay):
     the query is killed mid-stream — after batch 0's MERGE landed in the
