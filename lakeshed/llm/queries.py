@@ -1052,7 +1052,11 @@ def llm_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup gate parameters — ONE definition for the production call,
 # the raw frame, AND the numpy audit kernel below (a literal edited in
 # one place but not the other would silently turn keep_consistent /
-# cluster_in_range false and the driver gate permanently red)
+# cluster_in_range false and the driver gate permanently red).
+# The gate pins an EXPLICIT k for oracle/hash stability; production
+# callers leave k=None and semantic_dedup derives it from corpus size
+# (semantic_dedup_auto_k, r12 — keeps the Σ|cluster|² pair bound linear
+# with no tuning; SCALING.md measures both slopes)
 _SEMDEDUP_K = 8
 _SEMDEDUP_THRESHOLD = 0.97
 

@@ -823,14 +823,43 @@ def kmeans_assign(
     )
 
 
+def semantic_dedup_auto_k(n: int, target_cluster_size: int = 256) -> int:
+    """The engine's k derivation for :func:`semantic_dedup`'s ``k=None``
+    default: one cluster per ``target_cluster_size`` vectors (floor 8),
+    so the within-cluster pair bound Σ|cluster|² stays ≈ n ×
+    target_cluster_size — LINEAR in corpus size — instead of the n²/k
+    quadratic a fixed k produces (SCALING.md measures slope 2.0 at fixed
+    k vs 1.0 here). Exposed separately so the scaling probe can measure
+    exactly the parameterization the engine applies.
+
+    Driver-memory note: the Lloyd's fit combines partitions × k × (d+1)
+    partial moments on the driver, so auto-k implies O(n/target × d)
+    driver floats. At corpus sizes where that exceeds driver memory
+    (k in the millions), pass a larger ``target_cluster_size`` sized to
+    a sharded/hierarchical fit — there is deliberately NO silent cap
+    here, because a cap would quietly reintroduce the quadratic slope."""
+    import math
+
+    if not isinstance(target_cluster_size, int) or target_cluster_size < 1:
+        raise ValueError(
+            "target_cluster_size must be a positive int, got "
+            f"{target_cluster_size!r} — it bounds the expected pair work "
+            "per document (pairs ≈ n × target_cluster_size)"
+        )
+    if n < 1:
+        raise ValueError("semantic_dedup requires at least one vector")
+    return max(8, math.ceil(n / target_cluster_size))
+
+
 def semantic_dedup(
     df: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     threshold: float = 0.99,
     iters: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    target_cluster_size: int = 256,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023): k-means
     the embedding space, then compare pairs ONLY within a cluster and drop
@@ -838,16 +867,35 @@ def semantic_dedup(
     a smaller id. Returns (id, cluster, keep).
 
     Scale shape: the cluster id is the join key, so candidate generation
-    is one shuffle on ``cluster`` and the pair count is Σ|cluster|² —
-    bounded by the k-means granularity you choose (SemDeDup used 50k
-    clusters on LAION) — never corpus². The k-means fit itself is
-    :func:`kmeans_fit`'s metadata-scale reduce. True cross-cluster
-    near-dups land in the same cluster with high probability because
-    near-identical embeddings share a nearest centroid unless they
-    straddle a Voronoi boundary — the accepted approximation of the
-    method (raise k for finer boundaries, or run :func:`ann_pairs_lsh`
-    for boundary-oblivious recall).
+    is one shuffle on ``cluster`` and the pair count is Σ|cluster|² ≈
+    n²/k — never corpus², but *linear in n only when k grows with n*
+    (the repo's own SCALING.md ladder measures slope 2.0 at fixed k vs
+    1.0 at k ∝ n). So ``k=None`` (the default) derives
+    ``k = max(8, ceil(n / target_cluster_size))`` from one corpus count,
+    making expected pairs ≈ n × target_cluster_size — the engine keeps
+    the bound linear without caller tuning (r11 VERDICT #1). This is
+    SemDeDup's own convention: its 50k clusters on the ~440M-embedding
+    LAION corpus is a fixed cluster SIZE (~9k), not a fixed k. Pass an
+    explicit k to pin the granularity (e.g. for reproducible gates); the
+    linearity guarantee is then the caller's responsibility. The k-means
+    fit itself is :func:`kmeans_fit`'s metadata-scale reduce. True
+    cross-cluster near-dups land in the same cluster with high
+    probability because near-identical embeddings share a nearest
+    centroid unless they straddle a Voronoi boundary — the accepted
+    approximation of the method (raise k / shrink
+    ``target_cluster_size`` for finer boundaries, or run
+    :func:`ann_pairs_lsh` for boundary-oblivious recall).
     """
+    if k is not None and (not isinstance(k, int) or k < 1):
+        raise ValueError(
+            f"k must be a positive int or None (auto: one cluster per "
+            f"~{target_cluster_size} vectors), got {k!r}"
+        )
+    if k is None:
+        # one count job over the pruned (id) projection — column pruning
+        # keeps the wide embedding column out of the scan entirely
+        k = semantic_dedup_auto_k(
+            df.select(id_col).count(), target_cluster_size)
     cents = kmeans_fit(df, k, None, iters, id_col, vec_col, seed)
     tagged = scoped_persist(
         "semantic_dedup",

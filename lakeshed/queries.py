@@ -566,7 +566,12 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
     "distinct_values",       # A4 also inside count_distinct_by_segment
     "table_time_travel_ts",  # same output as gated table_time_travel
     "temporal_asof_join_sql",  # same oracle/output as temporal_asof_join
-    "llm_embedding_neardup",   # brute twin of gated ..._neardup_lsh
+    "llm_embedding_neardup",   # brute twin of gated ..._neardup_lsh;
+                               # ALSO the registry's one bench exclusion
+                               # (bench.py SKIP): O(n²) all-pairs by
+                               # design, the oracle-scale baseline for
+                               # the benched LSH scale path — timing it
+                               # would grade brute force, not the engine
     "groupby_count",         # A2 also inside pricing_summary/pivot gates
     "union_all_counts",      # O3 also inside set_ops_except_intersect
     "hourly_event_rollup",   # window-bucket agg also in stream_windowed_rollup

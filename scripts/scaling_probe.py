@@ -46,10 +46,16 @@ from lakeshed.llm import dedup, release_persisted, similarity
 from lakeshed.session import get_spark
 
 SF_DIR = os.environ.get("SCALING_SF_DIR", "/root/testdata/sf0.1")
+# 16x/32x extend the ladder past the fixed-overhead regime (r11 VERDICT
+# #6: the wall-time slopes at <=8x were overhead-dominated, so the 100 TB
+# claim rested on the pair-count slopes alone)
 COPIES = [int(x) for x in
-          os.environ.get("SCALING_COPIES", "1,2,4,8").split(",")]
+          os.environ.get("SCALING_COPIES", "1,2,4,8,16,32").split(",")]
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "SCALING.md")
+# everything at/after this line in SCALING.md is other probes' / hand-
+# written content — regeneration replaces only what precedes it
+END_MARK = "<!-- scaling-probe:end -->"
 
 
 def _docs_at(spark, c: int):
@@ -111,6 +117,17 @@ def _timed(fn):
 def main() -> None:
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM / codegen / Arrow paths once so the first ladder row
+    # isn't measuring first-job compilation — a cold first point biases
+    # every first→last wall-time slope downward
+    warm_docs = load_star(spark, SF_DIR, "documents")["documents"] \
+        .select("doc_id", "text").limit(500)
+    dedup.minhash_lsh_pairs(warm_docs, threshold=0.7).count()
+    warm_embs = load_star(spark, SF_DIR, "embeddings")["embeddings"] \
+        .select("vec_id", "embedding").limit(500)
+    similarity.kmeans_assign(
+        warm_embs, similarity.kmeans_fit(warm_embs, k=4, iters=1)).count()
+    release_persisted()
     rows = []
     for c in COPIES:
         docs = _docs_at(spark, c)
@@ -136,7 +153,10 @@ def main() -> None:
         pairs_df.unpersist()
 
         # SemDeDup pair bound Σ|cluster|²: fixed k=8 (the quadratic
-        # trap) vs k scaled with the corpus (the documented practice)
+        # trap) vs k scaled with the corpus (the documented practice) vs
+        # the ENGINE's own k=None derivation (r12: semantic_dedup_auto_k
+        # is what semantic_dedup applies with no caller tuning — this
+        # row is the no-tuning linearity claim, measured)
         def sum_sq(k):
             cents = similarity.kmeans_fit(embs, k=k, iters=3)
             sizes = similarity.kmeans_assign(embs, cents) \
@@ -145,6 +165,8 @@ def main() -> None:
 
         ss_fixed, ssf_t = _timed(lambda: sum_sq(8))
         ss_scaled, sss_t = _timed(lambda: sum_sq(8 * c))
+        k_auto = similarity.semantic_dedup_auto_k(n_embs)
+        ss_auto, ssa_t = _timed(lambda: sum_sq(k_auto))
 
         # tight-threshold parameters (per ann_pairs_lsh's docstring:
         # banding economics only work when the target similarity is
@@ -162,6 +184,7 @@ def main() -> None:
             n_clusters=n_clusters, cc_t=cc_t,
             ss_fixed=ss_fixed, ssf_t=ssf_t,
             ss_scaled=ss_scaled, sss_t=sss_t,
+            k_auto=k_auto, ss_auto=ss_auto, ssa_t=ssa_t,
             emb_pairs=emb_pairs, emb_t=emb_t,
         ))
         print(json.dumps(rows[-1]), file=sys.stderr)
@@ -175,6 +198,36 @@ def main() -> None:
             return float("nan")
         return round(np.log(b[key] / a[key]) / np.log(b[nkey] / a[nkey]), 2)
 
+    def marginal(key, nkey):
+        """Slope over the LAST doubling only — at small scales total
+        wall time is overhead-dominated and the first→last slope
+        understates the asymptote; the marginal slope is what the 100 TB
+        extrapolation actually rests on (r11 VERDICT #6)."""
+        if len(rows) < 2:
+            return float("nan")
+        a, b = rows[-2], rows[-1]
+        if a[key] <= 0 or b[key] <= 0:
+            return float("nan")
+        return round(np.log(b[key] / a[key]) / np.log(b[nkey] / a[nkey]), 2)
+
+    # later probes (cc_ab, metadata, merge, expiry, streaming-overhead)
+    # append their own sections to SCALING.md — regenerate ONLY this
+    # probe's leading section and keep everything from the first other
+    # section heading onward
+    tail = ""
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            old = fh.read()
+        cut = old.find("\n" + END_MARK)
+        if cut == -1:  # pre-marker files: first known other section
+            cut = old.find("\n## Star vs label")
+        if cut != -1:
+            tail = old[cut + 1:]
+
+    mh_marg = marginal("mh_t", "n_docs")
+    mh_flag = (" — EXCEEDS the ~1.1 linearity flag"
+               if mh_marg == mh_marg and mh_marg > 1.1 else "")
+
     with open(OUT, "w") as fh:
         fh.write(
             "# SCALING — measured doubling curves for the dedup paths\n\n"
@@ -186,15 +239,17 @@ def main() -> None:
             "collapse to baseline, so TRUE pairs scale linearly by "
             "construction).\n\n"
             "| copies | docs | MinHash-LSH pairs | t (s) | CC clusters | "
-            "t (s) | Σ\\|cluster\\|² k=8 | Σ\\|cluster\\|² k=8c | embs | "
+            "t (s) | Σ\\|cluster\\|² k=8 | Σ\\|cluster\\|² k=8c | "
+            "auto k | Σ\\|cluster\\|² auto | embs | "
             "emb-LSH pairs | t (s) |\n"
-            "|---|---|---|---|---|---|---|---|---|---|---|\n"
+            "|---|---|---|---|---|---|---|---|---|---|---|---|---|\n"
         )
         for r in rows:
             fh.write(
                 f"| {r['c']} | {r['n_docs']} | {r['mh_pairs']} | "
                 f"{r['mh_t']} | {r['n_clusters']} | {r['cc_t']} | "
-                f"{r['ss_fixed']} | {r['ss_scaled']} | {r['n_embs']} | "
+                f"{r['ss_fixed']} | {r['ss_scaled']} | "
+                f"{r['k_auto']} | {r['ss_auto']} | {r['n_embs']} | "
                 f"{r['emb_pairs']} | {r['emb_t']} |\n"
             )
         fh.write(
@@ -204,7 +259,9 @@ def main() -> None:
             "banded join finds the linearly-growing true pairs without "
             "super-linear candidate blowup)\n"
             f"- MinHash-LSH wall time vs n_docs: "
-            f"**{slope('mh_t', 'n_docs')}**\n"
+            f"**{slope('mh_t', 'n_docs')}** (first→last; marginal slope "
+            f"over the last doubling, past the fixed-overhead regime: "
+            f"**{marginal('mh_t', 'n_docs')}**{mh_flag})\n"
             f"- CC wall time vs n_docs: **{slope('cc_t', 'n_docs')}** "
             "(rounds stay O(component diameter); components don't deepen "
             "with corpus growth)\n"
@@ -216,6 +273,12 @@ def main() -> None:
             "scaling cluster count with the corpus keeps the pair bound "
             "linear; SemDeDup used 50k clusters on LAION for the same "
             "reason)\n"
+            f"- SemDeDup Σ|cluster|² vs n_embs at the ENGINE default "
+            f"(k=None → `semantic_dedup_auto_k`, no caller tuning): "
+            f"**{slope('ss_auto', 'n_embs')}** (≈1.0 expected — r12, "
+            "VERDICT r11 #1: the engine now derives one cluster per "
+            "~256 vectors itself, so the linear bound no longer depends "
+            "on the caller remembering to raise k)\n"
             f"- Embedding-LSH pair count vs n_embs: "
             f"**{slope('emb_pairs', 'n_embs')}**\n"
             f"- Embedding-LSH wall time vs n_embs: "
@@ -231,6 +294,9 @@ def main() -> None:
             "grows linearly in corpus copies, i.e. banding never forms "
             "cross-family candidates.\n"
         )
+        fh.write("\n" + END_MARK + "\n")
+        if tail:
+            fh.write("\n" + tail.removeprefix(END_MARK + "\n").lstrip("\n"))
     print(f"wrote {OUT}")
 
 

@@ -1007,6 +1007,55 @@ def test_wave11_ckpt_uses_configured_checkpoint_dir(spark, tmp_path):
         spark.conf.unset("lakeshed.cc.checkpointDir")
 
 
+def test_wave17_semantic_dedup_auto_k_scales_with_corpus(spark):
+    """r11 VERDICT #1 (the one surviving `weak`): a fixed k=8 default
+    makes SemDeDup's Σ|cluster|² pair bound quadratic in corpus size
+    (SCALING.md measured slope 2.0). k=None is now the default and
+    derives one cluster per ~target_cluster_size vectors, so the bound
+    stays linear with no caller tuning; nonsense parameters are rejected
+    loudly."""
+    import pytest
+
+    from lakeshed.llm.similarity import semantic_dedup_auto_k
+
+    # the derivation: ceil(n / target), floored at 8 for tiny corpora
+    assert semantic_dedup_auto_k(100) == 8
+    assert semantic_dedup_auto_k(2100) == 9
+    assert semantic_dedup_auto_k(16800) == 66
+    assert semantic_dedup_auto_k(16800, target_cluster_size=1024) == 17
+    # k grows ∝ n once past the floor — the linearity condition itself
+    assert semantic_dedup_auto_k(256 * 1000) == 1000
+    assert semantic_dedup_auto_k(256 * 8000) == 8000
+    with pytest.raises(ValueError, match="at least one vector"):
+        semantic_dedup_auto_k(0)
+    with pytest.raises(ValueError, match="target_cluster_size"):
+        semantic_dedup_auto_k(100, target_cluster_size=0)
+
+    # loud guards on the DataFrame API
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="k must be a positive int"):
+        similarity.semantic_dedup(df, k=0)
+    with pytest.raises(ValueError, match="k must be a positive int"):
+        similarity.semantic_dedup(df, k=3.5)
+    with pytest.raises(ValueError, match="target_cluster_size"):
+        similarity.semantic_dedup(df, target_cluster_size=-1)
+    with pytest.raises(ValueError, match="at least one vector"):
+        similarity.semantic_dedup(df.where(F.lit(False)))
+
+    # k=None end to end: every id exactly once, planted exact twin drops
+    vecs = [(i, [float(i % 7) + 1.0, float(i // 7) + 1.0, 1.0])
+            for i in range(40)]
+    vecs.append((99, vecs[0][1]))  # byte-identical twin of id 0
+    d2 = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = similarity.semantic_dedup(d2, target_cluster_size=4).collect()
+    assert len(out) == 41
+    assert {r.vec_id for r in out} == {i for i in range(40)} | {99}
+    keep = {r.vec_id: r.keep for r in out}
+    assert keep[0] is True and keep[99] is False
+
+
 def test_wave16_shared_root_survivor_released_not_leaked(spark, tmp_path):
     """r11 ADVICE: with a shared checkpoint root, keep_only removed the
     non-converged rounds but the CONVERGED round's directory leaked one

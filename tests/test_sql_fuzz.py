@@ -637,6 +637,131 @@ def test_fuzz_merge_subquery_source(fcat, spark):
         assert _rows(cat) == want, stmt
 
 
+def test_fuzz_statement_chains(fcat, spark):
+    """Generative class (r12, VERDICT r11 #8): random SEQUENCES of routed
+    DML kinds — INSERT VALUES, INSERT INTO SELECT, UPDATE, DELETE, MERGE
+    (incl. NOT MATCHED BY SOURCE), INSERT OVERWRITE — replayed twice, a
+    canonical-spelling table vs a quoting/comment/case-jittered table,
+    comparing final state. Single-statement fuzz can't see ordering
+    interactions (e.g. a router bug that silently no-ops one spelling
+    mid-chain shifts every later statement's input); the chain makes any
+    such divergence observable at the end."""
+    cat = fcat
+    rng = random.Random(1212)
+    cat.create_table("nyc.chsrc", spark.createDataFrame(
+        [(2, "B"), (4, "D"), (6, "F")], "k int, v string"))
+
+    def step(kind: str, i: int, name: str, jitter: bool) -> str:
+        nm = ("name", name)
+        if kind == "ins":
+            toks = ["insert", "into", ("opt", "table"), nm,
+                    "values", ("lit", f"({10 + i}, 'x{i}')")]
+        elif kind == "inssel":
+            toks = ["insert", "into", nm, "select",
+                    ("lit", "k + 100, v"), "from", ("name", "nyc.chsrc"),
+                    "where", ("lit", "k > 2")]
+        elif kind == "upd":
+            toks = ["update", nm, "set", ("lit", f"v = 'U{i}'"),
+                    "where", ("lit", "k % 2 = 0")]
+        elif kind == "del":
+            toks = ["delete", "from", nm, "where", ("lit", "k = 3")]
+        elif kind == "ovr":
+            toks = ["insert", "overwrite", ("opt", "table"), nm,
+                    "values", ("lit", f"({i}, 'o{i}'), (2, 'b')")]
+        elif kind == "merge":
+            toks = ["merge", "into", nm, ("opt", "as"), ("lit", "t"),
+                    "using", ("name", "nyc.chsrc"), ("opt", "as"),
+                    ("lit", "s"), "on", ("lit", "t.k = s.k"),
+                    "when", "matched", "then", "update", "set",
+                    ("lit", "v = s.v"),
+                    "when", "not", "matched", "then", "insert", ("lit", "*")]
+        else:  # mergesrc: NOT MATCHED BY SOURCE leg
+            toks = ["merge", "into", nm, ("opt", "as"), ("lit", "t"),
+                    "using", ("name", "nyc.chsrc"), ("opt", "as"),
+                    ("lit", "s"), "on", ("lit", "t.k = s.k"),
+                    "when", "matched", "then", "update", "set",
+                    ("lit", "v = s.v"),
+                    "when", "not", "matched", "by", "source",
+                    "and", ("lit", "t.k > 100"), "then", "delete"]
+        if jitter:
+            return _render(rng, toks)
+        # canonical: plain single-space rendering, no jitter
+        out = []
+        for tok in toks:
+            if isinstance(tok, tuple):
+                if tok[0] in ("name", "lit"):
+                    out.append(tok[1])
+                elif tok[0] == "opt":
+                    continue
+                else:
+                    out.append(tok[1] + tok[2])
+            else:
+                out.append(tok.upper())
+        return " ".join(out)
+
+    kinds = ["ins", "inssel", "upd", "del", "merge", "mergesrc", "ovr"]
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    for trial in range(3):
+        for nm in ("nyc.cha", "nyc.chb"):
+            if cat._exists(nm):
+                cat.drop_table(nm)
+            cat.create_table(nm, base)
+        # 'ovr' early would erase the divergence surface; weight it rare
+        chain = [rng.choice(kinds[:-1]) if rng.random() < 0.9
+                 else "ovr" for _ in range(6)]
+        for i, kind in enumerate(chain):
+            cat.sql(step(kind, i, "nyc.cha", jitter=False))
+            stmt = step(kind, i, "nyc.chb", jitter=True)
+            cat.sql(stmt)
+            assert _rows(cat, "nyc.chb") == _rows(cat, "nyc.cha"), \
+                (trial, i, kind, stmt)
+
+
+def test_fuzz_branch_and_timestamp_travel(fcat, spark):
+    """Generative cover for the remaining travel spellings (r12, VERDICT
+    r11 #8): `branch_<name>` suffix relations, VERSION AS OF '<branch>',
+    and TIMESTAMP AS OF (epoch-ms and quoted-ISO literals) under
+    identifier-quoting × comment × case jitter."""
+    import time as _time
+    from datetime import datetime, timezone
+
+    cat = fcat
+    rng = random.Random(31337)
+    _reset(cat, spark)
+    t = cat.table("nyc.fz")
+    ts0 = t.committed_at_ms()
+    cat.sql("ALTER TABLE nyc.fz CREATE BRANCH audit")
+    while int(_time.time() * 1000) <= ts0:
+        _time.sleep(0.002)
+    cat.sql("INSERT INTO nyc.fz VALUES (9, 'z')")  # main moves past audit
+
+    canon_b = cat.sql(
+        "SELECT count(*) AS c FROM nyc.fz.branch_audit").first().c
+    canon_m = cat.sql("SELECT count(*) AS c FROM nyc.fz").first().c
+    assert canon_m == canon_b + 1
+    for _ in range(N):
+        stmt = _render(rng, [
+            "select", ("lit", "count(*)"), "as", ("lit", "c"),
+            "from", ("ref", "nyc.fz", ".branch_audit")])
+        assert cat.sql(stmt).first().c == canon_b, stmt
+        stmt = _render(rng, [
+            "select", ("lit", "count(*)"), "as", ("lit", "c"),
+            "from", ("name", "nyc.fz"),
+            "version", "as", "of", ("lit", "'audit'")])
+        assert cat.sql(stmt).first().c == canon_b, stmt
+
+    iso = datetime.fromtimestamp(
+        ts0 / 1000, tz=timezone.utc).isoformat()
+    for _ in range(N):
+        ts_lit = rng.choice([str(ts0), f"'{iso}'"])
+        stmt = _render(rng, [
+            "select", ("lit", "count(*)"), "as", ("lit", "c"),
+            "from", ("name", "nyc.fz"),
+            "timestamp", "as", "of", ("lit", ts_lit)])
+        assert cat.sql(stmt).first().c == canon_b, stmt
+
+
 def test_wave9_hint_nested_comment_and_shadow_guard_with_ticks(fcat, spark):
     """r11 review wave 9. (a) A plain /* */ comment nested inside a /*+
     hint is consumed atomically — lexing it char-by-char let an
