@@ -18,6 +18,12 @@ router's top-of-``sql()`` comment-strip (the generalization of the r10
 wave-14 DESCRIBE fix) fails the comment-bearing spellings of every
 class below; dropping backtick tolerance from any statement-head name
 pattern fails that class's ticked spellings.
+
+r12 (VERDICT r11 #8 — grow the corpus instead of bolting on regexes):
+generative classes for stateful DML CHAINS (random statement sequences
+replayed canonical-vs-jittered, final state compared), `branch_<name>`
+suffix relations, VERSION AS OF '<branch>', and TIMESTAMP AS OF
+(epoch-ms + quoted-ISO) spellings.
 """
 
 from __future__ import annotations
