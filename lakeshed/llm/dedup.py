@@ -1165,6 +1165,117 @@ def simhash_pairs(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    window: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find every length-
+    ``window`` token span whose exact token sequence occurs at more than
+    one (doc, position) in the corpus — the boilerplate/licence-header/
+    quoted-reply redundancy document-level dedup can't see. Returns one
+    row per DUPLICATED occurrence: (``id_col``, pos, occurrences,
+    is_canonical), where pos is the 0-based token offset and exactly one
+    occurrence per span value (the (id, pos)-minimum) is canonical —
+    consumers drop the non-canonical spans (merge overlaps first).
+
+    Scale shape: the paper builds a suffix array; the distributed
+    equivalent here is stride-1 window HASHES — ``text.ngrams``'s O(len)
+    zip-of-slices builds the window strings per document (no row
+    blow-up carrying token arrays through a generator), xxhash64
+    collapses each to 8 bytes BEFORE the explode, and duplicate marking
+    is ONE hash-partitioned window aggregation (count + min-struct over
+    ``h``) — a single exchange of (id, pos, h) rows, O(total tokens),
+    never pairwise. Docs shorter than ``window`` yield no spans.
+
+    Cross-engine note: equal window text ⇒ equal hash, so oracle
+    comparisons against a window-STRING replay agree unless xxhash64
+    collides (~n²/2⁶⁴; astronomically unlikely and deterministic on a
+    fixed corpus)."""
+    from pyspark.sql import Window as W
+
+    from lakeshed.llm.text import ngrams
+
+    if not isinstance(window, int) or window < 2:
+        raise ValueError(
+            f"window must be an int >= 2 tokens, got {window!r} — "
+            "1-token spans would mark every repeated word a duplicate"
+        )
+    toks = F.split(F.col(text_col), " ")
+    base = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .where(F.size("__t") >= window)
+    )
+    hashes = F.transform(
+        ngrams(F.col("__t"), window), lambda g: F.xxhash64(g)
+    )
+    occ = base.select(id_col, F.posexplode(hashes).alias("pos", "h"))
+    w = W.partitionBy("h")
+    first = F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
+    return (
+        occ.withColumn("occurrences", F.count(F.lit(1)).over(w))
+        .withColumn("__first", first)
+        .where(F.col("occurrences") > 1)
+        .select(
+            id_col,
+            "pos",
+            "occurrences",
+            (
+                (F.col(f"__first.{id_col}") == F.col(id_col))
+                & (F.col("__first.pos") == F.col("pos"))
+            ).alias("is_canonical"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    window: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The cut step of substring dedup: drop every token covered by a
+    NON-canonical duplicated span found by :func:`duplicate_spans`
+    (overlapping spans compose — a token is dropped if ANY removable
+    window covers it), keeping the one canonical occurrence of each span
+    value somewhere in the corpus. Returns the input frame with
+    ``text_col`` replaced by the cleaned text (and docs untouched when
+    they carry no removable span — the common case, via left join +
+    coalesce).
+
+    Scale shape: the span list rides back to each document as a
+    collected int array (spans per doc ≪ tokens per doc in a real
+    corpus — that's the premise of dedup), and the token filter is one
+    JVM higher-order ``filter`` with an ``exists`` over that array:
+    shuffle cost is ONE hash join on ``id_col`` keyed by the spans
+    frame. Worst case (a document that is wall-to-wall boilerplate) the
+    per-task cost is O(tokens × spans) for that document; upstream
+    chunking bounds tokens-per-doc, and such a document loses most of
+    its text anyway."""
+    spans = duplicate_spans(df, window, text_col, id_col).where(
+        ~F.col("is_canonical")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list("pos").alias("__rm_pos")
+    )
+    toks = F.split(F.col(text_col), " ")
+    covered = lambda j: F.exists(
+        F.col("__rm_pos"), lambda p: (p <= j) & (j < p + window)
+    )
+    cleaned = F.array_join(
+        F.filter(toks, lambda t, j: ~covered(j)), " "
+    )
+    out_cols = [
+        F.when(F.col("__rm_pos").isNull(), F.col(c))
+        .otherwise(cleaned).alias(c)
+        if c == text_col else F.col(c)
+        for c in df.columns
+    ]
+    return df.join(per_doc, id_col, "left").select(*out_cols)
+
+
 def ngram_overlap(
     df: DataFrame,
     bench: DataFrame,

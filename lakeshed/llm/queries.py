@@ -925,6 +925,76 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @qdef(
+    "llm_substring_dedup",
+    # Oracle replays the window semantics on the window STRINGS (the
+    # engine groups on xxhash64 of the same strings — equal text ⇒ equal
+    # hash, see duplicate_spans' collision note): stride-1 16-token
+    # windows, occurrence counts per window value across the whole
+    # corpus, canonical = (doc_id, pos)-minimum occurrence.
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    pos AS (SELECT doc_id, t,
+                   unnest(range(1, greatest(len(t) - 16 + 2, 1))) AS i
+            FROM toks),
+    wins AS (SELECT doc_id, i - 1 AS pos,
+                    array_to_string(t[i:i+15], ' ') AS win
+             FROM pos),
+    marked AS (SELECT doc_id, pos,
+                      count(*) OVER (PARTITION BY win) AS occ,
+                      row_number() OVER (PARTITION BY win
+                                         ORDER BY doc_id, pos) AS rn
+               FROM wins),
+    agg AS (SELECT doc_id,
+                   sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup,
+                   sum(CASE WHEN occ > 1 AND rn > 1
+                            THEN 1 ELSE 0 END) AS n_removable
+            FROM marked GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(greatest(len(string_split(d.text, ' ')) - 15, 0)
+                AS BIGINT)                             AS n_windows,
+           CAST(coalesce(a.n_dup, 0) AS BIGINT)        AS n_dup_windows,
+           CAST(coalesce(a.n_removable, 0) AS BIGINT)  AS n_removable_windows
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id
+    """,
+    "LLM-dedup-substring",
+)
+def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022): per document, how
+    many of its stride-1 16-token windows occur elsewhere in the corpus
+    (``n_dup_windows``) and how many of those are non-canonical — i.e.
+    would be cut by span removal (``n_removable_windows``). The engine
+    kernel is :func:`lakeshed.llm.dedup.duplicate_spans`: per-doc window
+    hashes built JVM-side by the O(len) zip-of-slices n-gram kernel,
+    then ONE hash-partitioned window aggregation marks duplicates —
+    O(total tokens), never pairwise; the oracle replays the identical
+    semantics on the window strings themselves."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    spans = dedup.duplicate_spans(docs, window=16)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__dup"),
+        F.sum((~F.col("is_canonical")).cast("long")).alias("__rm"),
+    )
+    n_windows = F.greatest(
+        F.size(F.split(F.col("text"), " ")) - F.lit(15), F.lit(0)
+    ).cast("long")
+    return (
+        docs.select("doc_id", n_windows.alias("n_windows"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("__dup", F.lit(0)).cast("long")
+            .alias("n_dup_windows"),
+            F.coalesce("__rm", F.lit(0)).cast("long")
+            .alias("n_removable_windows"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@qdef(
     "llm_quality_filter",
     f"""
     WITH f AS (

@@ -654,6 +654,15 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
                              # queries: llm_kmeans_clusters' dist audit,
                              # llm_pca_embeddings' norm twins, and
                              # llm_semantic_dedup's production pair join
+    # round-12 rotation: admits llm_substring_dedup (stride-1 window
+    # span dedup, the Lee-et-al substring family's driver-gated row) to
+    # the head. Demoted:
+    "llm_repetition",        # explode + two-level agg over text.tokens;
+                             # the same tokenize/explode/agg machinery
+                             # runs inside gated llm_quality_filter,
+                             # llm_lang_id, and llm_lm_score, and the
+                             # new llm_substring_dedup gates the
+                             # explode+window-agg shape end to end
 )
 
 

@@ -1007,6 +1007,111 @@ def test_wave11_ckpt_uses_configured_checkpoint_dir(spark, tmp_path):
         spark.conf.unset("lakeshed.cc.checkpointDir")
 
 
+def test_substring_dedup_duplicate_spans(spark):
+    """duplicate_spans (Lee et al. 2022 substring dedup): a 16-token run
+    shared verbatim by two documents is found at the right positions,
+    exactly one occurrence is canonical (the (doc, pos) minimum), short
+    documents yield nothing, and unique text yields nothing."""
+    run = " ".join(f"w{i}" for i in range(16))          # the shared span
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " + run + " omega"),              # span at pos 1
+            (2, run + " tail x y"),                      # span at pos 0
+            (3, " ".join(f"u{i}" for i in range(30))),   # unique text
+            (4, "too short"),                            # < window tokens
+        ],
+        "doc_id long, text string",
+    )
+    spans = dedup.duplicate_spans(docs, window=16).collect()
+    got = {(r.doc_id, r.pos): (r.occurrences, r.is_canonical)
+           for r in spans}
+    assert got == {(1, 1): (2, True), (2, 0): (2, False)}
+
+    # overlapping duplicates inside ONE document: 'a0..a16' contains two
+    # 16-windows; duplicating the doc makes every window appear twice
+    rep = " ".join(f"a{i}" for i in range(17))
+    d2 = spark.createDataFrame(
+        [(10, rep), (11, rep)], "doc_id long, text string")
+    s2 = dedup.duplicate_spans(d2, window=16).collect()
+    assert len(s2) == 4                   # 2 windows x 2 docs
+    canon = {(r.doc_id, r.pos) for r in s2 if r.is_canonical}
+    assert canon == {(10, 0), (10, 1)}    # doc-10 copies are canonical
+
+    import pytest
+
+    with pytest.raises(ValueError, match="window"):
+        dedup.duplicate_spans(docs, window=1)
+
+
+def test_substring_dedup_single_exchange_plan(spark):
+    """The duplicate-marking kernel must be ONE hash exchange on the
+    window hash (count + min-struct share the same window spec): a
+    second exchange would mean the plan re-shuffles the corpus-sized
+    occurrence frame. The window hashes must be built per-document
+    BEFORE the explode (no token arrays carried through the generator)."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}x{j}" for j in range(20))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = dedup.duplicate_spans(docs, window=16) \
+        ._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, plan
+
+
+def test_remove_duplicate_spans_matches_python_reference(spark):
+    """remove_duplicate_spans == an independent per-token python replay
+    of the same semantics (drop tokens covered by any non-canonical
+    duplicated window; canonical = (doc, pos)-minimum), on a corpus with
+    cross-doc copies, within-doc copies, and untouched docs."""
+    w = 4
+    run = "r0 r1 r2 r3"
+    docs = [
+        (1, f"a b {run} c d"),
+        (2, f"{run} x y z {run}"),
+        (3, "p q r s t u"),               # untouched
+        (4, f"k {run} m"),
+    ]
+
+    def py_remove(rows, w):
+        toks = {d: t.split(" ") for d, t in rows}
+        occ: dict = {}
+        for d in sorted(toks):
+            t = toks[d]
+            for p in range(len(t) - w + 1):
+                occ.setdefault(tuple(t[p:p + w]), []).append((d, p))
+        rm = {d: set() for d in toks}
+        for lst in occ.values():
+            if len(lst) > 1:
+                for d, p in sorted(lst)[1:]:
+                    rm[d].update(range(p, p + w))
+        return {
+            d: " ".join(tok for j, tok in enumerate(t)
+                        if j not in rm[d])
+            for d, t in toks.items()
+        }
+
+    want = py_remove(docs, w)
+    got = {
+        r.doc_id: r.text
+        for r in dedup.remove_duplicate_spans(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            window=w,
+        ).collect()
+    }
+    assert got == want
+    assert got[3] == "p q r s t u"            # untouched doc unchanged
+    assert run in got[1]                      # canonical copy survives
+    assert run not in got[4]                  # later copy cut
+
+    # after the cut, the corpus has no removable occurrence left
+    cleaned = spark.createDataFrame(
+        [(d, t) for d, t in got.items()], "doc_id long, text string")
+    left = dedup.duplicate_spans(cleaned, window=w) \
+        .where(~F.col("is_canonical")).count()
+    assert left == 0
+
+
 def test_wave17_semantic_dedup_auto_k_scales_with_corpus(spark):
     """r11 VERDICT #1 (the one surviving `weak`): a fixed k=8 default
     makes SemDeDup's Σ|cluster|² pair bound quadratic in corpus size
