@@ -216,3 +216,52 @@ def test_wave13_parameter_guards(spark):
     assert M.sample_frames(null_bins).count() == 0
     resized = M.resize_payloads(null_bins).collect()
     assert len(resized) == 1 and resized[0].payload is None
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(DOC, min_size=1, max_size=10),
+       window=st.integers(min_value=2, max_value=6))
+def test_duplicate_spans_and_removal_match_reference(spark, docs, window):
+    """Substring dedup (r12): duplicate_spans' (pos, occurrences,
+    is_canonical) rows and remove_duplicate_spans' cleaned text both
+    equal a plain-Python replay over generated corpora — the tiny
+    'abcde' word alphabet forces heavy genuine window collisions, the
+    regime where canonical selection and overlap composition actually
+    matter."""
+    from lakeshed.llm import dedup as D
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # python reference: occurrences per window VALUE across the corpus
+    occ: dict = {}
+    toks = {i: _toks(t) for i, t in rows}
+    for i in sorted(toks):
+        t = toks[i]
+        for p in range(len(t) - window + 1):
+            occ.setdefault(tuple(t[p:p + window]), []).append((i, p))
+    want_spans = {}
+    rm: dict = {i: set() for i in toks}
+    for lst in occ.values():
+        if len(lst) > 1:
+            canon = min(lst)
+            for d, p in lst:
+                want_spans[(d, p)] = (len(lst), (d, p) == canon)
+            for d, p in lst:
+                if (d, p) != canon:
+                    rm[d].update(range(p, p + window))
+    want_text = {
+        i: " ".join(tok for j, tok in enumerate(t) if j not in rm[i])
+        for i, t in toks.items()
+    }
+
+    got_spans = {
+        (r.doc_id, r.pos): (r.occurrences, r.is_canonical)
+        for r in D.duplicate_spans(df, window=window).collect()
+    }
+    assert got_spans == want_spans
+    got_text = {
+        r.doc_id: r.text
+        for r in D.remove_duplicate_spans(df, window=window).collect()
+    }
+    assert got_text == want_text

@@ -724,6 +724,77 @@ def test_fuzz_statement_chains(fcat, spark):
                 (trial, i, kind, stmt)
 
 
+def test_fuzz_ddl_dml_interleaved_chains(fcat, spark):
+    """Generative class (r12): random chains INTERLEAVING schema
+    evolution (ADD/RENAME/DROP COLUMN) with DML whose arity/column set
+    depends on the evolved schema — replayed canonical vs jittered,
+    full-row final state compared. A router bug that silently no-ops an
+    ALTER spelling shifts every later INSERT's arity and surfaces as a
+    state divergence (or a loud analysis error), not a quiet pass."""
+    cat = fcat
+    rng = random.Random(40412)
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+
+    def rows_all(name: str):
+        df = cat.table(name).read()
+        cols = sorted(df.columns)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    for trial in range(3):
+        for nm in ("nyc.dda", "nyc.ddb"):
+            if cat._exists(nm):
+                cat.drop_table(nm)
+            cat.create_table(nm, base)
+        extra: list[str] = []  # evolves identically for both replicas
+        for i in range(6):
+            choices = ["ins", "upd", "addcol"]
+            if extra:
+                choices += ["dropcol", "rencol", "updx"]
+            kind = rng.choice(choices)
+            for nm, jitter in (("nyc.dda", False), ("nyc.ddb", True)):
+                if kind == "ins":
+                    vals = f"({50 + i}, 'n{i}'" + \
+                        ", NULL" * len(extra) + ")"
+                    toks = ["insert", "into", ("name", nm),
+                            "values", ("lit", vals)]
+                elif kind == "upd":
+                    toks = ["update", ("name", nm), "set",
+                            ("lit", f"v = 'j{i}'"),
+                            "where", ("lit", "k = 2")]
+                elif kind == "addcol":
+                    toks = ["alter", "table", ("name", nm), "add",
+                            "column", ("lit", f"w{i}"), ("lit", "int")]
+                elif kind == "dropcol":
+                    toks = ["alter", "table", ("name", nm), "drop",
+                            "column", ("lit", extra[-1])]
+                elif kind == "rencol":
+                    toks = ["alter", "table", ("name", nm), "rename",
+                            "column", ("lit", extra[-1]),
+                            "to", ("lit", f"r{i}")]
+                else:  # updx: write through the newest evolved column
+                    toks = ["update", ("name", nm), "set",
+                            ("lit", f"{extra[-1]} = k * 10"),
+                            "where", ("lit", "k >= 2")]
+                if jitter:
+                    stmt = _render(rng, toks)
+                else:
+                    stmt = " ".join(
+                        t[1] if isinstance(t, tuple) and t[0] != "opt"
+                        else t.upper()
+                        for t in toks if not (isinstance(t, tuple)
+                                              and t[0] == "opt"))
+                cat.sql(stmt)
+            if kind == "addcol":
+                extra.append(f"w{i}")
+            elif kind == "dropcol":
+                extra.pop()
+            elif kind == "rencol":
+                extra[-1] = f"r{i}"
+            assert rows_all("nyc.ddb") == rows_all("nyc.dda"), \
+                (trial, i, kind)
+
+
 def test_fuzz_branch_and_timestamp_travel(fcat, spark):
     """Generative cover for the remaining travel spellings (r12, VERDICT
     r11 #8): `branch_<name>` suffix relations, VERSION AS OF '<branch>',
