@@ -137,6 +137,14 @@ BENCH_NOTES: dict[str, str] = {
         "1.103 s + session-window state store timing); noise, not a "
         "plan change (path untouched in r10)."
     ),
+    "llm_substring_dedup": (
+        "New in r12 (Lee-et-al substring dedup gate). Quiet-band "
+        "reference measured at introduction: 2.00-2.44 s at sf0.1 over "
+        "5 canary-bracketed runs (scripts/attribute_r10.py protocol; "
+        "canaries 0.086-0.093 after the first). Cost profile is stage "
+        "floor (window agg on the span hash + per-doc agg + join + "
+        "sort over ~220k windows), not data volume."
+    ),
     "llm_leakage_safe_split": (
         "Times the split projection over a cluster-labels table "
         "materialized ONCE at warmup (the production shape: clustering is "
