@@ -22,6 +22,7 @@ Scale design (the whole point at 100 TB):
 from __future__ import annotations
 
 import atexit
+import contextvars
 import os
 import uuid
 
@@ -536,16 +537,32 @@ _CC_CKPT_DIRS: list[str] = []
 # while the JVM is still up.
 _CC_SHARED_SURVIVORS: list[tuple[SparkSession, str]] = []
 
+# per-call capture of the survivor dirs a dedup_clusters-family call
+# creates: a terminal consumer sets this to a fresh list around the call
+# and releases exactly those paths afterward. A contextvar (not a
+# module global) so concurrent driver threads each capture only their
+# own call's dirs (r12 review: an index-span release deleted a
+# concurrent caller's in-flight survivor).
+_CC_CALL_DIRS: contextvars.ContextVar[list[str] | None] = \
+    contextvars.ContextVar("lakeshed_cc_call_dirs", default=None)
 
-def release_cc_checkpoints(*, _from: int = 0) -> None:
-    """Delete shared-root checkpoint survivor directories recorded at or
-    after index ``_from`` (default: all). Call ONLY after every frame
-    returned by ``dedup_clusters``-family calls made in that span has
-    been materialized (written to a table / collected) or abandoned —
-    the frames read the survivors lazily. Best-effort: a stopped JVM or
-    an already-deleted path is ignored."""
-    while len(_CC_SHARED_SURVIVORS) > max(0, _from):
-        spark, d = _CC_SHARED_SURVIVORS.pop()
+
+def release_cc_checkpoints(dirs=None) -> None:
+    """Delete shared-root checkpoint survivor directories — exactly the
+    ones in ``dirs`` (a collection of paths), or every recorded survivor
+    when ``dirs`` is None. Call ONLY after every frame returned by the
+    ``dedup_clusters``-family calls that created those dirs has been
+    materialized (written to a table / collected) or abandoned — the
+    frames read the survivors lazily. Identified BY PATH, not by stack
+    position (r12 review: a span-of-indexes release would delete a
+    concurrent caller's in-flight survivor on the same session).
+    Best-effort: a stopped JVM or an already-deleted path is ignored."""
+    want = None if dirs is None else set(dirs)
+    keep: list[tuple[SparkSession, str]] = []
+    for spark, d in list(_CC_SHARED_SURVIVORS):
+        if want is not None and d not in want:
+            keep.append((spark, d))
+            continue
         try:
             jvm = spark._jvm
             p = jvm.org.apache.hadoop.fs.Path(d)
@@ -553,6 +570,7 @@ def release_cc_checkpoints(*, _from: int = 0) -> None:
             fs.delete(p, True)
         except Exception:
             pass
+    _CC_SHARED_SURVIVORS[:] = keep
 
 
 def _cc_cleanup_at_exit() -> None:
@@ -673,22 +691,24 @@ def build_cluster_table(
     clustering. Mirrors :func:`build_signature_table`; the LSH/clustering
     parameters are stamped as table properties so a reader can validate
     the labels' provenance before trusting them."""
-    ckpt_mark = len(_CC_SHARED_SURVIVORS)
-    pairs = minhash_lsh_pairs(
-        docs, text_col=text_col, id_col=id_col, threshold=threshold,
-        num_hashes=num_hashes, bands=bands, shingle=shingle, seed=seed,
-    )
-    labels = dedup_clusters(
-        pairs, docs.select(id_col), id_col=id_col,
-        shuffle_partitions=shuffle_partitions,
-    )
+    created: list[str] = []
+    token = _CC_CALL_DIRS.set(created)
     try:
+        pairs = minhash_lsh_pairs(
+            docs, text_col=text_col, id_col=id_col, threshold=threshold,
+            num_hashes=num_hashes, bands=bands, shingle=shingle, seed=seed,
+        )
+        labels = dedup_clusters(
+            pairs, docs.select(id_col), id_col=id_col,
+            shuffle_partitions=shuffle_partitions,
+        )
         return catalog.create_table(
             name, labels, mode=mode,
             properties=_cluster_props(
                 threshold, num_hashes, bands, shingle, seed),
         )
     finally:
+        _CC_CALL_DIRS.reset(token)
         # terminal consumer (r11 review wave 11): dedup_clusters eagerly
         # checkpointed the edges and create_table wrote the labels — the
         # scoped (id, sh, sig) persist is never read again; holding it
@@ -697,9 +717,11 @@ def build_cluster_table(
         # ... and the labels now live in the table, so the shared-root
         # checkpoint survivors THIS call created are dead weight — delete
         # them instead of leaking a corpus-sized parquet dir per build on
-        # shared storage (r11 ADVICE). Scoped to ckpt_mark so frames from
-        # unrelated earlier dedup_clusters calls stay readable.
-        release_cc_checkpoints(_from=ckpt_mark)
+        # shared storage (r11 ADVICE). Scoped BY PATH to exactly the
+        # dirs this call's checkpoints created (contextvar capture), so
+        # frames from earlier or CONCURRENT dedup_clusters calls on the
+        # same session stay readable (r12 review).
+        release_cc_checkpoints(created)
 
 
 def _cluster_props(threshold, num_hashes, bands, shingle, seed):
@@ -741,6 +763,9 @@ class _Ckpt:
             # the per-call dir for deferred shared-storage cleanup
             # (release_cc_checkpoints / atexit; r11 ADVICE)
             _CC_SHARED_SURVIVORS.append((spark, self.dir))
+            bucket = _CC_CALL_DIRS.get()
+            if bucket is not None:  # a terminal consumer is capturing
+                bucket.append(self.dir)
         else:
             import tempfile
 

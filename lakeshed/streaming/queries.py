@@ -57,24 +57,24 @@ LAST_CHANGELOG_SOURCE: str | None = None
 
 def _is_socket_transport_failure(e: BaseException) -> bool:
     """True iff a StreamingQueryException's failure originated in the TCP
-    socket SOURCE transport (java.net.* exception anywhere in the JVM
-    cause chain, or a stack frame inside the TextSocket* source classes).
+    socket SOURCE itself: a ``TextSocket*`` source-class stack frame on
+    some throwable in the JVM cause chain. A failed source connect/read
+    always carries those frames (the ``java.net.*`` exception is raised
+    inside ``TextSocketMicroBatchStream``'s initialize/read path), so
+    this is not over-tight — while a ``java.net.*`` exception ALONE is
+    not evidence: a foreachBatch pipeline writing to a downed network
+    service (JDBC, metastore) fails with the same exception classes and
+    must SURFACE, not silently rerun via the file path (r12 review: the
+    first cause-chain version treated any java.net.* in the chain as
+    transport and re-opened exactly that masking).
 
-    r11 ADVICE: the previous gate substring-matched generic words
-    ('connection', 'connect') in the rendered message, so a genuine
-    pipeline bug inside foreachBatch whose message contained e.g. a JDBC
-    'connection refused' would silently rerun via the file path — the
-    exact masking the wave-12 fix removed. Walking the throwable chain
-    keys the decision on WHERE the failure arose, not on message prose."""
+    r11 ADVICE context: the original gate substring-matched generic
+    words ('connection', 'connect') in the rendered message. Keying on
+    the socket source's own stack frames decides by WHERE the failure
+    arose, not what the message says."""
     jt = getattr(e, "_origin", None)
     hops = 0
     while jt is not None and hops < 16:
-        try:
-            cls = jt.getClass().getName()
-        except Exception:
-            break
-        if cls.startswith("java.net."):
-            return True
         try:
             frames = jt.getStackTrace()
         except Exception:
@@ -88,11 +88,10 @@ def _is_socket_transport_failure(e: BaseException) -> bool:
             break
         hops += 1
     # Connect-mode / no-JVM-throwable fallback: the captured exception
-    # only carries rendered text. Match the CLASS NAMES the chain walk
-    # would have found — 'java.net.' / 'TextSocket' can't appear in an
-    # unrelated JDBC or metastore message the way 'connection' can.
+    # only carries rendered text; exceptionString includes every frame,
+    # so a real source failure still shows the TextSocket class name.
     text = "%s\n%s" % (str(e), getattr(e, "_stackTrace", "") or "")
-    return "java.net." in text or "TextSocket" in text
+    return "TextSocket" in text
 
 
 def _run_to_memory(spark: SparkSession, df: DataFrame, mode: str,

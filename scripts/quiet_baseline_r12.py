@@ -64,7 +64,18 @@ def main() -> None:
         print(f"pass {i + 1}/{n_runs}: total {passes[-1]['total_sec']}s "
               f"canary {before}/{after} quiet={quiet}", file=sys.stderr)
 
-    quiet_passes = [p for p in passes if p["quiet"]] or passes
+    quiet_passes = [p for p in passes if p["quiet"]]
+    if not quiet_passes:
+        # r12 review: silently falling back to contended passes would
+        # ship bands labeled 'quiet_*' that are contention-inflated — a
+        # future round regressing against them under-detects. Refuse;
+        # the operator re-runs when the box calms down.
+        raise SystemExit(
+            "no quiet pass observed (canaries: %s) — refusing to write "
+            "contended numbers as the quiet baseline; re-run on a quiet "
+            "box" % [
+                (p["canary_before"], p["canary_after"]) for p in passes]
+        )
     per_query = {}
     for name in reg:
         runs = [p["queries"][name] for p in passes]

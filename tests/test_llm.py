@@ -1180,7 +1180,13 @@ def test_wave16_shared_root_survivor_released_not_leaked(spark, tmp_path):
         assert len(dedup._CC_SHARED_SURVIVORS) > mark  # registered
         assert os.listdir(root)                        # survivor on disk
         out.collect()                                  # materialize
-        dedup.release_cc_checkpoints(_from=mark)
+        mine = [d for _, d in dedup._CC_SHARED_SURVIVORS[mark:]]
+        # releasing UNRELATED paths must not touch this call's survivor
+        # (r12 review: release is by path, not by stack position, so a
+        # concurrent caller can never delete another's in-flight dir)
+        dedup.release_cc_checkpoints(["/nonexistent/other-call-dir"])
+        assert os.listdir(root)                        # still on disk
+        dedup.release_cc_checkpoints(mine)
         assert len(dedup._CC_SHARED_SURVIVORS) == mark
         assert os.listdir(root) == []                  # nothing leaked
 

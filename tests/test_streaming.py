@@ -525,12 +525,28 @@ def test_wave16_socket_fallback_keys_on_cause_chain_not_prose():
                                   cause=derby))
     assert _is_socket_transport_failure(bug) is False
 
-    # a genuine transport failure: java.net.* in the cause chain
-    net = _JThrowable("java.net.ConnectException",
-                      frames=["java.net.PlainSocketImpl"])
+    # a genuine transport failure: the ConnectException is raised INSIDE
+    # the socket source, so its own frames carry the TextSocket class —
+    # the realistic shape of a source connect/read failure
+    net = _JThrowable(
+        "java.net.ConnectException",
+        frames=["java.net.PlainSocketImpl",
+                "org.apache.spark.sql.execution.streaming.sources."
+                "TextSocketMicroBatchStream"])
     transport = _Exc("Connection refused", origin=_JThrowable(
         "org.apache.spark.SparkException", cause=net))
     assert _is_socket_transport_failure(transport) is True
+
+    # a java.net.* exception with NO socket-source frame is a pipeline
+    # bug hitting a downed network service (JDBC sink, metastore) and
+    # must surface (r12 review: java.net-anywhere re-opened the masking)
+    jdbc_net = _JThrowable(
+        "java.net.ConnectException",
+        frames=["java.net.PlainSocketImpl",
+                "org.apache.derby.client.net.NetConnection"])
+    jdbc_bug = _Exc("Connection refused", origin=_JThrowable(
+        "org.apache.spark.SparkException", cause=jdbc_net))
+    assert _is_socket_transport_failure(jdbc_bug) is False
 
     # a failure raised FROM the socket source class counts even when the
     # exception type is generic
@@ -540,10 +556,13 @@ def test_wave16_socket_fallback_keys_on_cause_chain_not_prose():
                 "TextSocketMicroBatchStream"]))
     assert _is_socket_transport_failure(src) is True
 
-    # connect-mode fallback (no _origin): class names in the rendered
-    # trace decide, generic words do not
+    # connect-mode fallback (no _origin): the source class name in the
+    # rendered trace decides; bare java.net / generic words do not
     assert _is_socket_transport_failure(
-        _Exc("x", stack="Caused by: java.net.SocketException")) is True
+        _Exc("x", stack="at org.apache.spark.sql.execution.streaming."
+                        "sources.TextSocketMicroBatchStream.init")) is True
+    assert _is_socket_transport_failure(
+        _Exc("x", stack="Caused by: java.net.SocketException")) is False
     assert _is_socket_transport_failure(
         _Exc("could not connect to the metastore database")) is False
 
