@@ -46,6 +46,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = {n: f for n, f in q.spark_queries().items() if n not in SKIP}
 
+    # one UNTIMED full warmup pass: the per-query warmup inside
+    # _time_query covers that query's codegen, but the FIRST suite pass
+    # additionally pays suite-wide first-touch (fixture caches, parquet
+    # footers, JIT tiering — ~+6 s total observed) despite quiet
+    # canaries, which would inflate quiet_max and make future band
+    # checks under-detect (r12 review). Burn it before recording.
+    print("warmup pass (untimed)...", file=sys.stderr)
+    for f in reg.values():
+        _time_query(spark, f)
+
     passes: list[dict] = []
     for i in range(n_runs):
         before = _canary(spark)

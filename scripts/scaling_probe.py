@@ -123,6 +123,10 @@ def main() -> None:
     warm_docs = load_star(spark, SF_DIR, "documents")["documents"] \
         .select("doc_id", "text").limit(500)
     dedup.minhash_lsh_pairs(warm_docs, threshold=0.7).count()
+    # every timed plan shape gets a warm pass — r12 review: the span
+    # kernel was added to the ladder without one, so its first rung
+    # (and therefore the first→last slope) measured codegen, not work
+    dedup.duplicate_spans(warm_docs, window=16).count()
     warm_embs = load_star(spark, SF_DIR, "embeddings")["embeddings"] \
         .select("vec_id", "embedding").limit(500)
     similarity.kmeans_assign(
