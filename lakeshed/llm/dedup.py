@@ -24,6 +24,7 @@ from __future__ import annotations
 import atexit
 import contextvars
 import os
+import threading
 import uuid
 
 import numpy as np
@@ -537,6 +538,12 @@ _CC_CKPT_DIRS: list[str] = []
 # while the JVM is still up.
 _CC_SHARED_SURVIVORS: list[tuple[SparkSession, str]] = []
 
+# guards every read-modify-write of _CC_SHARED_SURVIVORS: the release
+# path's py4j fs.delete calls block on socket I/O (GIL released), so an
+# unguarded rebuild of the list would drop entries a concurrent driver
+# thread appended mid-loop and leak those dirs permanently (r12 review)
+_CC_LOCK = threading.Lock()
+
 # per-call capture of the survivor dirs a dedup_clusters-family call
 # creates: a terminal consumer sets this to a fresh list around the call
 # and releases exactly those paths afterward. A contextvar (not a
@@ -547,30 +554,45 @@ _CC_CALL_DIRS: contextvars.ContextVar[list[str] | None] = \
     contextvars.ContextVar("lakeshed_cc_call_dirs", default=None)
 
 
+def _hadoop_rm(spark: SparkSession, path: str) -> None:
+    """THE Hadoop FileSystem recursive delete (shared by ``_Ckpt._rm``
+    and ``release_cc_checkpoints`` — r12 review: two copies of the py4j
+    incantation would drift apart on the next FS/auth fix)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
 def release_cc_checkpoints(dirs=None) -> None:
     """Delete shared-root checkpoint survivor directories — exactly the
-    ones in ``dirs`` (a collection of paths), or every recorded survivor
+    ones in ``dirs`` (a collection of paths; a bare string is treated as
+    one path, not iterated into characters), or every recorded survivor
     when ``dirs`` is None. Call ONLY after every frame returned by the
     ``dedup_clusters``-family calls that created those dirs has been
     materialized (written to a table / collected) or abandoned — the
     frames read the survivors lazily. Identified BY PATH, not by stack
-    position (r12 review: a span-of-indexes release would delete a
-    concurrent caller's in-flight survivor on the same session).
+    position, and the registry is mutated under a lock BEFORE the slow
+    py4j deletes run (r12 review: an unguarded rebuild after the delete
+    loop dropped entries concurrent threads appended mid-loop).
     Best-effort: a stopped JVM or an already-deleted path is ignored."""
+    if isinstance(dirs, str):
+        dirs = [dirs]
     want = None if dirs is None else set(dirs)
-    keep: list[tuple[SparkSession, str]] = []
-    for spark, d in list(_CC_SHARED_SURVIVORS):
-        if want is not None and d not in want:
-            keep.append((spark, d))
-            continue
+    with _CC_LOCK:
+        matched = [
+            (s, d) for s, d in _CC_SHARED_SURVIVORS
+            if want is None or d in want
+        ]
+        _CC_SHARED_SURVIVORS[:] = [
+            (s, d) for s, d in _CC_SHARED_SURVIVORS
+            if not (want is None or d in want)
+        ]
+    for spark, d in matched:
         try:
-            jvm = spark._jvm
-            p = jvm.org.apache.hadoop.fs.Path(d)
-            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-            fs.delete(p, True)
+            _hadoop_rm(spark, d)
         except Exception:
             pass
-    _CC_SHARED_SURVIVORS[:] = keep
 
 
 def _cc_cleanup_at_exit() -> None:
@@ -762,7 +784,8 @@ class _Ckpt:
             # the surviving converged round outlives this call — record
             # the per-call dir for deferred shared-storage cleanup
             # (release_cc_checkpoints / atexit; r11 ADVICE)
-            _CC_SHARED_SURVIVORS.append((spark, self.dir))
+            with _CC_LOCK:
+                _CC_SHARED_SURVIVORS.append((spark, self.dir))
             bucket = _CC_CALL_DIRS.get()
             if bucket is not None:  # a terminal consumer is capturing
                 bucket.append(self.dir)
@@ -780,10 +803,7 @@ class _Ckpt:
 
             shutil.rmtree(path, ignore_errors=True)
             return
-        jvm = self.spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        fs.delete(p, True)
+        _hadoop_rm(self.spark, path)
 
     def put(self, df: DataFrame, name: str) -> DataFrame:
         path = f"{self.dir}/{name}" if not self._local else os.path.join(

@@ -88,10 +88,19 @@ def _is_socket_transport_failure(e: BaseException) -> bool:
             break
         hops += 1
     # Connect-mode / no-JVM-throwable fallback: the captured exception
-    # only carries rendered text; exceptionString includes every frame,
-    # so a real source failure still shows the TextSocket class name.
+    # only carries rendered text. CRITICAL (r12 review, verified against
+    # the spark-sql jar): StreamingQueryException.toString() embeds
+    # queryDebugString, whose committed/available-offsets section prints
+    # 'TextSocketV2[host: ...]' for EVERY failure of a socket-source
+    # query — so a bare substring match is always-true and would reopen
+    # the foreachBatch-bug masking. Match only STACK-FRAME-shaped lines
+    # ('at <cls>...' with TextSocket in the class position), which the
+    # debug string never produces but a genuine source failure's
+    # rendered trace always does.
     text = "%s\n%s" % (str(e), getattr(e, "_stackTrace", "") or "")
-    return "TextSocket" in text
+    import re as _re
+
+    return bool(_re.search(r"(?m)^\s*at\s+\S*TextSocket", text))
 
 
 def _run_to_memory(spark: SparkSession, df: DataFrame, mode: str,

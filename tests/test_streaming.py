@@ -556,11 +556,24 @@ def test_wave16_socket_fallback_keys_on_cause_chain_not_prose():
                 "TextSocketMicroBatchStream"]))
     assert _is_socket_transport_failure(src) is True
 
-    # connect-mode fallback (no _origin): the source class name in the
-    # rendered trace decides; bare java.net / generic words do not
+    # connect-mode fallback (no _origin): only STACK-FRAME-shaped
+    # 'at ...TextSocket' lines decide; bare java.net / generic words and
+    # crucially the query DEBUG STRING do not — Spark renders
+    # 'TextSocketV2[host: ...]' in the offsets section of EVERY
+    # StreamingQueryException of a socket query (r12 review, verified
+    # against the spark-sql jar), so a substring match would have made
+    # the gate always fall back
     assert _is_socket_transport_failure(
-        _Exc("x", stack="at org.apache.spark.sql.execution.streaming."
-                        "sources.TextSocketMicroBatchStream.init")) is True
+        _Exc("x", stack="\tat org.apache.spark.sql.execution.streaming."
+                        "sources.TextSocketMicroBatchStream.initialize("
+                        "TextSocketMicroBatchStream.scala:87)")) is True
+    assert _is_socket_transport_failure(
+        _Exc("x", stack="Query [id=1] terminated\n"
+                        "Current Committed Offsets: {TextSocketV2[host: "
+                        "localhost, port: 9999]: 5}\n"
+                        "Caused by: java.lang.RuntimeException: merge "
+                        "bug\n\tat com.example.Pipeline.apply(P.java:1)"
+             )) is False
     assert _is_socket_transport_failure(
         _Exc("x", stack="Caused by: java.net.SocketException")) is False
     assert _is_socket_transport_failure(
