@@ -23,6 +23,7 @@ everything else falls through to "keep".
 from __future__ import annotations
 
 import datetime as _dt
+import functools as _functools
 import re
 from dataclasses import dataclass
 from typing import Any, Union
@@ -32,7 +33,7 @@ from typing import Any, Union
 class Comparison:
     col: str
     op: str  # = != < <= > >=
-    value: Any  # float for numerics, str otherwise
+    value: Any  # int/float for numerics, str otherwise
 
 
 @dataclass
@@ -43,11 +44,37 @@ class BoolOp:
 
 
 @dataclass
+class InList:
+    """``col IN (...)`` kept FLAT: evaluating it is one loop, not a
+    left-deep OR tree — a generated 3000-value IN list used to recurse
+    one ``file_may_match`` frame per value and crash scan planning with
+    RecursionError instead of pruning (r12 review)."""
+
+    col: str
+    values: list[Any]
+
+
+@dataclass
 class Unknown:
     """A clause pruning cannot reason about — always evaluates to MAYBE."""
 
 
-Node = Union[Comparison, BoolOp, Unknown]
+Node = Union[Comparison, BoolOp, InList, Unknown]
+
+
+_INT_RE = re.compile(r"-?\d+$")
+
+
+def _decode_literal(kind: str, raw: str) -> Any:
+    """THE literal decoder (shared by comparisons and IN lists — r12
+    review: two verbatim copies had already drifted risk). Integer-shaped
+    numerics stay python ints: ``float(raw)`` rounds above 2^53, and a
+    rounded literal made the '!='/dict equality refutations prune files
+    whose true bigint value differs from the predicate's (snowflake-style
+    64-bit IDs routinely exceed 2^53)."""
+    if kind == "num":
+        return int(raw) if _INT_RE.match(raw) else float(raw)
+    return raw[1:-1].replace("''", "'")
 
 _TOKEN = re.compile(
     r"""\s*(?:
@@ -133,11 +160,7 @@ class _Parser:
             if val_t is None or val_t[0] not in ("num", "str"):
                 return Unknown()
             kind, raw = self.take()
-            value: Any = (
-                float(raw) if kind == "num"
-                else raw[1:-1].replace("''", "'")
-            )
-            return Comparison(ident, op, value)
+            return Comparison(ident, op, _decode_literal(kind, raw))
         # anything else (functions, IS NULL, NOT IN, ...) → unknown clause
         self.take()
         return Unknown()
@@ -158,32 +181,45 @@ class _Parser:
         return Comparison(ident, "notnull" if negate else "isnull", None)
 
     def _parse_in_list(self, ident: str) -> Node:
-        """``col IN (v1, v2, ...)`` → OR of equalities, so min/max AND
-        dictionary skipping both apply per value."""
+        """``col IN (v1, v2, ...)`` → a FLAT InList node: evaluation
+        checks each value as an equality (min/max AND dictionary
+        skipping both apply per value) in one loop rather than a
+        per-value recursion frame."""
         self.take()  # IN
         if self.peek() is None or self.peek()[0] != "lparen":
             return Unknown()
         self.take()
-        node: Node | None = None
+        values: list[Any] = []
         while True:
             v = self.peek()
             if v is None or v[0] not in ("num", "str"):
                 return Unknown()
             kind, raw = self.take()
-            value: Any = (
-                float(raw) if kind == "num"
-                else raw[1:-1].replace("''", "'")
-            )
-            cmp_ = Comparison(ident, "=", value)
-            node = cmp_ if node is None else BoolOp("or", node, cmp_)
+            values.append(_decode_literal(kind, raw))
             nxt = self.peek()
             if nxt is not None and nxt[0] == "comma":
                 self.take()
                 continue
             if nxt is not None and nxt[0] == "rparen":
                 self.take()
-                return node
+                return InList(ident, values)
             return Unknown()
+
+
+def _depth_ok(node: Node, limit: int = 200) -> bool:
+    """Iterative BoolOp-depth check: ``file_may_match`` recurses one
+    frame per BoolOp, so a 1000+-clause AND/OR chain would crash scan
+    planning with RecursionError instead of degrading to keep-all (r12
+    review — IN lists are flat now, this guards the remaining chains)."""
+    stack = [(node, 1)]
+    while stack:
+        n, d = stack.pop()
+        if d > limit:
+            return False
+        if isinstance(n, BoolOp):
+            stack.append((n.left, d + 1))
+            stack.append((n.right, d + 1))
+    return True
 
 
 def parse_predicate(sql: str) -> Node:
@@ -191,9 +227,14 @@ def parse_predicate(sql: str) -> Node:
     if toks is None or not toks:
         return Unknown()
     p = _Parser(toks)
-    node = p.parse_or()
+    try:
+        node = p.parse_or()  # paren nesting recurses — keep on overflow
+    except RecursionError:
+        return Unknown()
     if p.i != len(p.toks):
         return Unknown()
+    if not _depth_ok(node):
+        return Unknown()  # conservative: residual filter still applies
     return node
 
 
@@ -213,10 +254,85 @@ def _parse_temporal(s: str):
         return None
 
 
-def _coerce(stat: str, value: Any, op: str = "=") -> tuple[Any, Any] | None:
+def _num(s: str):
+    """Exact numeric parse: integer-shaped text stays a python int so
+    comparisons against 64-bit IDs beyond 2^53 are exact (python
+    int-vs-float comparison is exact, so mixed pairs stay sound)."""
+    return int(s) if _INT_RE.match(s.strip()) else float(s)
+
+
+_NUMERIC_TYPES = {"int", "bigint", "smallint", "tinyint", "double",
+                  "float", "decimal"}
+_TEMPORAL_TYPES = {"timestamp", "timestamp_ntz", "date"}
+_BOOL_WORDS = {"true": True, "false": False}
+
+
+def _parse_bool(v: Any):
+    if isinstance(v, bool):
+        return v
+    return _BOOL_WORDS.get(str(v).strip().lower())
+
+
+def _coerce_typed(stat: str, value: Any, op: str,
+                  ctype: str) -> tuple[Any, Any] | None:
+    """Comparison domain when the column's COMMIT-LOG TYPE is known —
+    exact instead of shape-guessing (r12 review: the commit log carries
+    the schema, so pruning never needed to guess). ``ctype`` is the
+    normalized base of the Spark simpleString (``decimal(10,2)`` →
+    ``decimal``). None → conservative keep."""
+    if ctype in _NUMERIC_TYPES:
+        try:
+            fs = _num(stat)
+        except ValueError:
+            return None
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, (int, float)):
+            return fs, value
+        try:
+            # quoted literal on a numeric column: Spark casts the
+            # literal — numeric compare is the true semantics
+            return fs, _num(str(value))
+        except ValueError:
+            return None  # uncastable literal → Spark yields no match,
+            # but proving that needs ANSI-off null semantics — keep
+    if ctype == "string":
+        if isinstance(value, str):
+            return stat, value  # exact: Spark compares strings
+        # non-string literal → Spark casts the COLUMN (numeric/temporal
+        # domain); the stats are LEXICOGRAPHIC bounds, which do not
+        # bound the cast domain (r12 review: lex ['1000','999'] wrongly
+        # refuted x = 1000) → conservative keep
+        return None
+    if ctype in _TEMPORAL_TYPES:
+        ts = _parse_temporal(stat)
+        tv = _parse_temporal(str(value))
+        if ts is None or tv is None:
+            return None
+        if (ts.tzinfo is None) != (tv.tzinfo is None):
+            return None  # mixed awareness: unknown session-tz cast
+        return ts, tv
+    if ctype == "boolean":
+        if op not in ("=", "!="):
+            return None
+        bs, bv = _parse_bool(stat), _parse_bool(value)
+        if bs is None or bv is None:
+            return None
+        return bs, bv
+    # binary / arrays / maps / structs: stats are python reprs, never
+    # in Spark's comparison domain → never prune
+    return None
+
+
+def _coerce(stat: str, value: Any, op: str = "=",
+            ctype: str | None = None) -> tuple[Any, Any] | None:
     """Bring a stringified stat and a literal to a comparable domain.
-    Numeric if both parse as numbers (stringified numbers compare WRONG
-    lexicographically: '9' > '10'); else string vs string.
+    With ``ctype`` (the column's commit-log type) the domain is exact —
+    see :func:`_coerce_typed`. Without it, fall back to shape-guessing:
+    numeric if both parse as numbers AND the numeric/lexicographic
+    orderings agree (stringified numbers compare WRONG
+    lexicographically: '9' > '10', and a STRING column's lex bounds do
+    not bound the numeric cast domain); else string vs string.
 
     Temporal hazard: a timestamp column's stats stringify as
     '1995-01-01 00:00:00' while a predicate may carry '1995-01-01' —
@@ -235,25 +351,36 @@ def _coerce(stat: str, value: Any, op: str = "=") -> tuple[Any, Any] | None:
         None → conservative keep.
     Same-shape temporal strings compare identically under both
     interpretations, so the plain string path stays exact for them."""
-    if isinstance(value, float):
-        try:
-            return float(stat), value
-        except ValueError:
+    if ctype is not None:
+        return _coerce_typed(stat, value, op, ctype)
+    # untyped fallback: boolean-repr stats (str(True) → 'True') and
+    # binary reprs ("b'...'") are python spellings OUTSIDE Spark's
+    # comparison domain — 'True' <lex 'true' wrongly refuted flag='true'
+    # on an all-true file (r12 review) → normalize bools, never prune
+    # binaries
+    if stat in ("True", "False"):
+        bv = _parse_bool(value)
+        if bv is None or op not in ("=", "!="):
             return None
+        return stat == "True", bv
+    if stat.startswith(("b'", 'b"')):
+        return None
     v = str(value)
     try:
-        fs, fv = float(stat), float(v)
+        fs, fv = _num(stat), (value if isinstance(value, (int, float))
+                              and not isinstance(value, bool)
+                              else _num(v))
     except ValueError:
         pass
     else:
-        # QUOTED numeric literal against number-shaped stats (r11 review
-        # wave 15): the column's type is unknown — a numeric column
-        # casts the literal ('9' > '30' numerically False) while a
-        # string column compares text ('9' > '30' lexically True). Prune
-        # only when BOTH interpretations agree on the ordering;
-        # otherwise conservative keep. The same rule makes the dict
-        # path's '=' undecidable for '030' vs '30' (numerically equal,
-        # textually not) instead of wrongly pruning.
+        # Numeric literal (quoted OR bare) against number-shaped stats
+        # (r11 wave 15, widened in r12): the column's type is unknown —
+        # a numeric column casts the literal ('9' > '30' numerically
+        # False) while a STRING column's stats are LEXICOGRAPHIC bounds
+        # that do not bound the numeric cast domain (lex ['1000','999']
+        # wrongly refuted x = 1000). Prune only when BOTH orderings
+        # agree; otherwise conservative keep. Production paths pass the
+        # commit-log column type and never pay this conservatism.
         num_ord = (fs > fv) - (fs < fv)
         str_ord = (stat > v) - (stat < v)
         if num_ord != str_ord:
@@ -304,37 +431,41 @@ def _coerce(stat: str, value: Any, op: str = "=") -> tuple[Any, Any] | None:
 
 
 def _cmp_maybe_match(op: str, lo: str | None, hi: str | None,
-                     value: Any) -> bool:
+                     value: Any, ctype: str | None = None) -> bool:
     """Can ANY row in [lo, hi] satisfy ``col op value``? Missing bound →
-    unbounded on that side → maybe."""
+    unbounded on that side → maybe. NaN literals are never decidable
+    from ordered bounds (every comparison with NaN is unordered — a
+    ``k <= NaN`` conjunct must not refute the file, r12 review)."""
+    if isinstance(value, float) and value != value:
+        return True
     if op in ("=",):
         if lo is not None:
-            c = _coerce(lo, value)
+            c = _coerce(lo, value, "=", ctype)
             if c is not None and c[0] > c[1]:
                 return False
         if hi is not None:
-            c = _coerce(hi, value)
+            c = _coerce(hi, value, "=", ctype)
             if c is not None and c[0] < c[1]:
                 return False
         return True
     if op in ("<", "<="):
         if lo is None:
             return True
-        c = _coerce(lo, value, op)
+        c = _coerce(lo, value, op, ctype)
         if c is None:
             return True
         return c[0] < c[1] if op == "<" else c[0] <= c[1]
     if op in (">", ">="):
         if hi is None:
             return True
-        c = _coerce(hi, value, op)
+        c = _coerce(hi, value, op, ctype)
         if c is None:
             return True
         return c[0] > c[1] if op == ">" else c[0] >= c[1]
     # != can only be refuted when lo == hi == value (single-valued file)
     if op == "!=":
         if lo is not None and hi is not None and lo == hi:
-            c = _coerce(lo, value, op)
+            c = _coerce(lo, value, op, ctype)
             if c is not None and c[0] == c[1]:
                 return False
         return True
@@ -354,11 +485,31 @@ _BLOOM_K = 6  # hash count; with the default 8192 bits, ~1% FPR at ~1k keys
 
 
 def _bloom_hashes(value: str, m: int):
+    return _bloom_hashes_cached(value, m)
+
+
+@_functools.lru_cache(maxsize=65536)
+def _bloom_hashes_cached(value: str, m: int) -> tuple[int, ...]:
+    """Memoized probe positions: planning an equality over 30k files
+    probes the SAME (value, m) pair per file — without the cache that is
+    6 MD5 digests per file per literal on the driver, every query (r12
+    review)."""
     import hashlib
 
-    for i in range(_BLOOM_K):
-        d = hashlib.md5(f"{i}:{value}".encode()).digest()
-        yield int.from_bytes(d[:8], "big") % m
+    return tuple(
+        int.from_bytes(
+            hashlib.md5(f"{i}:{value}".encode()).digest()[:8], "big") % m
+        for i in range(_BLOOM_K)
+    )
+
+
+@_functools.lru_cache(maxsize=8192)
+def _bloom_bits(b64: str) -> bytes:
+    """Memoized base64 decode — the bit array is immutable commit-log
+    metadata, re-decoded per (file, probe) without the cache."""
+    import base64
+
+    return base64.b64decode(b64)
 
 
 def bloom_encode(values, m: int) -> str:
@@ -381,16 +532,15 @@ def bloom_encode(values, m: int) -> str:
 def bloom_may_contain(b64: str, value: str) -> bool:
     """False ⇒ the value is PROVABLY absent from the file (no bloom false
     negatives); True means maybe."""
-    import base64
-
-    raw = base64.b64decode(b64)
+    raw = _bloom_bits(b64)
     m = len(raw) * 8
     return all(
         raw[h >> 3] & (1 << (h & 7)) for h in _bloom_hashes(value, m)
     )
 
 
-def _dict_may_match(op: str, vals: list[str], value: Any) -> bool | None:
+def _dict_may_match(op: str, vals: list[str], value: Any,
+                    ctype: str | None = None) -> bool | None:
     """Evaluate an equality-family comparison against a file's COMPLETE
     distinct-value set (no nulls; null rows never satisfy = or != anyway).
     Returns None when the op isn't dictionary-decidable."""
@@ -402,7 +552,7 @@ def _dict_may_match(op: str, vals: list[str], value: Any) -> bool | None:
         # None → not provably equal → keep). None propagates UP as
         # undecidable: an uncomparable dict value is not PROVABLY unequal,
         # so '=' must not prune on its account.
-        c = _coerce(stat, value, op)
+        c = _coerce(stat, value, op, ctype)
         if c is None:
             return None
         return c[0] == c[1]
@@ -418,28 +568,44 @@ def _dict_may_match(op: str, vals: list[str], value: Any) -> bool | None:
 
 
 def file_may_match(node: Node, lower: dict[str, str], upper: dict[str, str],
-                   partition_values: dict[str, str],
+                   partition_values: dict[str, str | None],
                    dicts: dict[str, list[str]] | None = None,
                    null_counts: dict[str, int] | None = None,
                    rows: int | None = None,
-                   blooms: dict[str, str] | None = None) -> bool:
+                   blooms: dict[str, str] | None = None,
+                   types: dict[str, str] | None = None) -> bool:
     """Conservative manifest evaluation: False ⇒ provably zero matching
     rows in the file. Partition-dir values act as exact single-value
-    bounds for their column; ``dicts`` (complete per-file distinct sets,
-    the dictionary data-skipping index) decide = / != exactly where
-    min/max can only rule out ranges; ``null_counts`` + ``rows`` decide
+    bounds for their column (pass the HIVE-DECODED values — escaped
+    ``%XX`` text compared raw wrongly pruned its own partition, r12
+    review; a ``None`` value is the null-sentinel dir: no comparison
+    can match it); ``dicts`` (complete per-file distinct sets, the
+    dictionary data-skipping index) decide = / != exactly where min/max
+    can only rule out ranges; ``null_counts`` + ``rows`` decide
     IS [NOT] NULL (a file with zero nulls in the column cannot satisfy
     IS NULL; an all-null file cannot satisfy IS NOT NULL) — the same
-    use Iceberg makes of its per-column null_value_counts."""
+    use Iceberg makes of its per-column null_value_counts. ``types``
+    (column → Spark simpleString from the file's commit-log schema)
+    makes the stat comparison domain EXACT instead of shape-guessed —
+    production call sites always pass it."""
     if isinstance(node, Unknown):
         return True
     if isinstance(node, BoolOp):
         l = file_may_match(node.left, lower, upper, partition_values,
-                           dicts, null_counts, rows, blooms)
+                           dicts, null_counts, rows, blooms, types)
         r = file_may_match(node.right, lower, upper, partition_values,
-                           dicts, null_counts, rows, blooms)
+                           dicts, null_counts, rows, blooms, types)
         return (l and r) if node.kind == "and" else (l or r)
+    if isinstance(node, InList):
+        # flat loop — one frame for the whole list, however long
+        return any(
+            file_may_match(Comparison(node.col, "=", v), lower, upper,
+                           partition_values, dicts, null_counts, rows,
+                           blooms, types)
+            for v in node.values
+        )
     assert isinstance(node, Comparison)
+    ctype = _norm_type(types.get(node.col)) if types else None
     if node.op in ("isnull", "notnull"):
         nc = (null_counts or {}).get(node.col)
         if nc is None:
@@ -449,9 +615,13 @@ def file_may_match(node: Node, lower: dict[str, str], upper: dict[str, str],
         return rows is None or nc < rows
     if node.col in partition_values:
         pv = partition_values[node.col]
-        return _cmp_maybe_match(node.op, pv, pv, node.value)
+        if pv is None:
+            # __HIVE_DEFAULT_PARTITION__: the column is NULL in every
+            # row, and NULL satisfies no comparison
+            return False
+        return _cmp_maybe_match(node.op, pv, pv, node.value, ctype)
     if dicts and node.col in dicts:
-        d = _dict_may_match(node.op, dicts[node.col], node.value)
+        d = _dict_may_match(node.op, dicts[node.col], node.value, ctype)
         if d is not None:
             return d
     # bloom: '=' on a string literal only — a miss proves absence; any hit
@@ -461,5 +631,13 @@ def file_may_match(node: Node, lower: dict[str, str], upper: dict[str, str],
             and not bloom_may_contain(blooms[node.col], node.value)):
         return False
     return _cmp_maybe_match(
-        node.op, lower.get(node.col), upper.get(node.col), node.value
+        node.op, lower.get(node.col), upper.get(node.col), node.value, ctype
     )
+
+
+def _norm_type(t: str | None) -> str | None:
+    """Spark simpleString → the base type the coercion switches on
+    (``decimal(10,2)`` → ``decimal``)."""
+    if t is None:
+        return None
+    return t.strip().lower().split("(", 1)[0]

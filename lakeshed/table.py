@@ -1519,6 +1519,26 @@ class LakeTable:
             for k, v in LakeTable._partition_values(path).items()
         }
 
+    @staticmethod
+    def _schema_types(commit: "Commit"):
+        """Per-AddFile column→type lookup from the commit log's schema
+        map (memoized per schema version) — pruning compares stats in
+        the column's TRUE domain instead of shape-guessing (r12 review:
+        lexicographic bounds of a string column wrongly refuted numeric
+        predicates; percent-escaped timestamps wrongly pruned their own
+        partition)."""
+        memo: dict[int, dict[str, str]] = {}
+
+        def get(a: AddFile) -> dict[str, str]:
+            sv = a.schema_version
+            if sv not in memo:
+                fields = (commit.schemas.get(str(sv))
+                          or commit.schemas.get(sv) or [])
+                memo[sv] = {f.name: f.type for f in fields}
+            return memo[sv]
+
+        return get
+
     def plan_files(self, where: str | None = None,
                    version: int | None = None) -> list[AddFile]:
         """S14 — manual scan planning (``table.newScan().filter(...)
@@ -1533,11 +1553,13 @@ class LakeTable:
         if where is None:
             return live
         node = parse_predicate(where)
+        types = self._schema_types(commit)
         return [
             a for a in live
             if file_may_match(node, a.lower_bounds, a.upper_bounds,
-                              self._partition_values(a.path), a.dicts,
-                              a.null_counts, a.rows, a.blooms)
+                              self._partition_values_decoded(a.path),
+                              a.dicts, a.null_counts, a.rows, a.blooms,
+                              types(a))
         ]
 
     def scan(self, where: str | None = None,
@@ -1783,11 +1805,13 @@ class LakeTable:
             from lakeshed.pruning import file_may_match, parse_predicate
 
             node = parse_predicate(where_str)
+            types = self._schema_types(commit)
             candidates = [
                 a for a in live
                 if file_may_match(node, a.lower_bounds, a.upper_bounds,
-                                  self._partition_values(a.path), a.dicts,
-                                  a.null_counts, a.rows, a.blooms)
+                                  self._partition_values_decoded(a.path),
+                                  a.dicts, a.null_counts, a.rows, a.blooms,
+                                  types(a))
             ]
             if not candidates:
                 return set()
@@ -1798,14 +1822,25 @@ class LakeTable:
             .distinct()
             .collect()
         )
+        return {self._uri_to_rel(r["__file"]) for r in matched}
+
+    def _uri_to_rel(self, p: str) -> str:
+        """``_metadata.file_path`` → the table-relative path AddFile
+        records. The metadata column is a Hadoop Path URI, so on-disk
+        bytes come back percent-ENCODED ('ts=2024-01-02 00%3A00%3A00/…'
+        → '…02%2000%253A00%253A00/…'); comparing it raw against
+        AddFile.path matched nothing, which silently turned UPDATE/
+        DELETE/MERGE on such files into no-ops that logged a remove for
+        a path that does not exist (r12 review follow-on: exposed once
+        partition-value pruning stopped wrongly refuting those files
+        first). One unquote is the exact inverse of the URI encoding."""
+        from urllib.parse import unquote
+
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        p = unquote(p)
         prefix_len = len(os.path.abspath(self.path)) + 1
-        rel = set()
-        for r in matched:
-            p = r["__file"]
-            if p.startswith("file:"):
-                p = p[len("file:"):]
-            rel.add(os.path.abspath(p)[prefix_len:])
-        return rel
+        return os.path.abspath(p)[prefix_len:]
 
     def _dml_commit_args(
         self, branch: str, wap_id: str | None, *, pin: bool = True
@@ -2053,19 +2088,29 @@ class LakeTable:
                                 v, (int, float, str)
                             ):
                                 continue  # timestamps etc.: skip, stay MAYBE
-                            if isinstance(v, int):
-                                if abs(v) > 2**53:  # float-lossy: stay MAYBE
-                                    continue
-                                v = float(v)
+                            if isinstance(v, float) and v != v:
+                                # NaN key in the batch: F.max sorts NaN
+                                # greatest, and 'k <= NaN' is unordered —
+                                # building the conjunct refuted EVERY
+                                # stats-bearing file and turned the whole
+                                # batch's updates into duplicate inserts
+                                # (r12 review; pruning.py also guards)
+                                continue
+                            # ints stay ints: pruning compares exactly
+                            # now, so >2^53 keys prune instead of
+                            # skipping (the old float round-trip guard)
                             c = Comparison(k, op, v)
                             node = c if node is None else BoolOp("and", node, c)
                     if node is not None:
+                        types = self._schema_types(head_commit)
                         candidates = [
                             a for a in live
                             if file_may_match(node, a.lower_bounds,
                                               a.upper_bounds,
-                                              self._partition_values(a.path),
-                                              a.dicts, blooms=a.blooms)
+                                              self._partition_values_decoded(
+                                                  a.path),
+                                              a.dicts, blooms=a.blooms,
+                                              types=types(a))
                         ]
             if candidates:
                 target = self._read_adds(head_commit, candidates,
@@ -2075,12 +2120,8 @@ class LakeTable:
                     [target[k] == src[k] for k in keys],
                 )
                 hit_rows = target.join(src, key_cond, "left_semi")
-                prefix_len = len(os.path.abspath(self.path)) + 1
                 for r in hit_rows.select("__file").distinct().collect():
-                    p = r["__file"]
-                    if p.startswith("file:"):
-                        p = p[len("file:"):]
-                    hit.add(os.path.abspath(p)[prefix_len:])
+                    hit.add(self._uri_to_rel(r["__file"]))
 
             hit_adds = [a for a in live if a.path in hit]
             adds: list[AddFile] = []

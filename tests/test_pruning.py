@@ -47,7 +47,35 @@ SF = os.environ.get("LAKESHED_TEST_SF", "/root/testdata/sf0.001")
 )
 def test_file_may_match(pred, lo, hi, expect):
     node = parse_predicate(pred)
-    assert file_may_match(node, {"x": lo}, {"x": hi}, {}) is expect
+    # the column type rides along in production (wave 20): numeric
+    # pruning is exact when the commit-log schema says the column is
+    # numeric; the untyped fallback is tested separately below
+    types = {"x": "bigint", "y": "bigint"}
+    assert file_may_match(node, {"x": lo}, {"x": hi}, {},
+                          types=types) is expect
+
+
+def test_wave20_untyped_fallback_prunes_only_on_order_agreement():
+    """Without the column type, a numeric conclusion is drawn only when
+    the numeric and lexicographic orderings of (stat, literal) agree —
+    a STRING column's lex bounds do not bound the numeric cast domain
+    (r12 review: lex bounds ['1000','999'] wrongly refuted x = 1000
+    though the row '1000' is in the file)."""
+    # the reviewer's reproduction: row '1000' present, lex lo='1000'
+    assert file_may_match(
+        parse_predicate("x = 1000"), {"x": "1000"}, {"x": "999"}, {})
+    # agreement cases still prune untyped
+    assert not file_may_match(
+        parse_predicate("x = 5"), {"x": "60"}, {"x": "70"}, {})
+    # typed string column + numeric literal: Spark casts the COLUMN, so
+    # lex bounds prove nothing → conservative keep
+    assert file_may_match(
+        parse_predicate("x = 500"), {"x": "1000"}, {"x": "999"}, {},
+        types={"x": "string"})
+    # typed numeric column: exact numeric pruning regardless of lex order
+    assert not file_may_match(
+        parse_predicate("x = 500"), {"x": "1000"}, {"x": "2000"}, {},
+        types={"x": "bigint"})
 
 
 def test_is_null_pruning_uses_null_counts():
@@ -513,6 +541,93 @@ def test_wave15_quoted_numeric_and_tz_stats_never_wrong_prune(cat, spark):
         parse_predicate("ts = '1995-01-01'"), lo, hi, {})
     assert file_may_match(
         parse_predicate("ts >= '1995-01-01 00:00:00'"), lo, hi, {})
+
+
+def test_wave20_bigint_precision_nan_bool_inlist_and_depth():
+    """r12 review batch: (a) int literals beyond 2^53 compare exactly —
+    float(raw) rounding made '!=' refute a single-valued bigint file
+    whose true value differs from the literal; (b) NaN literals never
+    refute ordered bounds; (c) boolean stats stringify as 'True'/'False'
+    (python repr) and must not lex-compare against SQL 'true'; (d) a
+    3000-value IN list evaluates flat instead of recursing one frame per
+    value; (e) monster AND chains degrade to keep-all, never
+    RecursionError."""
+    from lakeshed.pruning import InList
+
+    # (a) 2^53+1 single-valued file, != 2^53 → values DIFFER, keep
+    big, big1 = 2**53, 2**53 + 1
+    assert file_may_match(
+        parse_predicate(f"x != {big}"), {"x": str(big1)}, {"x": str(big1)},
+        {}, types={"x": "bigint"})
+    # equality beyond 2^53 stays exact both directions
+    assert not file_may_match(
+        parse_predicate(f"x = {big}"), {"x": str(big1)}, {"x": str(big1)},
+        {}, types={"x": "bigint"})
+    assert file_may_match(
+        parse_predicate(f"x = {big1}"), {"x": str(big1)}, {"x": str(big1)},
+        {}, types={"x": "bigint"})
+
+    # (b) NaN: unordered against every bound → keep
+    nan = float("nan")
+    from lakeshed.pruning import Comparison
+    assert file_may_match(Comparison("k", "<=", nan),
+                          {"k": "1"}, {"k": "5"}, {}, types={"k": "double"})
+    assert file_may_match(Comparison("k", ">=", nan),
+                          {"k": "1"}, {"k": "5"}, {})
+
+    # (c) boolean stats: all-true file matches flag = 'true'
+    assert file_may_match(
+        parse_predicate("flag = 'true'"), {"flag": "True"},
+        {"flag": "True"}, {}, types={"flag": "boolean"})
+    assert file_may_match(  # untyped fallback normalizes too
+        parse_predicate("flag = 'true'"), {"flag": "True"},
+        {"flag": "True"}, {})
+    assert not file_may_match(
+        parse_predicate("flag = 'false'"), {"flag": "True"},
+        {"flag": "True"}, {}, types={"flag": "boolean"})
+    # binary repr stats never prune
+    assert file_may_match(
+        parse_predicate("payload = 'abc'"), {"payload": "b'abc'"},
+        {"payload": "b'abc'"}, {})
+
+    # (d) 3000-value IN list: flat node, no RecursionError, still prunes
+    vals = ", ".join(str(i) for i in range(3000))
+    node = parse_predicate(f"x IN ({vals})")
+    assert isinstance(node, InList)
+    assert not file_may_match(node, {"x": "5000"}, {"x": "6000"}, {},
+                              types={"x": "bigint"})
+    assert file_may_match(node, {"x": "2999"}, {"x": "6000"}, {},
+                          types={"x": "bigint"})
+
+    # (e) a 2000-clause AND chain: conservative keep, not a crash
+    chain = " AND ".join(f"x != {i}" for i in range(2000))
+    assert file_may_match(parse_predicate(chain),
+                          {"x": "1"}, {"x": "5"}, {}) is True
+
+
+def test_wave20_partition_values_decoded_and_null_sentinel(cat, spark):
+    """r12 review (top finding): pruning compared RAW percent-escaped
+    partition-dir values, so a timestamp partition ('ts=2024-01-01
+    00%3A00%3A00') wrongly pruned its own partition on the exact-match
+    predicate. plan_files/scan now receive the Hive-decoded values; the
+    null-sentinel dir refutes comparisons outright (every row is NULL
+    there)."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1), ("2024-01-02 00:00:00", 2),
+         (None, 3)],
+        "ts string, k int",
+    )
+    t = cat.create_table("default.pdec", df, partition_by=["ts"])
+    # the exact value that Spark percent-escapes in the dir name
+    hits = t.plan_files("ts = '2024-01-01 00:00:00'")
+    assert len(hits) == 1
+    assert t.scan("ts = '2024-01-01 00:00:00'").count() == 1
+    # the null-sentinel partition can match no comparison
+    hits2 = t.plan_files("ts = 'x'")
+    assert hits2 == []
+    # UPDATE through the same pruning path touches the right partition
+    t.update({"k": "k + 10"}, "ts = '2024-01-02 00:00:00'")
+    assert {r.k for r in t.read().collect()} == {1, 12, 3}
 
 
 def test_wave16_mixed_offset_string_stats_never_wrong_prune():
