@@ -1243,7 +1243,7 @@ def duplicate_spans(
 
     from lakeshed.llm.text import ngrams
 
-    if not isinstance(window, int) or window < 2:
+    if not isinstance(window, (int, np.integer)) or isinstance(window, bool) or window < 2:
         raise ValueError(
             f"window must be an int >= 2 tokens, got {window!r} — "
             "1-token spans would mark every repeated word a duplicate"

@@ -63,6 +63,14 @@ def _norm_d(a: Column) -> Column:
     )
 
 
+def _is_int(x) -> bool:
+    """Integer check that admits numpy integer scalars (a k derived via
+    ``np.ceil``/collected counts is a legitimate caller value — r12
+    review: ``isinstance(np.int64(50), int)`` is False and the wave-17
+    guards rejected it) while still rejecting bools."""
+    return isinstance(x, (int, np.integer)) and not isinstance(x, bool)
+
+
 def _guarded_cos(dot: Column, norm_product: Column) -> Column:
     """Cosine with ONLY the true 0/0 case pinned to 0 — a zero-norm side
     has similarity 0 to everything instead of NULL (0/0 under ANSI-off),
@@ -158,12 +166,22 @@ def cosine_pairs_brute(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.round(
+            # byte-identical zero-norm twins report cos 1.0 (the
+            # duplicate verdict) instead of the guard's 0/0→0 pin —
+            # without this the exact-dup guarantee broke for vectors
+            # whose squared-sum norm underflows to 0.0 (all-zero or
+            # subnormal-magnitude embeddings; r12 review — the same
+            # disjunct semantic_dedup has carried since wave 11)
+            F.when(
+                (F.col("l.nrm") * F.col("r.nrm") == 0.0)
+                & (F.col("l.v") == F.col("r.v")),
+                F.lit(1.0),
+            ).otherwise(F.round(
                 _guarded_cos(
                     _dot_d(F.col("l.v"), F.col("r.v")),
                     F.col("l.nrm") * F.col("r.nrm"),
                 ), 4
-            ).alias("cos"),
+            )).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
@@ -200,33 +218,15 @@ def _all_plane_dots(vec_d: Column, pt: Column, dim: int,
     )
 
 
-def _plane_dots_arrow(flat_planes: list[list[float]]):
-    """Arrow-batched plane·vector products: one numpy matmul per batch
-    ((batch × dim) @ (dim × n_planes)) instead of an interpreted aggregate
-    fold per row. Sign-noise vs the HOF fold only matters for dots ≈ 0,
-    which is symmetric bucket noise — recall is asserted in unit tests."""
-    pt = np.asarray(flat_planes, dtype=np.float64).T  # (dim, n_planes)
-
-    @F.pandas_udf("array<double>")
-    def kernel(vs: pd.Series) -> pd.Series:
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        if len(mat) == 0:
-            return pd.Series([], dtype=object)
-        dots = mat @ pt
-        return pd.Series(list(dots))
-
-    return kernel
-
-
 def _bucket_arrow(flat_planes: list[list[float]], bits: int, tables: int):
     """Arrow-batched signature kernel: matmul the plane matrix AND pack the
-    per-table sign bits in numpy, returning one ``array<bigint>`` of length
-    ``tables`` per row. Bucket values are bit-for-bit what
-    :func:`_pack_bucket` computes over :func:`_plane_dots_arrow` output
-    (same float64 dots, same ``>= 0`` test) — but the Spark plan shrinks
+    per-table sign bits in numpy — one ``(batch × dim) @ (dim × planes)``
+    float64 matmul, then a ``>= 0`` sign test per plane — returning one
+    ``array<bigint>`` of length ``tables`` per row. The Spark plan shrinks
     from ``tables × bits`` unrolled when-trees (thousands of py4j calls to
     BUILD, a wide tree for every Catalyst pass to WALK) to a single UDF +
-    posexplode."""
+    posexplode. (A separate dots-only Arrow kernel existed but had no
+    caller — removed in r12; this docstring is its spec now.)"""
     pt = np.asarray(flat_planes, dtype=np.float64).T  # (dim, tables*bits)
     weights = (1 << np.arange(bits, dtype=np.int64))  # bit i → 2^i
 
@@ -371,13 +371,21 @@ def ann_pairs_lsh(
                           F.col("nrm").alias("n_b")), "id_b")
         .select(
             "id_a", "id_b",
-            F.round(
+            # byte-identical zero-norm twins verify at cos 1.0 (they DO
+            # share every LSH bucket: all sign bits of zero dots agree)
+            # instead of the 0/0→0 pin dropping them — mirrors
+            # cosine_pairs_brute and semantic_dedup (r12 review)
+            F.when(
+                (F.col("n_a") * F.col("n_b") == 0.0)
+                & (F.col("v_a") == F.col("v_b")),
+                F.lit(1.0),
+            ).otherwise(F.round(
                 _guarded_cos(
                     _dot_d(F.col("v_a"), F.col("v_b")),
                     F.col("n_a") * F.col("n_b"),
                 ),
                 4,
-            ).alias("cos"),
+            )).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
@@ -405,6 +413,8 @@ def ivf_index(
     index. Complements :func:`lsh_index`: IVF adapts to data geometry
     (centroids live where vectors are), LSH is oblivious but needs no
     training pass."""
+    if not _is_int(k) or k < 1:
+        raise ValueError(f"IVF needs at least one list, got k={k!r}")
     if train_iters > 0:
         cents = list(enumerate(kmeans_fit(
             df, k, None, iters=train_iters,
@@ -418,6 +428,10 @@ def ivf_index(
             .limit(k)
             .collect()
         )
+        if not cent_rows:
+            # loud, like the trained path's kmeans_fit — an empty corpus
+            # previously surfaced as an opaque numpy AxisError here
+            raise ValueError("IVF index requires at least one vector")
         cents = [(r[0], list(r[1])) for r in cent_rows]
     cn = np.asarray([c[1] for c in cents], dtype=np.float64)
     # zero-norm guard (r11 review wave 11): an all-zero centroid (zero
@@ -479,7 +493,12 @@ def _rank_probe_lists(
 ) -> list[int]:
     """The nprobe centroid ids nearest the query by cosine — THE ONE
     ranking shared by the frame-level and table-level probes (a guard or
-    tie-break fix applied to one must not diverge the other)."""
+    tie-break fix applied to one must not diverge the other — r12
+    review: the nprobe guard lived only on the table path, so
+    ``ivf_topk(..., nprobe=0)`` silently returned empty and a negative
+    nprobe silently probed n-|nprobe| lists)."""
+    if not _is_int(nprobe) or nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe!r}")
     qn = np.asarray(query_vec, dtype=np.float64)
     qn = qn / max(np.linalg.norm(qn), 1e-30)
     cn = np.asarray(cents, dtype=np.float64)
@@ -840,7 +859,7 @@ def semantic_dedup_auto_k(n: int, target_cluster_size: int = 256) -> int:
     here, because a cap would quietly reintroduce the quadratic slope."""
     import math
 
-    if not isinstance(target_cluster_size, int) or target_cluster_size < 1:
+    if not _is_int(target_cluster_size) or target_cluster_size < 1:
         raise ValueError(
             "target_cluster_size must be a positive int, got "
             f"{target_cluster_size!r} — it bounds the expected pair work "
@@ -886,7 +905,7 @@ def semantic_dedup(
     ``target_cluster_size`` for finer boundaries, or run
     :func:`ann_pairs_lsh` for boundary-oblivious recall).
     """
-    if k is not None and (not isinstance(k, int) or k < 1):
+    if k is not None and (not _is_int(k) or k < 1):
         raise ValueError(
             f"k must be a positive int or None (auto: one cluster per "
             f"~{target_cluster_size} vectors), got {k!r}"
@@ -964,4 +983,10 @@ def pca_transform(df: DataFrame, model: dict, vec_col: str = "embedding",
         out = m @ comps.T
         return pd.Series(list(out.astype(np.float32)))
 
-    return df.withColumn(out_col, project(F.col(vec_col))).drop(vec_col)
+    projected = df.withColumn(out_col, project(F.col(vec_col)))
+    if out_col == vec_col:
+        # withColumn already replaced the column in place; dropping it
+        # here would delete the just-computed projection and silently
+        # return a frame with NEITHER vectors nor PCA output (r12 review)
+        return projected
+    return projected.drop(vec_col)

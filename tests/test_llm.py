@@ -1059,6 +1059,67 @@ def test_substring_dedup_single_exchange_plan(spark):
     assert n_exchanges == 1, plan
 
 
+def test_wave21_similarity_guards_and_edge_semantics(spark):
+    """r12 similarity review batch: (a) nprobe is validated on BOTH
+    probe paths (frame-level ivf_topk silently returned empty at
+    nprobe=0 and probed n-1 lists at nprobe=-1); (b) ivf_index raises a
+    loud ValueError on an empty corpus / k<1 instead of an opaque numpy
+    AxisError; (c) numpy integer parameters are accepted (np.int64 k
+    from np.ceil-derived sizing was rejected by the wave-17 guard); (d)
+    pca_transform(out_col == vec_col) keeps the projection instead of
+    dropping the just-computed column; (e) byte-identical zero-norm
+    vectors verify as duplicates (cos 1.0) in cosine_pairs_brute and
+    ann_pairs_lsh, mirroring semantic_dedup's exact-dup guarantee."""
+    import numpy as np
+    import pytest
+
+    vecs = [(i, [float(i), 1.0, 0.5]) for i in range(12)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    # (a) both probe paths reject nonsense nprobe
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.ivf_topk(df, [1.0, 0.0, 0.0], nprobe=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.ivf_topk(df, [1.0, 0.0, 0.0], nprobe=-1)
+
+    # (b) loud errors on degenerate index inputs
+    empty = df.where(F.lit(False))
+    with pytest.raises(ValueError, match="at least one vector"):
+        similarity.ivf_index(empty, k=4)
+    with pytest.raises(ValueError, match="at least one list"):
+        similarity.ivf_index(df, k=0)
+
+    # (c) numpy integers are legitimate derived parameters
+    out = similarity.semantic_dedup(
+        df, k=np.int64(3), threshold=0.999, iters=1)
+    assert out.count() == 12
+    assert similarity.semantic_dedup_auto_k(
+        100, target_cluster_size=np.int64(10)) == 10
+    from lakeshed.llm.dedup import duplicate_spans
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string")
+    assert duplicate_spans(docs, window=np.int64(4)).count() == 4
+
+    # (d) in-place PCA projection survives
+    model = similarity.pca_fit(df, 3, k=2)
+    proj = similarity.pca_transform(df, model, out_col="embedding")
+    row = proj.where(F.col("vec_id") == 3).first()
+    assert len(row.embedding) == 2  # the 2-dim projection, not dropped
+
+    # (e) byte-identical all-zero twins are duplicates in BOTH pair paths
+    z = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0]), (2, [0.0, 0.0, 0.0, 0.0]),
+         (3, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    brute = {(r.id_a, r.id_b): r.cos
+             for r in similarity.cosine_pairs_brute(z, 0.95).collect()}
+    assert brute == {(1, 2): 1.0}
+    lsh = {(r.id_a, r.id_b): r.cos
+           for r in similarity.ann_pairs_lsh(
+               z, 4, threshold=0.95, bits=4, tables=8).collect()}
+    assert lsh.get((1, 2)) == 1.0
+
+
 def test_remove_duplicate_spans_matches_python_reference(spark):
     """remove_duplicate_spans == an independent per-token python replay
     of the same semantics (drop tokens covered by any non-canonical
