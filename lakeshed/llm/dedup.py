@@ -1231,16 +1231,22 @@ def duplicate_spans(
     zip-of-slices builds the window strings per document (no row
     blow-up carrying token arrays through a generator), xxhash64
     collapses each to 8 bytes BEFORE the explode, and duplicate marking
-    is ONE hash-partitioned window aggregation (count + min-struct over
-    ``h``) — a single exchange of (id, pos, h) rows, O(total tokens),
-    never pairwise. Docs shorter than ``window`` yield no spans.
+    is a ``groupBy("h")`` aggregation (count + min-struct) REJOINED to
+    the occurrence rows — O(total tokens), never pairwise. The groupBy
+    (not a window over ``partitionBy("h")`` — r12's weak spot) matters
+    for real corpora: a boilerplate/licence span appearing in a few
+    percent of 100 TB puts billions of occurrences behind ONE hash
+    value, and a window function would sort all of them onto a single
+    task. Partial (map-side) aggregation collapses the hot hash to one
+    row per task before the shuffle, and the rejoin is an ordinary
+    equi-join AQE can skew-split (or broadcast: the duplicates-only agg
+    side is tiny next to the corpus). Docs shorter than ``window``
+    yield no spans.
 
     Cross-engine note: equal window text ⇒ equal hash, so oracle
     comparisons against a window-STRING replay agree unless xxhash64
     collides (~n²/2⁶⁴; astronomically unlikely and deterministic on a
     fixed corpus)."""
-    from pyspark.sql import Window as W
-
     from lakeshed.llm.text import ngrams
 
     if not isinstance(window, (int, np.integer)) or isinstance(window, bool) or window < 2:
@@ -1248,7 +1254,18 @@ def duplicate_spans(
             f"window must be an int >= 2 tokens, got {window!r} — "
             "1-token spans would mark every repeated word a duplicate"
         )
+    reserved = {"pos", "h", "occurrences", "is_canonical", "__t", "__first"}
+    if id_col in reserved:
+        # r12 ADVICE: internal/output names must not shadow the id —
+        # the canonical-occurrence struct and the final select would
+        # silently read the wrong column
+        raise ValueError(
+            f"id_col {id_col!r} collides with a reserved output/internal "
+            f"column of duplicate_spans ({sorted(reserved)})"
+        )
     toks = F.split(F.col(text_col), " ")
+    # an input column literally named '__t' is harmless: the projection
+    # below keeps ONLY (id_col, alias __t), so the alias can't collide
     base = (
         df.select(F.col(id_col), toks.alias("__t"))
         .where(F.size("__t") >= window)
@@ -1257,21 +1274,22 @@ def duplicate_spans(
         ngrams(F.col("__t"), window), lambda g: F.xxhash64(g)
     )
     occ = base.select(id_col, F.posexplode(hashes).alias("pos", "h"))
-    w = W.partitionBy("h")
-    first = F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
-    return (
-        occ.withColumn("occurrences", F.count(F.lit(1)).over(w))
-        .withColumn("__first", first)
-        .where(F.col("occurrences") > 1)
-        .select(
-            id_col,
-            "pos",
-            "occurrences",
-            (
-                (F.col(f"__first.{id_col}") == F.col(id_col))
-                & (F.col("__first.pos") == F.col("pos"))
-            ).alias("is_canonical"),
+    dup = (
+        occ.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
         )
+        .where(F.col("occurrences") > 1)
+    )
+    return occ.join(dup, "h").select(
+        id_col,
+        "pos",
+        "occurrences",
+        (
+            (F.col(f"__first.{id_col}") == F.col(id_col))
+            & (F.col("__first.pos") == F.col("pos"))
+        ).alias("is_canonical"),
     )
 
 
@@ -1299,6 +1317,15 @@ def remove_duplicate_spans(
     per-task cost is O(tokens × spans) for that document; upstream
     chunking bounds tokens-per-doc, and such a document loses most of
     its text anyway."""
+    if "__rm_pos" in df.columns:
+        # r12 ADVICE: the span list joins back onto the FULL input frame
+        # under this name — a pre-existing '__rm_pos' would make the
+        # when-guard/filter read the wrong column and silently corrupt
+        # the cleaned text
+        raise ValueError(
+            "input frame already carries the reserved internal column "
+            "'__rm_pos' — rename it before remove_duplicate_spans"
+        )
     spans = duplicate_spans(df, window, text_col, id_col).where(
         ~F.col("is_canonical")
     )

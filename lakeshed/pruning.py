@@ -311,6 +311,17 @@ def _coerce_typed(stat: str, value: Any, op: str,
             return None
         if (ts.tzinfo is None) != (tv.tzinfo is None):
             return None  # mixed awareness: unknown session-tz cast
+        if ctype == "date":
+            # Spark casts the string literal to DATE — truncating any
+            # time-of-day — when compared against a date column
+            # (verified: date '2024-06-15' matches = '2024-06-15
+            # 12:00:00'). Comparing at datetime granularity would see
+            # stat 00:00 < literal 12:00 and wrongly prune the file
+            # (r12 ADVICE). Offset-suffixed literals depend on the
+            # session tz → conservative keep.
+            if tv.tzinfo is not None:
+                return None
+            tv = _dt.datetime(tv.year, tv.month, tv.day)
         return ts, tv
     if ctype == "boolean":
         if op not in ("=", "!="):

@@ -1043,20 +1043,29 @@ def test_substring_dedup_duplicate_spans(spark):
         dedup.duplicate_spans(docs, window=1)
 
 
-def test_substring_dedup_single_exchange_plan(spark):
-    """The duplicate-marking kernel must be ONE hash exchange on the
-    window hash (count + min-struct share the same window spec): a
-    second exchange would mean the plan re-shuffles the corpus-sized
-    occurrence frame. The window hashes must be built per-document
-    BEFORE the explode (no token arrays carried through the generator)."""
+def test_substring_dedup_skewproof_plan(spark):
+    """r12 VERDICT #1 (the one `weak`): duplicate marking must be a
+    groupBy aggregation with MAP-SIDE PARTIAL aggregation + an
+    AQE-splittable rejoin — never a window function over
+    ``partitionBy("h")``, which sorts every occurrence of the hottest
+    boilerplate span onto ONE task at corpus scale. Pin: (a) no Window
+    operator anywhere; (b) a partial count/min runs BEFORE the
+    aggregation exchange (hot hashes collapse to one row per task);
+    (c) exactly two exchanges of the occurrence frame (agg branch +
+    join probe branch — the window plan's 'one exchange' bought its
+    skew trap). The window hashes must still be built per-document
+    BEFORE the explode (no token arrays through the generator)."""
     docs = spark.createDataFrame(
         [(i, " ".join(f"t{i}x{j}" for j in range(20))) for i in range(8)],
         "doc_id long, text string",
     )
     plan = dedup.duplicate_spans(docs, window=16) \
         ._jdf.queryExecution().executedPlan().toString()
-    n_exchanges = plan.count("Exchange")
-    assert n_exchanges == 1, plan
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan and "partial_min" in plan, plan
+    assert plan.count("Exchange") == 2, plan
+    # hashes built pre-explode: the generator emits (pos, h), never __t
+    assert "posexplode(transform" in plan.replace("\n", ""), plan
 
 
 def test_wave21_similarity_guards_and_edge_semantics(spark):
@@ -1171,6 +1180,35 @@ def test_remove_duplicate_spans_matches_python_reference(spark):
     left = dedup.duplicate_spans(cleaned, window=w) \
         .where(~F.col("is_canonical")).count()
     assert left == 0
+
+
+def test_wave22_substring_dedup_reserved_name_guards(spark):
+    """r12 ADVICE (low): the span kernels inject fixed internal names —
+    an input frame already carrying '__rm_pos' would make
+    remove_duplicate_spans' when-guard read the wrong column and
+    silently corrupt the cleaned text, and an id_col named after an
+    output/internal column would shadow it in the canonical-min struct.
+    Both must raise loudly; a harmless extra '__t' column (never joined
+    back) must NOT be rejected."""
+    import pytest
+
+    run = "r0 r1 r2 r3"
+    docs = spark.createDataFrame(
+        [(1, f"a {run} b", [0]), (2, f"{run} x y z", [9])],
+        "doc_id long, text string, __rm_pos array<int>",
+    )
+    with pytest.raises(ValueError, match="__rm_pos"):
+        dedup.remove_duplicate_spans(docs, window=4)
+    for bad in ("pos", "h", "occurrences", "is_canonical", "__first"):
+        d2 = docs.withColumnRenamed("doc_id", bad)
+        with pytest.raises(ValueError, match="reserved"):
+            dedup.duplicate_spans(d2, window=4, id_col=bad)
+    # '__t' in the input is fine: the kernel projects it away first
+    ok = docs.drop("__rm_pos").withColumn("__t", F.lit("noise"))
+    # one shared 4-token run at (1,1) and (2,0) → two duplicated rows
+    assert dedup.duplicate_spans(ok, window=4).count() == 2
+    cleaned = dedup.remove_duplicate_spans(ok, window=4).collect()
+    assert {r.doc_id: r.text for r in cleaned}[2] == "x y z"
 
 
 def test_wave17_semantic_dedup_auto_k_scales_with_corpus(spark):

@@ -656,3 +656,42 @@ def test_wave16_mixed_offset_string_stats_never_wrong_prune():
     # string AND datetime interpretations
     assert not file_may_match(
         parse_predicate("ts = '2025-06-01T00:00:00+00:00'"), lo, hi, {})
+
+
+def test_wave22_date_column_truncates_time_bearing_literal(cat, spark):
+    """r12 ADVICE (medium): Spark casts a string literal to DATE —
+    truncating any time-of-day — when compared against a date column
+    (verified live: date '2024-06-15' matches ``= '2024-06-15
+    12:00:00'``). The typed path compared at datetime granularity, so a
+    file with date bounds lo=hi='2024-06-15' saw stat 00:00 < literal
+    12:00 and wrongly pruned the file, silently dropping rows Spark
+    returns."""
+    lohi = {"d": "2024-06-15"}
+    for pred in ("d = '2024-06-15 12:00:00'",
+                 "d >= '2024-06-15 12:00:00'",
+                 "d <= '2024-06-15 00:00:01'"):
+        assert file_may_match(parse_predicate(pred), lohi, lohi, {},
+                              types={"d": "date"}), pred
+    # truncation must not weaken real pruning: a different day still cuts
+    assert not file_may_match(
+        parse_predicate("d = '2024-06-16 12:00:00'"), lohi, lohi, {},
+        types={"d": "date"})
+    # timestamp columns keep full granularity (literal midnight-cast)
+    ts = {"t": "2024-06-15 00:00:00"}
+    assert not file_may_match(
+        parse_predicate("t = '2024-06-15 12:00:00'"), ts, ts, {},
+        types={"t": "timestamp"})
+    # offset-suffixed literal on a date column: session-tz cast → keep
+    assert file_may_match(
+        parse_predicate("d = '2024-06-16 01:00:00+05:00'"), lohi, lohi,
+        {}, types={"d": "date"})
+
+    # end-to-end: the file must stay in the plan and the row must come
+    # back — pruning agrees with what Spark actually returns
+    df = spark.createDataFrame([("2024-06-15",), ("2024-07-01",)],
+                               "s string").selectExpr("cast(s as date) d")
+    t = cat.create_table("default.dtrunc", df.repartition(2, "d"))
+    pred = "d = '2024-06-15 12:00:00'"
+    assert t.scan(pred).count() == df.where(pred).count() == 1
+    assert len(t.plan_files("d >= '2024-06-15 12:00:00'")) >= 1
+    assert t.scan("d >= '2024-06-15 12:00:00'").count() == 2
