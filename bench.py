@@ -143,7 +143,26 @@ BENCH_NOTES: dict[str, str] = {
         "5 canary-bracketed runs (scripts/attribute_r10.py protocol; "
         "canaries 0.086-0.093 after the first). Cost profile is stage "
         "floor (window agg on the span hash + per-doc agg + join + "
-        "sort over ~220k windows), not data volume."
+        "sort over ~220k windows), not data volume. PLAN CHANGE in r13 "
+        "(VERDICT r12 #1, the one `weak`): duplicate marking moved from "
+        "a partitionBy(h) window — one exchange, but the hottest "
+        "boilerplate span lands on ONE task at corpus scale — to a "
+        "groupBy(h) partial aggregation rejoined on h (map-side combine "
+        "collapses hot hashes; the join is AQE-skew-splittable). New "
+        "quiet band at the r13 plan: 3.11-3.47 s over 5 canary-bracketed "
+        "runs (canaries 0.089-0.111 after the first) — the ~+1 s vs the "
+        "r12 band is the deliberate price of skew-proofing (the "
+        "occurrence frame is computed for both the agg and probe "
+        "branches), not drift."
+    ),
+    "llm_substring_removed": (
+        "New in r13 (VERDICT r12 #3): value-checks the span-REMOVAL "
+        "transform — cleaned-text md5 per document against a full DuckDB "
+        "string replay, on top of r12's span-count gate. Quiet-band "
+        "reference at introduction: 3.05-3.64 s at sf0.1 over 5 "
+        "canary-bracketed runs (canaries 0.071-0.082 after the first). "
+        "Runs the marking kernel plus the per-doc cut join, so it sits "
+        "near llm_substring_dedup's band plus the removal join."
     ),
     "llm_leakage_safe_split": (
         "Times the split projection over a cluster-labels table "

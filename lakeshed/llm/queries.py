@@ -995,6 +995,75 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @qdef(
+    "llm_substring_removed",
+    # Oracle replays the CUT step on the strings end to end: mark
+    # removable occurrences exactly as the llm_substring_dedup oracle
+    # (occ > 1, non-canonical by (doc_id, pos) order), collect each
+    # doc's removable positions, drop every token j covered by any
+    # removable window (p <= j < p+16), and md5 the rejoined text —
+    # a VALUE check of the cleaned corpus, not just span counts
+    # (r12 VERDICT #3: the removal transform was pinned only against a
+    # python replay in pytest). The coalesce around array_to_string
+    # matters: duckdb array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — a fully-boilerplate doc cleans to empty.
+    # (No '--' comments inside the SQL: oracles() collapses whitespace,
+    # which would swallow the rest of the query into the comment.)
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    pos AS (SELECT doc_id, t,
+                   unnest(range(1, greatest(len(t) - 16 + 2, 1))) AS i
+            FROM toks),
+    wins AS (SELECT doc_id, i - 1 AS pos,
+                    array_to_string(t[i:i+15], ' ') AS win
+             FROM pos),
+    marked AS (SELECT doc_id, pos,
+                      count(*) OVER (PARTITION BY win) AS occ,
+                      row_number() OVER (PARTITION BY win
+                                         ORDER BY doc_id, pos) AS rn
+               FROM wins),
+    cov AS (SELECT doc_id, list(DISTINCT j) AS cov FROM
+              (SELECT doc_id, unnest(range(pos, pos + 16)) AS j
+               FROM marked WHERE occ > 1 AND rn > 1)
+            GROUP BY doc_id),
+    cleaned AS (
+      SELECT d.doc_id,
+             CASE WHEN r.cov IS NULL THEN d.text
+                  ELSE coalesce(array_to_string(
+                         list_filter(string_split(d.text, ' '),
+                           (x, j) -> NOT list_contains(r.cov, j - 1)),
+                         ' '), '')
+             END AS ctext
+      FROM documents d LEFT JOIN cov r ON d.doc_id = r.doc_id)
+    SELECT doc_id,
+           md5(ctext)                                    AS cleaned_md5,
+           CAST(len(string_split(ctext, ' ')) AS BIGINT) AS n_tokens_after
+    FROM cleaned
+    ORDER BY doc_id
+    """,
+    "LLM-dedup-substring-removal",
+)
+def llm_substring_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cut step of substring dedup (Lee et al. 2022), value-checked:
+    every token covered by a non-canonical duplicated 16-token window is
+    dropped and the cleaned text is fingerprinted (md5) per document —
+    the oracle rebuilds the cleaned strings independently, so the gate
+    verifies the TRANSFORM output byte-for-byte, not just the span
+    bookkeeping. Engine kernel:
+    :func:`lakeshed.llm.dedup.remove_duplicate_spans` — span marking is
+    the skew-proof groupBy kernel, the cut is one JVM higher-order
+    filter; docs with no removable span pass through untouched."""
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    cleaned = dedup.remove_duplicate_spans(docs, window=16)
+    return cleaned.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("cleaned_md5"),
+        F.size(F.split(F.col("text"), " ")).cast("long")
+        .alias("n_tokens_after"),
+    ).orderBy("doc_id")
+
+
+@qdef(
     "llm_quality_filter",
     f"""
     WITH f AS (

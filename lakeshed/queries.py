@@ -663,6 +663,14 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
                              # llm_lang_id, and llm_lm_score, and the
                              # new llm_substring_dedup gates the
                              # explode+window-agg shape end to end
+    # round-13 rotation: admits llm_substring_removed (the cleaned-text
+    # md5 VALUE check of the span-removal transform, VERDICT r12 #3) to
+    # the head. Demoted:
+    "llm_lm_score",          # pure tokenize+arithmetic projection; the
+                             # same machinery is gated via
+                             # llm_quality_filter and llm_lang_id, and
+                             # its score formula keeps the full local
+                             # differential in the tail
 )
 
 
