@@ -147,22 +147,27 @@ BENCH_NOTES: dict[str, str] = {
         "(VERDICT r12 #1, the one `weak`): duplicate marking moved from "
         "a partitionBy(h) window — one exchange, but the hottest "
         "boilerplate span lands on ONE task at corpus scale — to a "
-        "groupBy(h) partial aggregation rejoined on h (map-side combine "
-        "collapses hot hashes; the join is AQE-skew-splittable). New "
-        "quiet band at the r13 plan: 3.11-3.47 s over 5 canary-bracketed "
-        "runs (canaries 0.089-0.111 after the first) — the ~+1 s vs the "
-        "r12 band is the deliberate price of skew-proofing (the "
-        "occurrence frame is computed for both the agg and probe "
-        "branches), not drift."
+        "groupBy(h) partial aggregation SALT-REPLICATE-rejoined on "
+        "(h, salt(id,pos)) — map-side combine collapses hot hashes, the "
+        "salt deterministically pre-splits the hottest span skew_fanout "
+        "ways, and it restores the plan shape AQE's skew-join rule can "
+        "match (scripts/hot_span_probe.py measures all three). Band at "
+        "the r13 plan: ~3.2-4.3 s over three 5-run attribution passes "
+        "on a flapping box (quiet-bracketed samples 3.19-4.29; fully "
+        "contended passes reached 4.85) — the ~+1-1.5 s vs the r12 "
+        "window plan's 2.00-2.44 band is the deliberate price of "
+        "skew-proofing (the occurrence frame is computed for both the "
+        "agg and probe branches, plus the salt exchange), not drift."
     ),
     "llm_substring_removed": (
         "New in r13 (VERDICT r12 #3): value-checks the span-REMOVAL "
         "transform — cleaned-text md5 per document against a full DuckDB "
-        "string replay, on top of r12's span-count gate. Quiet-band "
-        "reference at introduction: 3.05-3.64 s at sf0.1 over 5 "
-        "canary-bracketed runs (canaries 0.071-0.082 after the first). "
-        "Runs the marking kernel plus the per-doc cut join, so it sits "
-        "near llm_substring_dedup's band plus the removal join."
+        "string replay, on top of r12's span-count gate. Band at "
+        "introduction (salted r13 marking plan): ~3.6-4.5 s at sf0.1 "
+        "across two 5-run attribution passes (quiet samples 3.58-4.00; "
+        "a partially contended pass reached 4.90). Runs the marking "
+        "kernel plus the per-doc cut join, so it sits near "
+        "llm_substring_dedup's band plus the removal join."
     ),
     "llm_leakage_safe_split": (
         "Times the split projection over a cluster-labels table "
@@ -287,25 +292,63 @@ def main() -> None:
     spark = get_spark("lakeshed-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    canary_before = _canary(spark)
+    def _run_suite() -> tuple[dict[str, float], float, float]:
+        cb = _canary(spark)
+        t: dict[str, float] = {}
+        for name, fn in q.spark_queries().items():
+            if name in SKIP:
+                continue
+            # min of two timed runs after an untimed warmup
+            # (_time_query): this box shows multi-x background
+            # contention spikes; the min is the faithful steady-state
+            # cost of the plan (standard noisy-neighbor practice)
+            t[name] = round(_time_query(spark, fn), 3)
+        return t, cb, _canary(spark)
 
-    timings: dict[str, float] = {}
-    for name, fn in q.spark_queries().items():
-        if name in SKIP:
-            continue
-        # min of two timed runs after an untimed warmup (_time_query):
-        # this box shows multi-x background contention spikes; the min
-        # is the faithful steady-state cost of the plan (standard
-        # noisy-neighbor benchmarking practice)
-        timings[name] = round(_time_query(spark, fn), 3)
+    timings, canary_before, canary_after = _run_suite()
 
-    canary_after = _canary(spark)
-
-    total = round(sum(timings.values()), 3)
     try:
         sf = float(SF_DIR.rstrip("/").split("sf")[-1])
     except ValueError:
         sf = None
+
+    # Full-suite contended retry (VERDICT r12 #5): two consecutive
+    # rounds' headline runs were canary-flagged contended and had to be
+    # absorbed via the quiet-band protocol. When the FIRST pass's
+    # canaries fall outside the quiet band, re-run the entire suite
+    # once (~3 min at sf0.1 — budget-bounded, sf0.1 only, and
+    # disableable via BENCH_NO_RETRY=1). If the retry brackets quiet,
+    # ITS timings become the headline (the first pass is preserved in
+    # the detail file); if the retry is also contended, the first pass
+    # stays the headline and the detail documents that both passes saw
+    # a busy box. Per-query methodology is unchanged either way
+    # (untimed warmup + min-of-2 per query), so retry numbers stay
+    # cross-round comparable.
+    first_pass = None
+    contended = (canary_before > CANARY_QUIET_BEFORE_MAX
+                 or canary_after > CANARY_QUIET_AFTER_MAX)
+    if (contended and sf == 0.1
+            and os.environ.get("BENCH_NO_RETRY", "") != "1"):
+        t2, cb2, ca2 = _run_suite()
+        retry_quiet = (cb2 <= CANARY_QUIET_BEFORE_MAX
+                       and ca2 <= CANARY_QUIET_AFTER_MAX)
+        first_pass = {
+            "timings": timings,
+            "total": round(sum(timings.values()), 3),
+            "canary": {"before_sec": canary_before,
+                       "after_sec": canary_after},
+            "promoted_retry": retry_quiet,
+        }
+        if retry_quiet:
+            timings, canary_before, canary_after = t2, cb2, ca2
+            contended = False
+        else:
+            first_pass["retry"] = {
+                "total": round(sum(t2.values()), 3),
+                "canary": {"before_sec": cb2, "after_sec": ca2},
+            }
+
+    total = round(sum(timings.values()), 3)
 
     # Full per-query map → repo detail file. Round stamp: explicit
     # $SPARK_GRAFT_ROUND when set; fallback counts the driver's prior
@@ -327,14 +370,13 @@ def main() -> None:
     detail_name = f"BENCH_DETAIL_r{rnd:02d}.json"
 
     # Contended-round self-attribution (VERDICT r10 #2): when either
-    # canary sample falls outside its quiet band, automatically re-run
+    # canary sample falls outside its quiet band (and the full-suite
+    # retry above didn't produce a quiet pass), automatically re-run
     # the worst drifters vs the PRIOR round's detail file after the
     # suite and record both samples — the "attribute last round's
     # drift" task becomes an artifact instead of next round's homework.
     # The headline total keeps the in-suite samples (methodology
     # unchanged); re-runs are extra evidence, not replacements.
-    contended = (canary_before > CANARY_QUIET_BEFORE_MAX
-                 or canary_after > CANARY_QUIET_AFTER_MAX)
     reruns: dict = {}
     if contended and sf == 0.1:
         prior_rnd, prior_t, prior_contended = _prior_detail(repo, rnd)
@@ -391,6 +433,14 @@ def main() -> None:
                     # check contended_reruns for the post-suite samples
                     "contended": contended,
                     "contended_reruns": reruns,
+                    # present only when the first pass was contended and
+                    # the full suite re-ran (VERDICT r12 #5): the first
+                    # pass's timings/canaries, whether the retry was
+                    # promoted to headline, and — when the retry was
+                    # ALSO contended — its total/canaries (box reality
+                    # documented)
+                    **({"contended_first_pass": first_pass}
+                       if first_pass else {}),
                     # bench minus the measured per-shape micro-batch
                     # floor (SCALING.md §streaming): the data-dependent
                     # part of each stream row; |residual drift| ≤0.15 s
@@ -424,6 +474,7 @@ def main() -> None:
             "n_queries": len(timings),
             "canary": [canary_before, canary_after],
             **({"contended": True} if contended else {}),
+            **({"retried": True} if first_pass else {}),
             "detail": detail_name,
         },
         separators=(",", ":"),

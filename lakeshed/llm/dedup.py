@@ -1215,6 +1215,7 @@ def duplicate_spans(
     window: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    skew_fanout: int = 32,
 ) -> DataFrame:
     """Substring-level exact dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): find every length-
@@ -1238,9 +1239,20 @@ def duplicate_spans(
     percent of 100 TB puts billions of occurrences behind ONE hash
     value, and a window function would sort all of them onto a single
     task. Partial (map-side) aggregation collapses the hot hash to one
-    row per task before the shuffle, and the rejoin is an ordinary
-    equi-join AQE can skew-split (or broadcast: the duplicates-only agg
-    side is tiny next to the corpus). Docs shorter than ``window``
+    row per task before the agg shuffle; the REJOIN is salt-replicated
+    (``skew_fanout``): the occurrence side keys the exchange on
+    ``(h, salt(id, pos))`` and the duplicates-only agg side explodes
+    across all salts, so the hot hash is deterministically pre-split
+    ``skew_fanout`` ways. Salting — not AQE — carries the skew claim:
+    Spark's OptimizeSkewedJoin only matches a join whose children are
+    Sort-over-shuffle-stage directly, and the agg side's final
+    aggregate sits between its exchange and the join, so AQE could
+    never split this rejoin (measured in scripts/hot_span_probe.py:
+    thresholds at fixture scale, no split). With the salt the agg side
+    reaches the join through a plain required-distribution exchange of
+    the small duplicates-only frame, which restores AQE's pattern as a
+    second line of defense. Set ``skew_fanout`` near the cluster's task
+    parallelism (1 disables salting). Docs shorter than ``window``
     yield no spans.
 
     Cross-engine note: equal window text ⇒ equal hash, so oracle
@@ -1254,7 +1266,13 @@ def duplicate_spans(
             f"window must be an int >= 2 tokens, got {window!r} — "
             "1-token spans would mark every repeated word a duplicate"
         )
-    reserved = {"pos", "h", "occurrences", "is_canonical", "__t", "__first"}
+    if (not isinstance(skew_fanout, (int, np.integer))
+            or isinstance(skew_fanout, bool) or skew_fanout < 1):
+        raise ValueError(
+            f"skew_fanout must be an int >= 1, got {skew_fanout!r}"
+        )
+    reserved = {"pos", "h", "occurrences", "is_canonical", "__t",
+                "__first", "__salt"}
     if id_col in reserved:
         # r12 ADVICE: internal/output names must not shadow the id —
         # the canonical-occurrence struct and the final select would
@@ -1282,7 +1300,25 @@ def duplicate_spans(
         )
         .where(F.col("occurrences") > 1)
     )
-    return occ.join(dup, "h").select(
+    if skew_fanout > 1:
+        # deterministic salt-replicate: each occurrence row carries one
+        # salt, the small duplicates-only side carries all of them —
+        # exactly one match per occurrence, hot hashes spread over
+        # skew_fanout join partitions
+        occ = occ.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(id_col), F.col("pos")),
+                   F.lit(skew_fanout)),
+        )
+        dup = dup.withColumn(
+            "__salt",
+            F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                 F.lit(skew_fanout - 1).cast("bigint"))),
+        )
+        join_keys = ["h", "__salt"]
+    else:
+        join_keys = ["h"]
+    return occ.join(dup, join_keys).select(
         id_col,
         "pos",
         "occurrences",

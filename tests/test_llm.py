@@ -1045,16 +1045,22 @@ def test_substring_dedup_duplicate_spans(spark):
 
 def test_substring_dedup_skewproof_plan(spark):
     """r12 VERDICT #1 (the one `weak`): duplicate marking must be a
-    groupBy aggregation with MAP-SIDE PARTIAL aggregation + an
-    AQE-splittable rejoin — never a window function over
+    groupBy aggregation with MAP-SIDE PARTIAL aggregation + a
+    salt-replicated rejoin — never a window function over
     ``partitionBy("h")``, which sorts every occurrence of the hottest
     boilerplate span onto ONE task at corpus scale. Pin: (a) no Window
     operator anywhere; (b) a partial count/min runs BEFORE the
     aggregation exchange (hot hashes collapse to one row per task);
-    (c) exactly two exchanges of the occurrence frame (agg branch +
-    join probe branch — the window plan's 'one exchange' bought its
-    skew trap). The window hashes must still be built per-document
-    BEFORE the explode (no token arrays through the generator)."""
+    (c) the occurrence side reaches the join exchanged on
+    (h, __salt) — the deterministic hot-key pre-split; AQE's
+    OptimizeSkewedJoin alone can NOT protect this join (it only
+    matches Sort-over-shuffle-stage children, and without the salt the
+    agg side's final aggregate sits between its exchange and the
+    join — measured in scripts/hot_span_probe.py); (d) exactly three
+    exchanges: occ-on-(h,salt), partial→final agg on h, and the small
+    duplicates-only side re-keyed to (h,salt). The window hashes must
+    still be built per-document BEFORE the explode (no token arrays
+    through the generator)."""
     docs = spark.createDataFrame(
         [(i, " ".join(f"t{i}x{j}" for j in range(20))) for i in range(8)],
         "doc_id long, text string",
@@ -1063,9 +1069,17 @@ def test_substring_dedup_skewproof_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "partial_count" in plan and "partial_min" in plan, plan
-    assert plan.count("Exchange") == 2, plan
+    assert plan.count("Exchange") == 3, plan
+    assert plan.count("__salt") >= 2, plan     # both join inputs salted
     # hashes built pre-explode: the generator emits (pos, h), never __t
     assert "posexplode(transform" in plan.replace("\n", ""), plan
+    # fanout=1 disables salting: two exchanges, plain h-join
+    p1 = dedup.duplicate_spans(docs, window=16, skew_fanout=1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" not in p1 and p1.count("Exchange") == 2, p1
+    import pytest
+    with pytest.raises(ValueError, match="skew_fanout"):
+        dedup.duplicate_spans(docs, window=16, skew_fanout=0)
 
 
 def test_wave21_similarity_guards_and_edge_semantics(spark):
