@@ -161,7 +161,33 @@ class Catalog:
         else:
             self._conf[key] = value
 
-    def _run_dml(self, t: LakeTable, fn):
+    def _dml_target(self, name: str) -> tuple[LakeTable, str | None]:
+        """Resolve a DML target that may carry an explicit
+        ``.branch_<name>`` suffix — Iceberg's branch-identifier WRITE
+        surface (``INSERT INTO nyc.t.branch_audit ...``,
+        ``UPDATE/DELETE/MERGE INTO nyc.t.branch_audit``), the write twin
+        of the S6 read relation. Returns (table, branch-or-None).
+        Identifier writes require the branch to EXIST (Iceberg rejects
+        writes to unknown branch refs) — auto-creation is the
+        ``spark.wap.branch`` pin's behavior, not the identifier's. A
+        table whose literal name matches wins over the suffix reading
+        when it exists (same disambiguation as the read path)."""
+        raw = name.replace("`", "")
+        m = re.match(r"(.+)\.branch_(\w+)$", raw)
+        if m and not self._exists(raw) and self._exists(m.group(1)):
+            t = self.table(m.group(1))
+            b = m.group(2)
+            if b != MAIN and b not in t.branches():
+                raise TableError(
+                    f"branch {b!r} does not exist on {m.group(1)!r}: "
+                    "explicit branch-identifier DML writes to an "
+                    "existing branch (CREATE BRANCH first; only the "
+                    "spark.wap.branch pin auto-creates)"
+                )
+            return t, b
+        return self.table(name), None
+
+    def _run_dml(self, t: LakeTable, fn, explicit_branch: str | None = None):
         """Execute one DML statement with the D14 pins applied
         UNIFORMLY (Iceberg stages ALL writes under a pin, not just
         inserts): under ``spark.wap.id`` + ``write.wap.enabled`` the
@@ -170,7 +196,21 @@ class Catalog:
         the table never ran CREATE BRANCH (Iceberg's wap.branch write
         behavior), and dropped again if the STATEMENT fails, so a typo'd
         statement can't leave a stale branch redirecting later pinned
-        reads. ``fn`` receives either ``wap_id=`` or ``branch=``."""
+        reads. ``fn`` receives either ``wap_id=`` or ``branch=``.
+
+        ``explicit_branch`` (a ``.branch_<name>`` DML target, resolved
+        by :meth:`_dml_target`) outranks the session ``spark.wap.branch``
+        pin — Iceberg branch-identifier writes target that ref directly —
+        but conflicts with a live ``spark.wap.id`` staging pin (two
+        different staging destinations for one statement): raise."""
+        if explicit_branch is not None:
+            wap_id = self._conf.get("spark.wap.id")
+            if wap_id and t.properties().get("write.wap.enabled") == "true":
+                raise TableError(
+                    "explicit .branch_<name> DML target conflicts with "
+                    "the spark.wap.id staging pin; unset one"
+                )
+            return fn(branch=explicit_branch)
         wap_id = self._conf.get("spark.wap.id")
         wb = self._conf.get("spark.wap.branch")
         if wap_id and wb:
@@ -263,12 +303,28 @@ class Catalog:
             return t.branches().get(f"wap-{wap_id}")
         return self._dml_read_version(t)
 
-    def _align_to_target(self, t: LakeTable, df: DataFrame) -> DataFrame:
+    def _write_schema_version(
+        self, t: LakeTable, explicit_branch: str | None = None,
+    ) -> int | None:
+        """The snapshot whose schema a write aligns/validates against:
+        the explicit ``.branch_<name>`` target's head when given (it may
+        have evolved past main), else the pin logic."""
+        if explicit_branch is not None:
+            if explicit_branch == MAIN:
+                return None
+            return t.branches().get(explicit_branch)
+        return self._dml_write_version(t)
+
+    def _align_to_target(
+        self, t: LakeTable, df: DataFrame,
+        explicit_branch: str | None = None,
+    ) -> DataFrame:
         """Positional INSERT alignment against the schema the write
         will see (one definition for both INSERT paths)."""
         return df.toDF(*[
             f.name
-            for f in t.schema_fields(version=self._dml_write_version(t))
+            for f in t.schema_fields(
+                version=self._write_schema_version(t, explicit_branch))
         ])
 
     # -------------------------------------------------------------- SQL
@@ -453,18 +509,21 @@ class Catalog:
                 col, _, expr = part.partition("=")
                 assigns[col.strip().strip("`")] = expr.strip()
             # D14 — the wap pins scope DML too (WAP...ipynb cell 21
-            # DELETEs against the staged branch)
-            t = self.table(m.group(1))
+            # DELETEs against the staged branch); an explicit
+            # .branch_<name> target outranks the pin (_dml_target)
+            t, xbr = self._dml_target(m.group(1))
             self._run_dml(
-                t, lambda **kw: t.update(assigns, where=where, **kw)
+                t, lambda **kw: t.update(assigns, where=where, **kw),
+                explicit_branch=xbr,
             )
             return None
         m = re.match(
             r"delete from ((?:`[\w.]+`|[\w.])+) where (.+)$", s, re.IGNORECASE | re.DOTALL
         )
         if m:
-            t = self.table(m.group(1))
-            self._run_dml(t, lambda **kw: t.delete(m.group(2), **kw))
+            t, xbr = self._dml_target(m.group(1))
+            self._run_dml(t, lambda **kw: t.delete(m.group(2), **kw),
+                          explicit_branch=xbr)
             return None
         m = re.match(
             r"alter table ((?:`[\w.]+`|[\w.])+) add constraint (\w+) check \((.+)\)$",
@@ -495,11 +554,12 @@ class Catalog:
                 self.sql(rest) if rest.lower().startswith("select")
                 else self.spark.sql(f"SELECT * FROM {rest}")
             )
-            t = self.table(tbl)
-            df = self._align_to_target(t, df)
+            t, xbr = self._dml_target(tbl)
+            df = self._align_to_target(t, df, explicit_branch=xbr)
             # same D14 staging contract as INSERT INTO below — the
             # full-table swap must not bypass a pinned WAP audit
-            self._run_dml(t, lambda **kw: t.overwrite(df, **kw))
+            self._run_dml(t, lambda **kw: t.overwrite(df, **kw),
+                          explicit_branch=xbr)
             return None
         m = re.match(
             # \b, not a literal space, after SELECT/VALUES: Spark
@@ -519,13 +579,14 @@ class Catalog:
                 df = self.spark.sql(
                     f"SELECT * FROM {rest}"  # VALUES (...) relation
                 )
-            t = self.table(tbl)
+            t, xbr = self._dml_target(tbl)
             # SQL INSERT is positional (W2: df.write.insertInto,
             # Table Maintenance...ipynb:77) — rename to target schema
-            df = self._align_to_target(t, df)
+            df = self._align_to_target(t, df, explicit_branch=xbr)
             # D14 — spark.wap.id pin + write.wap.enabled stages the write
             # (Integrated Audits...ipynb:191,461)
-            self._run_dml(t, lambda **kw: t.append(df, **kw))
+            self._run_dml(t, lambda **kw: t.append(df, **kw),
+                          explicit_branch=xbr)
             return None
         m = re.match(
             r"call\s+(?:[\w]+\.)*(\w+)\s*\((.*)\)$", s,
@@ -799,12 +860,14 @@ class Catalog:
             salias = mm.group(1)
             rest = rest[mm.end():].lstrip()
 
-        t_obj = self.table(tbl)
+        t_obj, xbr = self._dml_target(tbl)
         # validate/expand against the schema the merge will WRITE — a
-        # pinned branch or staged wap-id chain may have evolved past main
+        # pinned branch, explicit .branch_<name> target, or staged
+        # wap-id chain may have evolved past main
         target_cols = [
             f.name for f in
-            t_obj.schema_fields(version=self._dml_write_version(t_obj))
+            t_obj.schema_fields(
+                version=self._write_schema_version(t_obj, xbr))
         ]
 
         # Normalize EQUIVALENT spellings of the target in the ON/WHEN
@@ -1044,7 +1107,7 @@ class Catalog:
             when_not_matched_by_source_update=bysrc_upd,
             when_not_matched_by_source_condition=bysrc_upd_cond,
             **kw,
-        ))
+        ), explicit_branch=xbr)
 
     def _run_select(self, s: str) -> DataFrame:
         for db in self.databases():

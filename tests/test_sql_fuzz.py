@@ -902,3 +902,204 @@ def test_wave9_hint_nested_comment_and_shadow_guard_with_ticks(fcat, spark):
         "ON demo.`nyc.fz`.k = s.k "
         "WHEN MATCHED AND `demo`.`nyc.fz`.k = 1 THEN UPDATE SET v = 'W'")
     assert (1, "W") in _rows(cat)
+
+
+# ---------------------------------------------------------------- r13 classes
+# (VERDICT r12 #7: grow generation to the newer SQL surfaces — CHECK
+# constraint DDL, named-arg CALL forms, branch-suffix relations in DML
+# positions — instead of adding spelling regexes.)
+
+
+def test_fuzz_check_constraint_ddl(fcat, spark):
+    """Generative spellings of ADD CONSTRAINT ... CHECK (...) / DROP
+    CONSTRAINT, asserted on routed EFFECT: the constraint lands in the
+    catalog state, ENFORCES (a violating jittered INSERT aborts and the
+    table is unchanged), and dropping it re-opens the gate."""
+    cat = fcat
+    rng = random.Random(7777)
+    from lakeshed.table import ConstraintViolationError
+
+    for i in range(N):
+        name = "nyc.ck"
+        if cat._exists(name):
+            cat.drop_table(name)
+        cat.create_table(name, spark.createDataFrame(
+            [(1, 50.0)], "k int, price double"))
+        stmt = _render(rng, [
+            "alter", "table", ("name", name),
+            "add", "constraint", ("lit", f"pos{i}"),
+            "check", ("lit", "(price > 0 AND k < 1000)")])
+        cat.sql(stmt)
+        t = cat.table(name)
+        assert set(t.constraints()) == {f"pos{i}"}, stmt
+        bad = _render(rng, [
+            "insert", "into", ("opt", "table"), ("name", name),
+            ("lit", "values (2, -5.0)")])
+        with pytest.raises(ConstraintViolationError):
+            cat.sql(bad)
+        assert t.read().count() == 1, bad   # abort left no partial state
+        drop = _render(rng, [
+            "alter", "table", ("name", name),
+            "drop", "constraint", ("lit", f"pos{i}")])
+        cat.sql(drop)
+        assert t.constraints() == {}, drop
+        cat.sql(f"INSERT INTO {name} VALUES (2, -5.0)")
+        assert t.read().count() == 2
+
+
+def _named_args(rng: random.Random, pairs: list) -> str:
+    """A jittered named-arg CALL list: random arg ORDER, case-jittered
+    arg names (the parser lowercases), whitespace/comments around the
+    ``=>`` arrows and commas."""
+    items = pairs[:]
+    rng.shuffle(items)
+    parts = [
+        _case(rng, k) + _ws(rng) + "=>" + _ws(rng) + v for k, v in items
+    ]
+    return "(" + _ws(rng) + ("," + _ws(rng)).join(parts) + _ws(rng) + ")"
+
+
+def test_fuzz_call_named_args(fcat, spark):
+    """Named-arg CALL forms with the ARG LIST itself generated (prior
+    fuzz jittered only the statement head around a verbatim list):
+    random argument order, arg-name case, comments/whitespace inside
+    the parens, across three procedures with value-checked effects."""
+    cat = fcat
+    rng = random.Random(31337)
+
+    for i in range(N // 2):
+        name = "nyc.cn"
+        if cat._exists(name):
+            cat.drop_table(name)
+        cat.create_table(name, spark.createDataFrame(
+            [(1, "a")], "k int, v string"))
+        t = cat.table(name)
+        for j in range(3):
+            t.append(spark.createDataFrame([(2 + j, "b")],
+                                           "k int, v string"))
+        n_files = t.files().count()
+
+        # rewrite_data_files(table =>, options => map(...))
+        stmt = _render(rng, [
+            "call", ("lit", "demo.system.rewrite_data_files"),
+            ("lit", _named_args(rng, [
+                ("table", f"'{name}'"),
+                ("options", "map('target-file-size-bytes','52428800')"),
+            ]))])
+        out = cat.sql(stmt)
+        assert out.first()["rewritten_data_files_count"] == n_files, stmt
+
+        # rollback_to_snapshot(table =>, snapshot_id =>) — named, shuffled
+        head = t.head()
+        stmt = _render(rng, [
+            "call", ("lit", "system.rollback_to_snapshot"),
+            ("lit", _named_args(rng, [
+                ("table", f"'{name}'"),
+                ("snapshot_id", str(head - 1)),
+            ]))])
+        cat.sql(stmt)
+        assert cat.table(name).head() == head - 1, stmt
+
+        # expire_snapshots(older_than => TIMESTAMP ..., retain_last =>,
+        # table =>) on a FRESH table (no rollback/branch survivors in
+        # play): everything but the retained head expires
+        ename = "nyc.ce"
+        if cat._exists(ename):
+            cat.drop_table(ename)
+        cat.create_table(ename, spark.createDataFrame(
+            [(1, "a")], "k int, v string"))
+        te = cat.table(ename)
+        te.append(spark.createDataFrame([(2, "b")], "k int, v string"))
+        te.append(spark.createDataFrame([(3, "c")], "k int, v string"))
+        n_snaps = te.snapshots().count()
+        stmt = _render(rng, [
+            "call", ("lit", "demo.system.expire_snapshots"),
+            ("lit", _named_args(rng, [
+                ("table", f"'{ename}'"),
+                ("older_than", "TIMESTAMP '3000-01-01 00:00:00'"),
+                ("retain_last", "1"),
+            ]))])
+        out = cat.sql(stmt)
+        assert out.first()["deleted_snapshots_count"] == n_snaps - 1, stmt
+
+
+def test_fuzz_branch_suffix_dml(fcat, spark):
+    """`.branch_<name>` relations in DML TARGET positions (Iceberg
+    branch-identifier writes): INSERT INTO / UPDATE / DELETE / MERGE
+    INTO nyc.t.branch_etl route to the branch ref, main stays
+    untouched, and the final branch state matches a python replay of
+    the same edits. Unknown branches raise (identifier writes never
+    auto-create — that is the wap.branch pin's behavior), the explicit
+    target outranks a live spark.wap.branch pin, and conflicts with a
+    spark.wap.id staging pin raise."""
+    cat = fcat
+    rng = random.Random(90210)
+    from lakeshed.table import TableError
+
+    for i in range(N // 2):
+        name = "nyc.bd"
+        if cat._exists(name):
+            cat.drop_table(name)
+        cat.create_table(name, spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"))
+        t = cat.table(name)
+        t.create_branch("etl")
+
+        stmt = _render(rng, [
+            "insert", "into", ("opt", "table"),
+            ("ref", name, ".branch_etl"),
+            ("lit", "values (3, 'c')")])
+        cat.sql(stmt)
+        stmt = _render(rng, [
+            "update", ("ref", name, ".branch_etl"),
+            "set", ("lit", "v = 'X'"), "where", ("lit", "k = 1")])
+        cat.sql(stmt)
+        stmt = _render(rng, [
+            "delete", "from", ("ref", name, ".branch_etl"),
+            "where", ("lit", "k = 2")])
+        cat.sql(stmt)
+        stmt = _render(rng, [
+            "merge", "into", ("ref", name, ".branch_etl"),
+            "as", ("lit", "tg"), "using",
+            ("lit", "(SELECT 3 AS k, 'z' AS v UNION ALL "
+                    "SELECT 4 AS k, 'w' AS v)"),
+            ("lit", "s"), "on", ("lit", "tg.k = s.k"),
+            "when", "matched", "then", "update",
+            "set", ("lit", "v = s.v"),
+            "when", "not", "matched", "then", "insert", ("lit", "*")])
+        cat.sql(stmt)
+
+        branch_rows = sorted(
+            (r.k, r.v) for r in t.read(branch="etl").collect())
+        assert branch_rows == [(1, "X"), (3, "z"), (4, "w")], stmt
+        main_rows = sorted((r.k, r.v) for r in t.read().collect())
+        assert main_rows == [(1, "a"), (2, "b")]   # main untouched
+
+        # SELECT through the read path agrees with the DML's ref
+        sel = sorted((r.k, r.v) for r in cat.sql(
+            f"SELECT k, v FROM {name}.branch_etl").collect())
+        assert sel == branch_rows
+
+    # unknown branch: loud error, no auto-create
+    with pytest.raises(TableError, match="does not exist"):
+        cat.sql("INSERT INTO nyc.bd.branch_ghost VALUES (9, 'g')")
+    assert "ghost" not in cat.table("nyc.bd").branches()
+
+    # explicit target outranks the wap.branch pin
+    cat.set_conf("spark.wap.branch", "other")
+    try:
+        cat.sql("INSERT INTO nyc.bd.branch_etl VALUES (5, 'p')")
+    finally:
+        cat.set_conf("spark.wap.branch", None)
+    t = cat.table("nyc.bd")
+    assert (5, "p") in {(r.k, r.v) for r in t.read(branch="etl").collect()}
+    assert "other" not in t.branches()   # pin was NOT consulted
+
+    # conflict with a live wap.id staging pin raises
+    t.set_properties(**{"write.wap.enabled": "true"})
+    cat.set_conf("spark.wap.id", "aud1")
+    try:
+        with pytest.raises(TableError, match="wap.id"):
+            cat.sql("INSERT INTO nyc.bd.branch_etl VALUES (6, 'q')")
+    finally:
+        cat.set_conf("spark.wap.id", None)
