@@ -137,6 +137,15 @@ BENCH_NOTES: dict[str, str] = {
         "1.103 s + session-window state store timing); noise, not a "
         "plan change (path untouched in r10)."
     ),
+    "stream_stream_join": (
+        "r13 drift attribution: the r13 headline run (quiet canaries "
+        "0.084/0.082) sampled 5.16 s against the r12 quiet band "
+        "2.44-2.63 s; an isolated 5-run attribution pass the same "
+        "session measured 2.43-2.66 s on quiet canaries — in-band. The "
+        "headline sample was a transient the bracketing canaries did "
+        "not catch (stateful stream-stream join, state-store timing); "
+        "the path is untouched in r13."
+    ),
     "llm_substring_dedup": (
         "New in r12 (Lee-et-al substring dedup gate). Quiet-band "
         "reference measured at introduction: 2.00-2.44 s at sf0.1 over "

@@ -1334,6 +1334,7 @@ def remove_duplicate_spans(
     window: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    skew_fanout: int = 32,
 ) -> DataFrame:
     """The cut step of substring dedup: drop every token covered by a
     NON-canonical duplicated span found by :func:`duplicate_spans`
@@ -1362,7 +1363,8 @@ def remove_duplicate_spans(
             "input frame already carries the reserved internal column "
             "'__rm_pos' — rename it before remove_duplicate_spans"
         )
-    spans = duplicate_spans(df, window, text_col, id_col).where(
+    spans = duplicate_spans(df, window, text_col, id_col,
+                            skew_fanout=skew_fanout).where(
         ~F.col("is_canonical")
     )
     per_doc = spans.groupBy(id_col).agg(

@@ -1080,6 +1080,14 @@ def test_fuzz_branch_suffix_dml(fcat, spark):
             f"SELECT k, v FROM {name}.branch_etl").collect())
         assert sel == branch_rows
 
+    # INSERT OVERWRITE onto the branch ref swaps the BRANCH, not main
+    cat.sql("INSERT OVERWRITE nyc.bd.branch_etl SELECT 7 AS k, 'o' AS v")
+    t = cat.table("nyc.bd")
+    assert [(r.k, r.v) for r in t.read(branch="etl").collect()] == \
+        [(7, "o")]
+    assert sorted((r.k, r.v) for r in t.read().collect()) == \
+        [(1, "a"), (2, "b")]
+
     # unknown branch: loud error, no auto-create
     with pytest.raises(TableError, match="does not exist"):
         cat.sql("INSERT INTO nyc.bd.branch_ghost VALUES (9, 'g')")
