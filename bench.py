@@ -178,6 +178,17 @@ BENCH_NOTES: dict[str, str] = {
         "kernel plus the per-doc cut join, so it sits near "
         "llm_substring_dedup's band plus the removal join."
     ),
+    "llm_incremental_spans": (
+        "New in r13: incremental substring dedup — marks the odd-id "
+        "half of the corpus against the span INDEX (per-hash partial "
+        "aggregates in an ACID table, built once per sf and cached, "
+        "the signature-table fixture pattern), so the timed path is "
+        "the steady state: batch windowing + index semi-join/fold + "
+        "marking join; the stored half's text is never re-windowed. "
+        "Quiet-band reference at introduction: 1.65-1.82 s at sf0.1 "
+        "over 5 canary-bracketed runs (canaries 0.086-0.107 after the "
+        "first)."
+    ),
     "llm_leakage_safe_split": (
         "Times the split projection over a cluster-labels table "
         "materialized ONCE at warmup (the production shape: clustering is "

@@ -1210,6 +1210,64 @@ def simhash_pairs(
     )
 
 
+def _check_span_params(window, skew_fanout, id_col) -> None:
+    """Shared validation for the substring-dedup family."""
+    if (not isinstance(window, (int, np.integer))
+            or isinstance(window, bool) or window < 2):
+        raise ValueError(
+            f"window must be an int >= 2 tokens, got {window!r} — "
+            "1-token spans would mark every repeated word a duplicate"
+        )
+    if (not isinstance(skew_fanout, (int, np.integer))
+            or isinstance(skew_fanout, bool) or skew_fanout < 1):
+        raise ValueError(
+            f"skew_fanout must be an int >= 1, got {skew_fanout!r}"
+        )
+    reserved = {"pos", "h", "occurrences", "is_canonical", "__t",
+                "__first", "__salt", "first_id", "first_pos"}
+    if id_col in reserved:
+        # r12 ADVICE: internal/output names must not shadow the id —
+        # the canonical-occurrence struct and the final select would
+        # silently read the wrong column
+        raise ValueError(
+            f"id_col {id_col!r} collides with a reserved output/internal "
+            f"column of the substring-dedup kernels ({sorted(reserved)})"
+        )
+
+
+def _span_occurrences(
+    df: DataFrame, window: int, text_col: str, id_col: str,
+) -> DataFrame:
+    """(id, pos, h) — one row per stride-1 ``window``-token span: the
+    O(len) zip-of-slices n-gram kernel builds the window strings
+    per-document JVM-side, xxhash64 collapses each to 8 bytes BEFORE
+    the posexplode (no token arrays ride through the generator). THE
+    shared occurrence kernel of the whole substring-dedup family."""
+    from lakeshed.llm.text import ngrams
+
+    toks = F.split(F.col(text_col), " ")
+    # an input column literally named '__t' is harmless: the projection
+    # below keeps ONLY (id_col, alias __t), so the alias can't collide
+    base = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .where(F.size("__t") >= window)
+    )
+    hashes = F.transform(
+        ngrams(F.col("__t"), window), lambda g: F.xxhash64(g)
+    )
+    return base.select(id_col, F.posexplode(hashes).alias("pos", "h"))
+
+
+def _span_agg(occ: DataFrame, id_col: str) -> DataFrame:
+    """Per-hash occurrence aggregate: (h, occurrences, __first) with
+    map-side partial aggregation (hot boilerplate hashes collapse to
+    one row per task before the shuffle)."""
+    return occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     window: int = 16,
@@ -1259,47 +1317,9 @@ def duplicate_spans(
     comparisons against a window-STRING replay agree unless xxhash64
     collides (~n²/2⁶⁴; astronomically unlikely and deterministic on a
     fixed corpus)."""
-    from lakeshed.llm.text import ngrams
-
-    if not isinstance(window, (int, np.integer)) or isinstance(window, bool) or window < 2:
-        raise ValueError(
-            f"window must be an int >= 2 tokens, got {window!r} — "
-            "1-token spans would mark every repeated word a duplicate"
-        )
-    if (not isinstance(skew_fanout, (int, np.integer))
-            or isinstance(skew_fanout, bool) or skew_fanout < 1):
-        raise ValueError(
-            f"skew_fanout must be an int >= 1, got {skew_fanout!r}"
-        )
-    reserved = {"pos", "h", "occurrences", "is_canonical", "__t",
-                "__first", "__salt"}
-    if id_col in reserved:
-        # r12 ADVICE: internal/output names must not shadow the id —
-        # the canonical-occurrence struct and the final select would
-        # silently read the wrong column
-        raise ValueError(
-            f"id_col {id_col!r} collides with a reserved output/internal "
-            f"column of duplicate_spans ({sorted(reserved)})"
-        )
-    toks = F.split(F.col(text_col), " ")
-    # an input column literally named '__t' is harmless: the projection
-    # below keeps ONLY (id_col, alias __t), so the alias can't collide
-    base = (
-        df.select(F.col(id_col), toks.alias("__t"))
-        .where(F.size("__t") >= window)
-    )
-    hashes = F.transform(
-        ngrams(F.col("__t"), window), lambda g: F.xxhash64(g)
-    )
-    occ = base.select(id_col, F.posexplode(hashes).alias("pos", "h"))
-    dup = (
-        occ.groupBy("h")
-        .agg(
-            F.count(F.lit(1)).alias("occurrences"),
-            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
-        )
-        .where(F.col("occurrences") > 1)
-    )
+    _check_span_params(window, skew_fanout, id_col)
+    occ = _span_occurrences(df, window, text_col, id_col)
+    dup = _span_agg(occ, id_col).where(F.col("occurrences") > 1)
     if skew_fanout > 1:
         # deterministic salt-replicate: each occurrence row carries one
         # salt, the small duplicates-only side carries all of them —
@@ -1384,6 +1404,144 @@ def remove_duplicate_spans(
         for c in df.columns
     ]
     return df.join(per_doc, id_col, "left").select(*out_cols)
+
+
+def build_span_index(
+    df: DataFrame,
+    catalog,
+    name: str,
+    *,
+    window: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "error",
+):
+    """Materialize the substring-dedup span INDEX to an ACID
+    ``LakeTable`` — the incremental shape of :func:`duplicate_spans`
+    for a growing corpus, the same contract
+    :func:`build_signature_table` gives MinHash: old text is windowed
+    and hashed ONCE, ever; each new batch folds in with one O(batch)
+    append (:func:`update_span_index`) and is marked against the whole
+    corpus without rescanning it (:func:`batch_duplicate_spans`).
+
+    Storage shape: APPEND-ONLY PARTIAL AGGREGATES — one row per
+    distinct window hash PER INGESTED BATCH: (h, occurrences,
+    first_id, first_pos). Readers fold rows with a sum/min groupBy
+    (associative, so batch boundaries are invisible). A MERGE-upsert
+    index was rejected deliberately: window hashes are uniform, so
+    every batch's keys hit every index file and the O(hit-files) MERGE
+    rewrite degenerates to O(table) per batch; appends stay O(batch)
+    and compaction (``rewrite_data_files``) bounds file counts the
+    usual way. Singleton hashes are stored too — a future batch's
+    window matching a current singleton makes BOTH occurrences
+    duplicated. ``window`` is stamped as a table property and
+    validated on every update/use."""
+    _check_span_params(window, 1, id_col)
+    agg = _span_agg(
+        _span_occurrences(df, window, text_col, id_col), id_col
+    ).select(
+        "h", "occurrences",
+        F.col(f"__first.{id_col}").alias("first_id"),
+        F.col("__first.pos").alias("first_pos"),
+    )
+    return catalog.create_table(
+        name, agg, mode=mode,
+        properties={
+            "lakeshed.spanidx.window": str(window),
+            "lakeshed.spanidx.id_col": id_col,
+        },
+    )
+
+
+def _check_spanidx_props(table, window: int, id_col: str) -> None:
+    props = table.properties()
+    for k, v in (("window", window), ("id_col", id_col)):
+        stored = props.get(f"lakeshed.spanidx.{k}")
+        if stored is not None and stored != str(v):
+            raise ValueError(
+                f"span index was built with {k}={stored}, caller asked "
+                f"for {v} — rebuild or match parameters"
+            )
+
+
+def update_span_index(
+    table,
+    new_docs: DataFrame,
+    *,
+    window: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Fold a NEW batch into the span index: one per-hash partial
+    aggregate of the batch, one ACID append — O(batch) work and write
+    regardless of corpus size; the stored corpus text is never
+    rescanned (the plan reads only ``new_docs``).
+
+    Contract: ``new_docs`` must be previously-unseen documents. Unlike
+    the MinHash signature table (whose rows are per-DOC and self-guard
+    via an id anti-join), index rows are per-hash partials that carry
+    no ingested-id set, so re-feeding a document double-counts its
+    windows — deduplicate the batch on ``id_col`` upstream (this
+    function drops within-batch id duplicates itself)."""
+    _check_span_params(window, 1, id_col)
+    _check_spanidx_props(table, window, id_col)
+    batch = new_docs.dropDuplicates([id_col])
+    agg = _span_agg(
+        _span_occurrences(batch, window, text_col, id_col), id_col
+    ).select(
+        "h", "occurrences",
+        F.col(f"__first.{id_col}").alias("first_id"),
+        F.col("__first.pos").alias("first_pos"),
+    )
+    table.append(agg)
+    return table
+
+
+def batch_duplicate_spans(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    window: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mark the NEW batch's duplicated spans against the WHOLE corpus
+    using the span index (after :func:`update_span_index` folded the
+    batch in): same output contract as :func:`duplicate_spans`
+    restricted to batch rows — (id, pos, occurrences, is_canonical)
+    where ``occurrences`` is the corpus-wide count and the canonical
+    occurrence is the corpus-wide (id, pos) minimum (which may live in
+    an OLD batch, making every new occurrence removable — exactly the
+    boilerplate-accretion case incremental dedup exists for).
+
+    Scale shape: the index is first semi-joined down to the batch's
+    distinct hashes (batch ≪ corpus is the incremental premise, so the
+    relevant slice is batch-sized and AQE typically broadcasts it),
+    partial rows fold with one sum/min groupBy of that slice, and the
+    batch occurrences join the duplicates-only fold — the corpus TEXT
+    is never re-windowed (plan: exactly one generator, over
+    ``new_docs``)."""
+    _check_span_params(window, 1, id_col)
+    occ = _span_occurrences(new_docs, window, text_col, id_col)
+    relevant = index.join(occ.select("h").distinct(), "h", "left_semi")
+    folded = (
+        relevant.groupBy("h")
+        .agg(
+            F.sum("occurrences").alias("occurrences"),
+            F.min(F.struct(F.col("first_id"), F.col("first_pos")))
+            .alias("__first"),
+        )
+        .where(F.col("occurrences") > 1)
+    )
+    return occ.join(folded, "h").select(
+        id_col,
+        "pos",
+        "occurrences",
+        (
+            (F.col("__first.first_id") == F.col(id_col))
+            & (F.col("__first.first_pos") == F.col("pos"))
+        ).alias("is_canonical"),
+    )
 
 
 def ngram_overlap(

@@ -671,6 +671,16 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
                              # llm_quality_filter and llm_lang_id, and
                              # its score formula keeps the full local
                              # differential in the tail
+    # second round-13 rotation: admits llm_incremental_spans (the span
+    # INDEX — incremental substring dedup against a stored corpus,
+    # mirroring gated llm_incremental_minhash's contract). Demoted:
+    "events_gap_fill",       # sequence+explode gap fill + outer-join
+                             # null handling; the generator machinery is
+                             # gated via llm_doc_chunks (sequence+
+                             # explode+slice) and the datetime suite,
+                             # outer-join null semantics via
+                             # stream_static_enrich; full tail
+                             # differential retained
 )
 
 

@@ -265,3 +265,71 @@ def test_duplicate_spans_and_removal_match_reference(spark, docs, window):
         for r in D.remove_duplicate_spans(df, window=window).collect()
     }
     assert got_text == want_text
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(DOC, min_size=1, max_size=10),
+       window=st.integers(min_value=2, max_value=6),
+       fanout=st.sampled_from([1, 2, 32]),
+       hot=st.booleans())
+def test_duplicate_and_remove_spans_match_reference(
+        spark, docs, window, fanout, hot):
+    """duplicate_spans + remove_duplicate_spans vs a plain-Python replay
+    over generated corpora (r13: the salted skew_fanout rejoin must be
+    a pure implementation detail — identical output at fanout 1/2/32).
+    ``hot`` appends one shared ``window``-token line to every doc, the
+    boilerplate profile the salt exists for, so the canonical-minimum
+    tie-break is exercised on a key whose multiplicity equals the
+    corpus size."""
+    from pyspark.sql import functions as F
+
+    from lakeshed.llm import dedup
+
+    if hot:
+        run = " ".join(f"zz{j}" for j in range(window))
+        docs = [d + [run] for d in docs]  # token lists; joined below
+        docs = [" ".join(w for tok in d for w in tok.split(" "))
+                for d in docs]
+    else:
+        docs = [" ".join(d) for d in docs]
+    rows = [(i, t) for i, t in enumerate(docs)]
+
+    # python reference: window -> [(doc, pos)...]; dup if >1 occurrence;
+    # canonical = (doc, pos) minimum; removal cuts covered tokens
+    occ: dict = {}
+    toks = {d: t.split(" ") for d, t in rows}
+    for d in sorted(toks):
+        t = toks[d]
+        for p in range(len(t) - window + 1):
+            occ.setdefault(tuple(t[p:p + window]), []).append((d, p))
+    want_spans = {}
+    rm = {d: set() for d in toks}
+    for lst in occ.values():
+        if len(lst) > 1:
+            first = min(lst)
+            for d, p in lst:
+                want_spans[(d, p)] = (len(lst), (d, p) == first)
+            for d, p in sorted(lst)[1:]:
+                rm[d].update(range(p, p + window))
+    want_clean = {
+        d: " ".join(tok for j, tok in enumerate(t) if j not in rm[d])
+        for d, t in toks.items()
+    }
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_spans = {
+        (r.doc_id, r.pos): (r.occurrences, r.is_canonical)
+        for r in dedup.duplicate_spans(
+            df, window=window, skew_fanout=fanout).collect()
+    }
+    assert got_spans == want_spans
+    got_clean = {
+        r.doc_id: r.text
+        for r in dedup.remove_duplicate_spans(
+            df, window=window, skew_fanout=fanout).collect()
+    }
+    assert got_clean == want_clean
+    if hot:
+        # the planted line is duplicated corpus-wide: exactly one
+        # canonical occurrence of it survives somewhere
+        assert sum(1 for v in got_spans.values() if v[1]) >= 1
