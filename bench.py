@@ -184,10 +184,10 @@ BENCH_NOTES: dict[str, str] = {
         "aggregates in an ACID table, built once per sf and cached, "
         "the signature-table fixture pattern), so the timed path is "
         "the steady state: batch windowing + index semi-join/fold + "
-        "marking join; the stored half's text is never re-windowed. "
-        "Quiet-band reference at introduction: 1.65-1.82 s at sf0.1 "
-        "over 5 canary-bracketed runs (canaries 0.086-0.107 after the "
-        "first)."
+        "salted marking join; the stored half's text is never "
+        "re-windowed. Quiet-band reference at introduction: "
+        "1.55-1.80 s at sf0.1 over 5 canary-bracketed runs (canaries "
+        "0.081-0.086 after the first)."
     ),
     "llm_leakage_safe_split": (
         "Times the split projection over a cluster-labels table "

@@ -1435,10 +1435,14 @@ def build_span_index(
     usual way. Singleton hashes are stored too — a future batch's
     window matching a current singleton makes BOTH occurrences
     duplicated. ``window`` is stamped as a table property and
-    validated on every update/use."""
+    validated on every update/use. Like :func:`update_span_index`, the
+    input is deduplicated on ``id_col`` first — a doc fed twice would
+    double-count its windows."""
     _check_span_params(window, 1, id_col)
     agg = _span_agg(
-        _span_occurrences(df, window, text_col, id_col), id_col
+        _span_occurrences(
+            df.dropDuplicates([id_col]), window, text_col, id_col),
+        id_col,
     ).select(
         "h", "occurrences",
         F.col(f"__first.{id_col}").alias("first_id"),
@@ -1504,6 +1508,7 @@ def batch_duplicate_spans(
     window: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    skew_fanout: int = 32,
 ) -> DataFrame:
     """Mark the NEW batch's duplicated spans against the WHOLE corpus
     using the span index (after :func:`update_span_index` folded the
@@ -1518,10 +1523,13 @@ def batch_duplicate_spans(
     distinct hashes (batch ≪ corpus is the incremental premise, so the
     relevant slice is batch-sized and AQE typically broadcasts it),
     partial rows fold with one sum/min groupBy of that slice, and the
-    batch occurrences join the duplicates-only fold — the corpus TEXT
-    is never re-windowed (plan: exactly one generator, over
-    ``new_docs``)."""
-    _check_span_params(window, 1, id_col)
+    batch occurrences join the duplicates-only fold salt-replicated
+    (``skew_fanout``, same mitigation as :func:`duplicate_spans` — a
+    big batch dominated by one boilerplate line concentrates that hash
+    in the join otherwise) — the corpus TEXT is never re-windowed
+    (plan-pinned: the index scan carries no text column; every
+    generator windows the batch)."""
+    _check_span_params(window, skew_fanout, id_col)
     occ = _span_occurrences(new_docs, window, text_col, id_col)
     relevant = index.join(occ.select("h").distinct(), "h", "left_semi")
     folded = (
@@ -1533,7 +1541,21 @@ def batch_duplicate_spans(
         )
         .where(F.col("occurrences") > 1)
     )
-    return occ.join(folded, "h").select(
+    if skew_fanout > 1:
+        occ = occ.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(id_col), F.col("pos")),
+                   F.lit(skew_fanout)),
+        )
+        folded = folded.withColumn(
+            "__salt",
+            F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                 F.lit(skew_fanout - 1).cast("bigint"))),
+        )
+        join_keys = ["h", "__salt"]
+    else:
+        join_keys = ["h"]
+    return occ.join(folded, join_keys).select(
         id_col,
         "pos",
         "occurrences",

@@ -1275,15 +1275,16 @@ def test_span_index_incremental_matches_full_recompute(spark, tmp_path):
 
     # no corpus re-windowing: the index table stores NO text (its scan
     # schema is the 4 partial-agg columns), so corpus text can't be
-    # re-windowed by construction; the only generators window the BATCH
-    # (its occ frame + the distinct-h semi-join probe), and no window
-    # function appears anywhere
+    # re-windowed by construction; the only WINDOWING generators
+    # (posexplode) run over the BATCH (its occ frame + the distinct-h
+    # semi-join probe — the third Generate is the salt-sequence
+    # explode on the tiny folded side), and no window function appears
     plan = marked._jdf.queryExecution().executedPlan().toString()
     # executed AQE plans print Final AND Initial sections — pin the final
     plan = plan.split("== Initial Plan ==")[0]
     assert "ReadSchema: struct<h:bigint,occurrences:bigint," \
            "first_id:bigint,first_pos:int>" in plan, plan
-    assert plan.count("Generate") == 2, plan
+    assert plan.count("posexplode") == 2, plan
     assert "Window" not in plan, plan
 
     # parameter stamps validate on reuse
