@@ -248,7 +248,9 @@ def simhash_arrow(bits: int = 64):
     def kernel(hs: pd.Series) -> pd.Series:
         out = np.zeros(len(hs), dtype=np.int64)
         for i, arr in enumerate(hs):
-            n = len(arr)
+            # None = NULL token array (callers filter these, but the
+            # kernel must not crash the job if one slips through)
+            n = 0 if arr is None else len(arr)
             if n == 0:
                 continue
             h = np.asarray(arr, dtype=np.int64).astype(np.uint64)[:, None]
@@ -1170,6 +1172,12 @@ def simhash_pairs(
             F.col(id_col).alias("id"),
             hasher(F.array_distinct(tokens(text_col))).alias("hs"),
         )
+        # NULL text tokenizes to a NULL array (size -1): no tokens, no
+        # signature, no pair participation — and the Arrow kernel must
+        # never see None (wave 23: one NULL document crashed the whole
+        # job with an opaque len(None) TypeError). The minhash paths
+        # carry the same guard.
+        .where(F.size("hs") > 0)
         .select("id", sig_expr(F.col("hs")).alias("sig"))
     )
     # both legs of the pigeonhole self-join read this; persisting the

@@ -135,11 +135,14 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k: score every row, TakeOrderedAndProject keeps a
-    per-partition heap of k — no global sort. Ties break on id."""
+    per-partition heap of k — no global sort. Ties break on id. NULL
+    embeddings score NULL and can never rank — excluded (wave 23: they
+    used to pad the result when k exceeded the non-null count)."""
     return (
         _query_cos_frame(
-            df.select(F.col(id_col).alias("id"),
-                      F.col(vec_col).alias("v")),
+            df.where(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.col(vec_col).alias("v")),
             query_vec, id_col,
         )
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
@@ -232,9 +235,23 @@ def _bucket_arrow(flat_planes: list[list[float]], bits: int, tables: int):
 
     @F.pandas_udf("array<bigint>")
     def kernel(vs: pd.Series) -> pd.Series:
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        if len(mat) == 0:
+        if len(vs) == 0:
             return pd.Series([], dtype=object)
+        try:
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        except (TypeError, ValueError) as e:
+            # wave 23: an opaque numpy error from one NULL/ragged vector
+            # used to kill the whole job with no hint of the cause
+            raise ValueError(
+                "embedding column contains NULL or ragged vectors — "
+                "filter/normalize them before LSH indexing"
+            ) from e
+        if mat.ndim != 2 or mat.shape[1] != pt.shape[0]:
+            raise ValueError(
+                f"embedding dim {mat.shape[-1] if mat.ndim == 2 else '?'} "
+                f"does not match index dim {pt.shape[0]} — wrong `dim` "
+                "argument or mixed-dimension corpus"
+            )
         signs = (mat @ pt >= 0).astype(np.int64)
         buckets = signs.reshape(len(mat), tables, bits) @ weights
         return pd.Series(list(buckets))
@@ -268,7 +285,10 @@ def lsh_index(
     planes = _hyperplanes(dim, bits, tables, seed)
     flat = [p for tbl in planes for p in tbl]
     n_planes = len(flat)
-    part = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # a NULL embedding has no geometry: it can never bucket, never pair
+    # — drop it here instead of crashing the signature kernel (wave 23)
+    part = df.where(F.col(vec_col).isNotNull()).repartition(
+        df.sparkSession.sparkContext.defaultParallelism)
     if use_arrow:
         kernel = _bucket_arrow(flat, bits, tables)
         return (
@@ -412,9 +432,14 @@ def ivf_index(
     reads only nprobe/k of the files — the partition-pruned layout IS the
     index. Complements :func:`lsh_index`: IVF adapts to data geometry
     (centroids live where vectors are), LSH is oblivious but needs no
-    training pass."""
+    training pass.
+
+    NULL embeddings are excluded — they can neither seed a centroid,
+    be assigned to a list, nor be found by a probe (wave 23: one NULL
+    vector crashed seed selection with an opaque TypeError)."""
     if not _is_int(k) or k < 1:
         raise ValueError(f"IVF needs at least one list, got k={k!r}")
+    df = df.where(F.col(vec_col).isNotNull())
     if train_iters > 0:
         cents = list(enumerate(kmeans_fit(
             df, k, None, iters=train_iters,
@@ -444,9 +469,21 @@ def ivf_index(
 
     @F.pandas_udf("int")
     def assign(vs: pd.Series) -> pd.Series:
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        if len(mat) == 0:
+        if len(vs) == 0:
             return pd.Series([], dtype="int32")
+        try:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vs])
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                "embeddings must share one dimension — ragged or "
+                "non-numeric vector in the corpus"
+            ) from e
+        if mat.ndim != 2 or mat.shape[1] != cn.shape[1]:
+            raise ValueError(
+                "embeddings must share one dimension — ragged or "
+                "wrong-dimension vector in the corpus"
+            )
         mat = mat / np.maximum(
             np.linalg.norm(mat, axis=1, keepdims=True), 1e-30
         )
@@ -725,6 +762,11 @@ def kmeans_fit(
     :func:`ivf_index`-style assignment for clustered corpora (see its
     docstring) and into :func:`semantic_dedup`.
     """
+    # NULL embeddings carry no geometry — excluded from the fit (wave
+    # 23: list(None) in the init collect crashed with an opaque
+    # TypeError; downstream, kmeans_assign gives such rows a NULL
+    # cluster, so they simply never cluster/dedup)
+    df = df.where(F.col(vec_col).isNotNull())
     init_rows = (
         df.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.concat_ws(":", F.lit(f"km{seed}"),
@@ -740,6 +782,14 @@ def kmeans_fit(
         # with an opaque IndexError): clamp — at k == n every point is
         # its own cluster, which is the correct degenerate fit
         k = len(init_rows)
+    lens = {len(r[1]) for r in init_rows}
+    if len(lens) != 1 or (dim is not None and lens != {dim}):
+        # wave 23: a ragged init sample made `cents` an object array and
+        # the first iteration died in an opaque matmul shape error
+        raise ValueError(
+            f"embeddings must share one dimension (got lengths "
+            f"{sorted(lens)}{f', expected {dim}' if dim else ''})"
+        )
     cents = np.asarray([list(r[1]) for r in init_rows], dtype=np.float64)
     if dim is None:  # infer from the init sample — saves a probe job
         dim = cents.shape[1]
@@ -753,7 +803,22 @@ def kmeans_fit(
             for pdf in batches:
                 if len(pdf) == 0:  # np.stack raises on an empty batch
                     continue
-                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                try:
+                    m = np.stack(
+                        pdf[vec_col].to_numpy()).astype(np.float64)
+                except (TypeError, ValueError) as e:
+                    # wave 23: surface the cause instead of an opaque
+                    # executor numpy error (NULLs are filtered upstream,
+                    # so this is ragged/mixed-dimension data)
+                    raise ValueError(
+                        "embeddings must share one dimension — ragged "
+                        "or non-numeric vector in the corpus"
+                    ) from e
+                if m.shape[1] != dim:
+                    raise ValueError(
+                        f"embeddings must share one dimension (got "
+                        f"{m.shape[1]}, the fit runs at {dim})"
+                    )
                 # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is constant
                 # per row → argmin of the matmul form. ALWAYS this form
                 # (r11 review wave 11): a per-batch switch between this
@@ -809,29 +874,56 @@ def kmeans_assign(
     c = np.asarray(centroids, dtype=np.float64)
     c_sq = (c * c).sum(axis=1)
 
+    def _stack_nonnull(vs: pd.Series):
+        """(mask, matrix) for the non-NULL rows — a NULL embedding has
+        no geometry and gets a NULL cluster (wave 23: np.stack over a
+        batch containing None crashed the job with an opaque matmul
+        shape error); ragged vectors stay a LOUD error."""
+        vals = vs.to_numpy()
+        mask = np.array([v is not None for v in vals])
+        if not mask.any():
+            return mask, None
+        try:
+            return mask, np.stack(vals[mask]).astype(np.float64)
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                "embeddings must share one dimension — ragged or "
+                "non-numeric vector in the corpus"
+            ) from e
+
     if dist_col is None:
         @F.pandas_udf("int")
         def assign(vs: pd.Series) -> pd.Series:
             if len(vs) == 0:  # np.stack raises before a post-hoc len check
-                return pd.Series([], dtype="int32")
-            m = np.stack(vs.to_numpy()).astype(np.float64)
-            d = -2.0 * (m @ c.T) + c_sq[None, :]
-            return pd.Series(np.argmin(d, axis=1).astype("int32"))
+                return pd.Series([], dtype="Int32")
+            mask, m = _stack_nonnull(vs)
+            out = np.full(len(mask), np.nan)
+            if m is not None:
+                d = -2.0 * (m @ c.T) + c_sq[None, :]
+                out[mask] = np.argmin(d, axis=1)
+            return pd.Series(out).astype("Int32")
 
         return df.withColumn(out_col, assign(F.col(vec_col)))
 
     @F.pandas_udf("cluster int, dist double")
     def assign_d(vs: pd.Series) -> pd.DataFrame:
         if len(vs) == 0:
-            return pd.DataFrame({"cluster": pd.Series([], dtype="int32"),
+            return pd.DataFrame({"cluster": pd.Series([], dtype="Int32"),
                                  "dist": pd.Series([], dtype="float64")})
-        m = np.stack(vs.to_numpy()).astype(np.float64)
+        mask, m = _stack_nonnull(vs)
+        oc = np.full(len(mask), np.nan)
+        od = np.full(len(mask), np.nan)
+        if m is None:
+            return pd.DataFrame({"cluster": pd.Series(oc).astype("Int32"),
+                                 "dist": od})
         # ||x-c||² = ||x||² - 2x·c + ||c||² ; the matmul form never
         # materializes the n×k×d difference tensor
         d = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + c_sq[None, :]
         a = np.argmin(d, axis=1)
-        dist = np.sqrt(np.maximum(d[np.arange(len(a)), a], 0.0))
-        return pd.DataFrame({"cluster": a.astype("int32"), "dist": dist})
+        oc[mask] = a
+        od[mask] = np.sqrt(np.maximum(d[np.arange(len(a)), a], 0.0))
+        return pd.DataFrame({"cluster": pd.Series(oc).astype("Int32"),
+                             "dist": od})
 
     tmp = f"__{out_col}_assign"
     return (

@@ -1418,3 +1418,57 @@ def test_wave11_build_cluster_table_releases_persist(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh11"))
     dedup.build_cluster_table(docs, cat, "default.cl11", bands=32)
     assert not _LIVE.get("minhash_lsh_pairs")
+
+
+def test_wave24_null_and_ragged_embeddings_and_null_text(spark):
+    """Hostile-input sweep (r13 review wave 24): one NULL document or
+    NULL/ragged embedding must never crash a corpus job with an opaque
+    executor numpy error. Pinned semantics: NULL text tokenizes to no
+    signature (simhash/minhash: absent from pairing); NULL embeddings
+    are excluded from LSH indexing, IVF lists, top-k ranking, and
+    k-means training, get a NULL cluster from kmeans_assign, and
+    semantic_dedup KEEPS them (nothing to compare); ragged/mixed-dim
+    corpora raise loud ValueErrors naming the problem instead of numpy
+    shape errors."""
+    import pytest
+
+    S = "doc_id long, text string"
+    nulls = spark.createDataFrame([(1, None), (2, "a b c"), (3, "a b c")],
+                                  S)
+    # NULL text: no signature, the twins still pair
+    assert dedup.simhash_pairs(nulls).count() == 1
+    assert dedup.minhash_lsh_pairs(nulls, threshold=0.7).count() == 1
+    all_null = spark.createDataFrame([(1, None), (2, None)], S)
+    assert dedup.simhash_pairs(all_null).count() == 0
+
+    EV = "vec_id long, embedding array<double>"
+    nv = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0]), (3, [1.0, 0.0])], EV)
+    # LSH pairs: the twins pair, the NULL is absent
+    assert similarity.ann_pairs_lsh(
+        nv, 2, threshold=0.9, bits=4, tables=8).count() == 1
+    # top-k never pads with unrankable NULL rows
+    assert similarity.cosine_topk(nv, [1.0, 0.0], k=5).count() == 2
+    # k-means trains on the non-null rows; assignment gives NULL cluster
+    cents = similarity.kmeans_fit(nv, k=2, iters=2)
+    got = {r.vec_id: r.cluster
+           for r in similarity.kmeans_assign(nv, cents).collect()}
+    assert got[1] is None and got[2] is not None
+    # semantic dedup keeps the NULL doc, still drops the twin
+    sem = {r.vec_id: (r.cluster, r.keep)
+           for r in similarity.semantic_dedup(nv, k=2, iters=1).collect()}
+    assert sem[1] == (None, True)
+    assert sem[2][1] is True and sem[3][1] is False
+    # IVF: NULL neither seeds, lists, nor matches
+    assert similarity.ivf_topk(nv, [1.0, 0.0], k=5, nprobe=1).count() == 2
+
+    rg = spark.createDataFrame(
+        [(1, [1.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1])], EV)
+    with pytest.raises(Exception, match="dim"):
+        similarity.ann_pairs_lsh(rg, 2, threshold=0.5, bits=4,
+                                 tables=2).count()
+    with pytest.raises(Exception, match="share one dimension"):
+        similarity.kmeans_fit(rg, k=2, iters=2)
+    ragged_init = spark.createDataFrame([(1, [1.0]), (2, [1.0, 0.0])], EV)
+    with pytest.raises(Exception, match="share one dimension"):
+        similarity.kmeans_fit(ragged_init, k=2, iters=1)

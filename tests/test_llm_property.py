@@ -329,7 +329,8 @@ def test_duplicate_and_remove_spans_match_reference(
             df, window=window, skew_fanout=fanout).collect()
     }
     assert got_clean == want_clean
-    if hot:
-        # the planted line is duplicated corpus-wide: exactly one
-        # canonical occurrence of it survives somewhere
+    if hot and len(docs) > 1:
+        # the planted line is duplicated corpus-wide (needs ≥2 docs —
+        # hypothesis found the single-doc corpus where it occurs once):
+        # at least one canonical occurrence is marked somewhere
         assert sum(1 for v in got_spans.values() if v[1]) >= 1
