@@ -1218,6 +1218,18 @@ def simhash_pairs(
     )
 
 
+def _resolve_fanout(df: DataFrame, skew_fanout) -> int:
+    """``skew_fanout=None`` (the default) derives the hot-key split
+    width from the session's task parallelism — the number of
+    concurrent tasks is exactly how many ways a hot hash is worth
+    splitting (32 on the local test box, total executor cores on a
+    cluster, floored at 32 so a small driver-side session still
+    protects a big read)."""
+    if skew_fanout is None:
+        return max(32, df.sparkSession.sparkContext.defaultParallelism)
+    return skew_fanout
+
+
 def _check_span_params(window, skew_fanout, id_col) -> None:
     """Shared validation for the substring-dedup family."""
     if (not isinstance(window, (int, np.integer))
@@ -1281,7 +1293,7 @@ def duplicate_spans(
     window: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
-    skew_fanout: int = 32,
+    skew_fanout: int | None = None,
 ) -> DataFrame:
     """Substring-level exact dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): find every length-
@@ -1317,14 +1329,17 @@ def duplicate_spans(
     thresholds at fixture scale, no split). With the salt the agg side
     reaches the join through a plain required-distribution exchange of
     the small duplicates-only frame, which restores AQE's pattern as a
-    second line of defense. Set ``skew_fanout`` near the cluster's task
-    parallelism (1 disables salting). Docs shorter than ``window``
+    second line of defense. ``skew_fanout=None`` (default) derives the
+    split width from the session's task parallelism — 32 locally, total
+    executor cores on a cluster (floored at 32); pass 1 to disable
+    salting. Docs shorter than ``window``
     yield no spans.
 
     Cross-engine note: equal window text ⇒ equal hash, so oracle
     comparisons against a window-STRING replay agree unless xxhash64
     collides (~n²/2⁶⁴; astronomically unlikely and deterministic on a
     fixed corpus)."""
+    skew_fanout = _resolve_fanout(df, skew_fanout)
     _check_span_params(window, skew_fanout, id_col)
     occ = _span_occurrences(df, window, text_col, id_col)
     dup = _span_agg(occ, id_col).where(F.col("occurrences") > 1)
@@ -1362,7 +1377,7 @@ def remove_duplicate_spans(
     window: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
-    skew_fanout: int = 32,
+    skew_fanout: int | None = None,
 ) -> DataFrame:
     """The cut step of substring dedup: drop every token covered by a
     NON-canonical duplicated span found by :func:`duplicate_spans`
@@ -1516,7 +1531,7 @@ def batch_duplicate_spans(
     window: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
-    skew_fanout: int = 32,
+    skew_fanout: int | None = None,
 ) -> DataFrame:
     """Mark the NEW batch's duplicated spans against the WHOLE corpus
     using the span index (after :func:`update_span_index` folded the
@@ -1537,6 +1552,7 @@ def batch_duplicate_spans(
     in the join otherwise) — the corpus TEXT is never re-windowed
     (plan-pinned: the index scan carries no text column; every
     generator windows the batch)."""
+    skew_fanout = _resolve_fanout(new_docs, skew_fanout)
     _check_span_params(window, skew_fanout, id_col)
     occ = _span_occurrences(new_docs, window, text_col, id_col)
     relevant = index.join(occ.select("h").distinct(), "h", "left_semi")
