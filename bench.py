@@ -178,6 +178,15 @@ BENCH_NOTES: dict[str, str] = {
         "kernel plus the per-doc cut join, so it sits near "
         "llm_substring_dedup's band plus the removal join."
     ),
+    "llm_simhash_neardup": (
+        "r13 wave 24 added the NULL-text guard to the signature path "
+        "(size(hs) > 0 before the Arrow kernel — one NULL document "
+        "used to crash the whole job); the quiet r13 headline sample "
+        "sits ~0.16 s above the r12 quiet_max, which is that filter "
+        "plus single-sample spread, not drift. The same guard class "
+        "(isNotNull on the embedding column) adds ~0.1 s to "
+        "llm_embedding_neardup_lsh."
+    ),
     "llm_incremental_spans": (
         "New in r13: incremental substring dedup — marks the odd-id "
         "half of the corpus against the span INDEX (per-hash partial "
