@@ -166,7 +166,12 @@ BENCH_NOTES: dict[str, str] = {
         "contended passes reached 4.85) — the ~+1-1.5 s vs the r12 "
         "window plan's 2.00-2.44 band is the deliberate price of "
         "skew-proofing (the occurrence frame is computed for both the "
-        "agg and probe branches, plus the salt exchange), not drift."
+        "agg and probe branches, plus the salt exchange), not drift. "
+        "Late r13: the gate turns on persist_occurrences (the space-"
+        "time knob — one tracked materialization of the (id,pos,h) "
+        "frame per run instead of two computations; release_persisted "
+        "re-pays it every timed run), re-measured band 2.71-2.93 s "
+        "quiet (one contended first sample 3.23, canary 0.33)."
     ),
     "llm_substring_removed": (
         "New in r13 (VERDICT r12 #3): value-checks the span-REMOVAL "
@@ -176,7 +181,9 @@ BENCH_NOTES: dict[str, str] = {
         "across two 5-run attribution passes (quiet samples 3.58-4.00; "
         "a partially contended pass reached 4.90). Runs the marking "
         "kernel plus the per-doc cut join, so it sits near "
-        "llm_substring_dedup's band plus the removal join."
+        "llm_substring_dedup's band plus the removal join. Late r13: "
+        "with the gate's persist_occurrences on (see "
+        "llm_substring_dedup), re-measured band 2.36-2.69 s quiet."
     ),
     "llm_simhash_neardup": (
         "r13 wave 24 added the NULL-text guard to the signature path "

@@ -1294,6 +1294,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     skew_fanout: int | None = None,
+    persist_occurrences: bool = False,
 ) -> DataFrame:
     """Substring-level exact dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): find every length-
@@ -1342,6 +1343,15 @@ def duplicate_spans(
     skew_fanout = _resolve_fanout(df, skew_fanout)
     _check_span_params(window, skew_fanout, id_col)
     occ = _span_occurrences(df, window, text_col, id_col)
+    if persist_occurrences:
+        # space-time knob: the agg and probe branches each recompute
+        # the tokenize+hash+explode otherwise (~40% of wall at bench
+        # scale). The materialized frame is (id, pos, h) ~ O(total
+        # tokens x 20B) — affordable through the low-TB range; at
+        # 100 TB leave False unless storage is provisioned for one
+        # full materialization (recompute is CPU-linear and never
+        # spills). Tracked by release_persisted like the LSH frames.
+        occ = scoped_persist("duplicate_spans", occ)
     dup = _span_agg(occ, id_col).where(F.col("occurrences") > 1)
     if skew_fanout > 1:
         # deterministic salt-replicate: each occurrence row carries one
@@ -1378,6 +1388,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     skew_fanout: int | None = None,
+    persist_occurrences: bool = False,
 ) -> DataFrame:
     """The cut step of substring dedup: drop every token covered by a
     NON-canonical duplicated span found by :func:`duplicate_spans`
@@ -1407,7 +1418,8 @@ def remove_duplicate_spans(
             "'__rm_pos' — rename it before remove_duplicate_spans"
         )
     spans = duplicate_spans(df, window, text_col, id_col,
-                            skew_fanout=skew_fanout).where(
+                            skew_fanout=skew_fanout,
+                            persist_occurrences=persist_occurrences).where(
         ~F.col("is_canonical")
     )
     per_doc = spans.groupBy(id_col).agg(
