@@ -205,6 +205,13 @@ BENCH_NOTES: dict[str, str] = {
         "1.55-1.80 s at sf0.1 over 5 canary-bracketed runs (canaries "
         "0.081-0.086 after the first)."
     ),
+    "llm_weighted_sample": (
+        "New in r13 (tail-born): quality-weighted deterministic "
+        "resampling — one narrow md5-bucket filter against a per-row "
+        "threshold, no shuffle. Quiet-band reference at introduction: "
+        "0.72-0.87 s at sf0.1 over 5 canary-bracketed runs (canaries "
+        "0.096-0.142 after the first)."
+    ),
     "llm_leakage_safe_split": (
         "Times the split projection over a cluster-labels table "
         "materialized ONCE at warmup (the production shape: clustering is "

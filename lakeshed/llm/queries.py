@@ -1072,6 +1072,47 @@ def llm_substring_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@qdef(
+    "llm_weighted_sample",
+    # Oracle replays the per-row Bernoulli draw exactly: the shared
+    # md5 bucket (empty salt — the macro's spelling) against a per-row
+    # threshold round(weight * 1e6), weight = min(n_words/80, 1).
+    # Spark round and duckdb round agree half-up for non-negatives.
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             least(len({_TOKS}) / 80.0, 1.0) AS wt,
+             {_BUCKET} AS bucket
+      FROM documents)
+    SELECT doc_id, round(wt, 4) AS weight
+    FROM w WHERE bucket < round(wt * 1000000)
+    ORDER BY doc_id
+    """,
+    "LLM-weighted-sample",
+)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic resampling
+    (:func:`lakeshed.llm.sampling.weighted_sample` — the DCLM/
+    RefinedWeb-style curation step): every document survives with
+    probability equal to its quality weight (here ``min(n_words/80,
+    1)`` — longer documents keep more mass), decided by content hash,
+    so the sample is reproducible and partitioning-independent and the
+    oracle can replay every individual keep decision. One narrow
+    filter; no shuffle. Production pipelines pass a per-stage ``salt``
+    so different sampling stages draw independently; the gate uses the
+    oracle macro's empty salt."""
+    from lakeshed.llm import sampling
+
+    docs = load_star(spark, sf_dir, "documents")["documents"]
+    n_words = F.size(text.tokens("text"))
+    weight = F.least(n_words / F.lit(80.0), F.lit(1.0))
+    kept = sampling.weighted_sample(
+        docs.withColumn("__w", weight), "__w")
+    return kept.select(
+        "doc_id", F.round("__w", 4).alias("weight")
+    ).orderBy("doc_id")
+
+
 # built span-index tables, one per sf_dir (llm_incremental_spans)
 _SPAN_INDEX_CACHE: dict = {}
 

@@ -57,6 +57,33 @@ def deterministic_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight: Column | str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-row Bernoulli keep with probability ``weight`` (a column or
+    expression in [0, 1]), decided by content hash — the
+    quality-WEIGHTED resampling step of modern curation pipelines
+    (DCLM/RefinedWeb shape: high-quality documents survive with high
+    probability, low-quality ones are down-sampled instead of
+    hard-filtered), reproducible and partitioning-independent like
+    :func:`deterministic_sample`. A row keeps iff its md5 bucket falls
+    below ``round(weight * 1e6)``, so the same engine/oracle bucket
+    arithmetic replays exactly (Spark ``round`` and DuckDB ``round``
+    agree half-up for non-negatives). Weights outside [0, 1] clamp
+    (≥1 always keeps, ≤0 never); NULL weights drop — no evidence, no
+    draw. Narrow filter: no shuffle, no driver involvement."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    # when-chain, NOT least/greatest: those IGNORE nulls (least(NULL,
+    # 1.0) is 1.0), which would silently always-keep a NULL-weight row
+    # instead of dropping it
+    clamped = F.when(w < 0, F.lit(0.0)).when(w > 1, F.lit(1.0)).otherwise(w)
+    thr = F.round(clamped * _BUCKETS).cast("bigint")
+    return df.where(_hash_bucket(F.col(id_col), salt) < thr)
+
+
 def mixture_sample(
     df: DataFrame,
     rates: dict[str, float],

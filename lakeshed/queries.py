@@ -681,6 +681,11 @@ SELF_VERIFIED_TAIL: tuple[str, ...] = (
                              # outer-join null semantics via
                              # stream_static_enrich; full tail
                              # differential retained
+    # tail-born r13 addition (no rotation): the md5-bucket draw is
+    # gated via llm_shard_assign + llm_leakage_safe_split and the
+    # weight projection via llm_quality_filter; the per-row-threshold
+    # composition runs the full local differential here
+    "llm_weighted_sample",
 )
 
 

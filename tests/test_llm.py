@@ -1472,3 +1472,41 @@ def test_wave24_null_and_ragged_embeddings_and_null_text(spark):
     ragged_init = spark.createDataFrame([(1, [1.0]), (2, [1.0, 0.0])], EV)
     with pytest.raises(Exception, match="share one dimension"):
         similarity.kmeans_fit(ragged_init, k=2, iters=1)
+
+
+def test_weighted_sample_semantics(spark):
+    """weighted_sample (quality-weighted deterministic resampling):
+    weight 1 keeps everything, weight 0 keeps nothing, intermediate
+    weights match a per-row python replay of the md5-bucket draw, the
+    decision is partitioning-independent, NULL weights drop, and
+    out-of-range weights clamp."""
+    import hashlib
+
+    from lakeshed.llm import sampling
+
+    n = 400
+    df = spark.createDataFrame(
+        [(i, (i % 10) / 10.0) for i in range(n)], "doc_id long, w double")
+    assert sampling.weighted_sample(
+        df, F.lit(1.0)).count() == n
+    assert sampling.weighted_sample(df, F.lit(0.0)).count() == 0
+    # clamping: >1 keeps all, <0 keeps none
+    assert sampling.weighted_sample(df, F.lit(7.0)).count() == n
+    assert sampling.weighted_sample(df, F.lit(-3.0)).count() == 0
+    # NULL weight drops
+    nw = df.withColumn("w", F.when(F.col("doc_id") < 100, F.col("w")))
+    assert sampling.weighted_sample(nw, "w").count() == \
+        sampling.weighted_sample(df.where("doc_id < 100"), "w").count()
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) \
+            % 1_000_000
+
+    want = {i for i in range(n)
+            if bucket(i) < round((i % 10) / 10.0 * 1_000_000)}
+    got = {r.doc_id for r in sampling.weighted_sample(df, "w").collect()}
+    assert got == want
+    # partitioning-independent: same decisions at any layout
+    got2 = {r.doc_id for r in sampling.weighted_sample(
+        df.repartition(13), "w").collect()}
+    assert got2 == want
