@@ -1111,3 +1111,93 @@ def test_fuzz_branch_suffix_dml(fcat, spark):
             cat.sql("INSERT INTO nyc.bd.branch_etl VALUES (6, 'q')")
     finally:
         cat.set_conf("spark.wap.id", None)
+
+
+def test_fuzz_branch_constraint_chains(fcat, spark):
+    """r13 generative class: random chains interleaving branch-suffix
+    DML, wap.branch-PINNED DML, CHECK constraint lifecycle, and
+    deliberate constraint violations — twin tables replayed canonical
+    vs jittered, with BOTH the branch and main states compared after
+    every step. A route that silently no-ops (or a violation that
+    half-applies) diverges the twins or the per-step invariants."""
+    from lakeshed.table import ConstraintViolationError
+
+    cat = fcat
+    rng = random.Random(131313)
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+
+    def state(name: str):
+        t = cat.table(name)
+        main = sorted((r.k, r.v) for r in t.read().collect())
+        br = sorted((r.k, r.v) for r in t.read(branch="etl").collect())
+        return main, br
+
+    for trial in range(3):
+        for nm in ("nyc.bca", "nyc.bcb"):
+            if cat._exists(nm):
+                cat.drop_table(nm)
+            cat.create_table(nm, base)
+            cat.table(nm).create_branch("etl")
+        has_cons = False
+        for i in range(7):
+            choices = ["ins_main", "ins_branch", "upd_branch",
+                       "del_branch", "pin_ins"]
+            choices += ["dropcons", "bad_branch"] if has_cons \
+                else ["addcons"]
+            kind = rng.choice(choices)
+            for nm, jitter in (("nyc.bca", False), ("nyc.bcb", True)):
+                if kind == "ins_main":
+                    toks = ["insert", "into", ("name", nm),
+                            "values", ("lit", f"({40 + i}, 'm{i}')")]
+                elif kind == "ins_branch":
+                    toks = ["insert", "into", ("ref", nm, ".branch_etl"),
+                            "values", ("lit", f"({60 + i}, 'b{i}')")]
+                elif kind == "upd_branch":
+                    toks = ["update", ("ref", nm, ".branch_etl"),
+                            "set", ("lit", f"v = 'u{i}'"),
+                            "where", ("lit", "k = 1")]
+                elif kind == "del_branch":
+                    toks = ["delete", "from", ("ref", nm, ".branch_etl"),
+                            "where", ("lit", "k = 3")]
+                elif kind == "addcons":
+                    toks = ["alter", "table", ("name", nm), "add",
+                            "constraint", ("lit", f"cap{trial}"),
+                            "check", ("lit", "(k < 1000)")]
+                elif kind == "dropcons":
+                    toks = ["alter", "table", ("name", nm), "drop",
+                            "constraint", ("lit", f"cap{trial}")]
+                elif kind == "bad_branch":
+                    # a violating branch insert must abort LOUDLY and
+                    # leave both refs untouched
+                    toks = ["insert", "into", ("ref", nm, ".branch_etl"),
+                            "values", ("lit", f"(5000, 'x{i}')")]
+                else:  # pin_ins: the session pin lands main-DML on etl
+                    cat.set_conf("spark.wap.branch", "etl")
+                    try:
+                        cat.sql(f"INSERT INTO {nm} VALUES "
+                                f"({80 + i}, 'p{i}')")
+                    finally:
+                        cat.set_conf("spark.wap.branch", None)
+                    continue
+                def canon(t):
+                    if isinstance(t, tuple):
+                        return t[1] + t[2] if t[0] == "ref" else t[1]
+                    return t.upper()
+                stmt = _render(rng, toks) if jitter else " ".join(
+                    canon(t) for t in toks)
+                if kind == "bad_branch":
+                    before = state(nm)
+                    with pytest.raises(ConstraintViolationError):
+                        cat.sql(stmt)
+                    assert state(nm) == before, (trial, i, nm)
+                else:
+                    cat.sql(stmt)
+            if kind == "addcons":
+                has_cons = True
+            elif kind == "dropcons":
+                has_cons = False
+            assert state("nyc.bcb") == state("nyc.bca"), (trial, i, kind)
+        # main never saw a branch write in any chain
+        main, br = state("nyc.bca")
+        assert all(k < 40 or (40 <= k < 60) for k, _ in main), main
