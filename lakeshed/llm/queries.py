@@ -1179,7 +1179,8 @@ def llm_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.where(F.col("doc_id") % 2 == 0), cat,
             "default.span_idx", window=16,
         )
-        dedup.update_span_index(tbl, batch, window=16)
+        dedup.update_span_index(tbl, batch, batch_id="odd-half",
+                                window=16)
         _SPAN_INDEX_CACHE[sf_dir] = tbl
     out = dedup.batch_duplicate_spans(
         batch, _SPAN_INDEX_CACHE[sf_dir].read(), window=16

@@ -1734,7 +1734,8 @@ class LakeTable:
     # ---------------------------------------------------------------- writes
 
     def append(self, df: DataFrame, *, branch: str = MAIN,
-               wap_id: str | None = None) -> Commit:
+               wap_id: str | None = None,
+               extra_properties: dict[str, str] | None = None) -> Commit:
         """W2 — append write (``mode("append").saveAsTable``,
         PyIceberg...ipynb:120 / ``writeTo(...).append()``,
         Berlin Buzzwords.ipynb:119).
@@ -1742,7 +1743,17 @@ class LakeTable:
         With ``wap_id`` (D14 — the ``spark.wap.id`` pin, Integrated
         Audits...ipynb:191): the commit is STAGED — written to the log,
         tagged ``summary['wap.id']``, but no ref moves, so readers never
-        see it until ``cherrypick_snapshot`` publishes it (D16)."""
+        see it until ``cherrypick_snapshot`` publishes it (D16).
+
+        ``extra_properties`` merges the given keys over the read
+        snapshot's table properties IN THE SAME COMMIT as the data —
+        the atomicity an ingestion ledger needs (a batch-id marker that
+        lands with its rows or not at all, see
+        ``llm.dedup.update_span_index``). Because the merge is computed
+        from the statement's read snapshot, such an append is PINNED
+        (a concurrent commit raises ``CommitConflictError`` instead of
+        silently dropping the other writer's property change), trading
+        the fast-append float for read-modify-write safety."""
         # staged commits chain on their own wap-<id> ref (first one
         # forks from the target branch); main never moves, and the
         # sibling-conflict guard sees distinct parents per stage. The
@@ -1751,15 +1762,19 @@ class LakeTable:
         # pin=False: fast append — add-only, commutative, floats onto
         # the commit-time head instead of conflicting on a concurrent
         # advance (see _dml_commit_args)
-        read_v, ckw, sx = self._dml_commit_args(branch, wap_id, pin=False)
+        read_v, ckw, sx = self._dml_commit_args(
+            branch, wap_id, pin=extra_properties is not None)
         head_commit = self._read_commit(read_v)
         fields = head_commit.schemas[str(head_commit.schema_version)]
         aligned = df.select(*[F.col(f"`{f.name}`").cast(f.type) for f in fields])
         adds = self._write_files(
             aligned, head_commit.partition_spec, head_commit.schema_version
         )
+        props = None
+        if extra_properties is not None:
+            props = {**head_commit.properties, **extra_properties}
         return self._commit("append", adds, [], **ckw,
-                            summary=sx or None)
+                            properties=props, summary=sx or None)
 
     def overwrite(self, df: DataFrame, *, branch: str = MAIN,
                   wap_id: str | None = None) -> Commit:
