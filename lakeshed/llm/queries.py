@@ -1113,7 +1113,13 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-# built span-index tables, one per sf_dir (llm_incremental_spans)
+# built span-index tables, one per (Spark application, sf_dir)
+# (llm_incremental_spans). Keyed by applicationId too (r13 ADVICE): a
+# LakeTable handle is bound to the session that created it, so an
+# sf_dir-only key could pass .exists() on disk while .read() ran
+# against a STOPPED session (session-scoped test fixtures, long
+# drivers that restart Spark in-process). A new session gets a fresh
+# build; stale entries are dropped eagerly to keep the dict bounded.
 _SPAN_INDEX_CACHE: dict = {}
 
 
@@ -1166,24 +1172,31 @@ def llm_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     table's fixture pattern): an index exists so the build cost is
     paid once; repeated calls measure the steady-state incremental
     path (batch windowing + index fold + join)."""
+    import atexit
+    import shutil
     import tempfile
 
     from lakeshed.catalog import Catalog
 
     docs = load_star(spark, sf_dir, "documents")["documents"]
     batch = docs.where(F.col("doc_id") % 2 == 1)
-    if (sf_dir not in _SPAN_INDEX_CACHE
-            or not _SPAN_INDEX_CACHE[sf_dir].exists()):
-        cat = Catalog(spark, tempfile.mkdtemp(prefix="lakeshed-spanidx-"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if (key not in _SPAN_INDEX_CACHE
+            or not _SPAN_INDEX_CACHE[key].exists()):
+        for stale in [k for k in _SPAN_INDEX_CACHE if k[1] == sf_dir]:
+            del _SPAN_INDEX_CACHE[stale]
+        wh = tempfile.mkdtemp(prefix="lakeshed-spanidx-")
+        atexit.register(shutil.rmtree, wh, ignore_errors=True)
+        cat = Catalog(spark, wh)
         tbl = dedup.build_span_index(
             docs.where(F.col("doc_id") % 2 == 0), cat,
             "default.span_idx", window=16,
         )
         dedup.update_span_index(tbl, batch, batch_id="odd-half",
                                 window=16)
-        _SPAN_INDEX_CACHE[sf_dir] = tbl
+        _SPAN_INDEX_CACHE[key] = tbl
     out = dedup.batch_duplicate_spans(
-        batch, _SPAN_INDEX_CACHE[sf_dir].read(), window=16
+        batch, _SPAN_INDEX_CACHE[key].read(), window=16
     )
     return out.select(
         "doc_id",

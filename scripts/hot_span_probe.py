@@ -126,6 +126,20 @@ def _window_spans(df):
     )
 
 
+def _slope(a, b, key):
+    """log-log slope of metric ``key`` between ladder rungs a → b.
+
+    r13 ADVICE: a single-rung ladder (``HOT_COPIES=64`` for a
+    one-point re-measure, which the env var invites) has no doubling
+    to take a slope over, and equal ``n_docs`` across rungs would
+    divide by zero — emit n/a instead of crashing AFTER the (long)
+    measurement already ran."""
+    if a is b or a["n_docs"] == b["n_docs"]:
+        return "n/a (single rung)"
+    return round(np.log(b[key] / a[key]) /
+                 np.log(b["n_docs"] / a["n_docs"]), 2)
+
+
 def _min2(fn):
     best = None
     for _ in range(2):
@@ -251,14 +265,11 @@ def main() -> None:
     release_persisted()
 
     def marginal(key):
-        a, b = rows[-2], rows[-1]
-        return round(np.log(b[key] / a[key]) /
-                     np.log(b["n_docs"] / a["n_docs"]), 2)
+        return _slope(rows[-2] if len(rows) > 1 else rows[-1],
+                      rows[-1], key)
 
     def full(key):
-        a, b = rows[0], rows[-1]
-        return round(np.log(b[key] / a[key]) /
-                     np.log(b["n_docs"] / a["n_docs"]), 2)
+        return _slope(rows[0], rows[-1], key)
 
     lines = [
         "",

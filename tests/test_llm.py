@@ -1516,6 +1516,57 @@ def test_span_index_compaction_bounds_read_amplification(spark, tmp_path):
         dedup.compact_span_index(other)
 
 
+def test_wave25_probe_slope_guard_and_span_cache_session_key(spark):
+    """r13 ADVICE (two lows). (1) hot_span_probe's slope helpers
+    crashed a single-rung ladder (``HOT_COPIES=64`` — the one-point
+    re-measure the env var invites) with IndexError, and equal n_docs
+    across rungs divided by zero — AFTER the long measurement already
+    ran; ``_slope`` now emits n/a for both. (2) ``_SPAN_INDEX_CACHE``
+    keyed built span indexes by sf_dir only, but a LakeTable handle is
+    bound to the session that created it: after a session restart
+    ``.exists()`` passes on disk while ``.read()`` runs against the
+    dead session. The key now includes the applicationId, stale
+    same-sf_dir entries are evicted on rebuild, and the temp warehouse
+    is registered for atexit cleanup."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "hot_span_probe",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "scripts", "hot_span_probe.py"),
+    )
+    probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(probe)
+    r1 = {"n_docs": 100, "group_t": 1.0}
+    r2 = {"n_docs": 200, "group_t": 2.0}
+    assert probe._slope(r1, r2, "group_t") == 1.0
+    assert probe._slope(r1, r1, "group_t") == "n/a (single rung)"
+    # distinct rung objects, same n_docs → still guarded (no div-zero)
+    assert probe._slope(r1, dict(r1), "group_t") == "n/a (single rung)"
+
+    from lakeshed.llm import queries as lq
+
+    class DeadSessionTable:
+        def exists(self):
+            return True
+
+        def read(self):  # pragma: no cover - the bug this test pins
+            raise AssertionError(
+                "stale cross-session handle was reused")
+
+    lq._SPAN_INDEX_CACHE.clear()
+    sf = SF
+    lq._SPAN_INDEX_CACHE[("app-from-a-dead-session", sf)] = \
+        DeadSessionTable()
+    out = lq.llm_incremental_spans(spark, sf)
+    assert out.count() > 0
+    app = spark.sparkContext.applicationId
+    assert (app, sf) in lq._SPAN_INDEX_CACHE
+    # the dead-session entry for the same sf_dir was evicted, not kept
+    assert ("app-from-a-dead-session", sf) not in lq._SPAN_INDEX_CACHE
+
+
 def test_wave17_semantic_dedup_auto_k_scales_with_corpus(spark):
     """r11 VERDICT #1 (the one surviving `weak`): a fixed k=8 default
     makes SemDeDup's Σ|cluster|² pair bound quadratic in corpus size
