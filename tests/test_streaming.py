@@ -32,6 +32,25 @@ LINES_BATCH_2 = [
 ]
 
 
+def _try_int32(s: str) -> int | None:
+    """The key-parse CONTRACT of ``parse_changelog`` (wave 26): Spark's
+    ``try_cast(string as int)`` — trim ASCII control/space (chars
+    <= U+0020; NOT unicode whitespace), optional sign, ASCII digits
+    only (NOT unicode digits like '٥'/'５', which Python ``int()``
+    accepts), int32 range (overflow → NULL → dropped, where Python's
+    unbounded ``int()`` would keep the row). Pinned empirically against
+    try_cast in test_wave26; the replay model must mirror the engine
+    contract, not Python's looser parser."""
+    s = s.strip("".join(chr(c) for c in range(0x21)))
+    if not s:
+        return None
+    body = s[1:] if s[0] in "+-" else s
+    if not body or not all("0" <= c <= "9" for c in body):
+        return None
+    v = int(s)
+    return v if -(2 ** 31) <= v < 2 ** 31 else None
+
+
 def _python_replay(batches: list[list[str]]) -> dict[int, str]:
     state: dict[int, str] = {}
     for lines in batches:
@@ -39,9 +58,8 @@ def _python_replay(batches: list[list[str]]) -> dict[int, str]:
             parts = line.split(",")
             if len(parts) != 3 or parts[0] not in ("I", "D"):
                 continue
-            try:
-                key = int(parts[1])
-            except ValueError:
+            key = _try_int32(parts[1])
+            if key is None:
                 continue
             if parts[0] == "D":
                 state.pop(key, None)
@@ -764,3 +782,104 @@ def test_wave12_kafka_changelog_composes_with_stream_source_view(spark):
     rows = twice.select(keep).collect()
     assert len(rows) == 1  # malformed line dropped, valid one parsed
     assert rows == kafka_changelog(raw).select(keep).collect()
+
+
+def _hostile_changelog_lines(rng, n: int) -> list[str]:
+    """Seeded hostile-line generator (r13 VERDICT #8): every shape a
+    real feed can throw at the arity filter — ragged arity, unicode
+    separators and digits, huge fields, NUL bytes, numeric edge keys,
+    bad kinds — interleaved with valid traffic so MERGE state is
+    non-trivial. Newlines are excluded by construction: the text
+    source splits records on \\n/\\r, so an embedded newline IS two
+    lines at the source, not one hostile one."""
+    kinds = ["I", "D"]
+    seps = ["、", "；", " ", "\t", "|", " "]
+    bad_keys = ["+5", "-5", "05", " 5 ", "5.0", "2147483648",
+                "-2147483649", "٥٣", "５", "-0", "1e2", "0x10", "",
+                " 7", "\t9\x0b", "9" * 40, "5_0", "5 5"]
+    bad_kinds = ["i", "d", "INSERT", "", " I", "I ", "🔥", "II"]
+
+    def field(maxlen=12):
+        return "".join(rng.choice(
+            "abcdef0123456789\x00é中ó ") for _ in range(
+                rng.randrange(maxlen)))
+
+    lines = []
+    for _ in range(n):
+        shape = rng.randrange(10)
+        if shape <= 2:                       # valid traffic
+            lines.append(
+                f"{rng.choice(kinds)},{rng.randrange(20)},{field()}")
+        elif shape == 3:                     # ragged arity 0..6
+            lines.append(",".join(
+                field(6) for _ in range(rng.randrange(7))))
+        elif shape == 4:                     # unicode/wrong separator
+            lines.append(rng.choice(seps).join(
+                [rng.choice(kinds), str(rng.randrange(20)), field()]))
+        elif shape == 5:                     # numeric edge keys
+            lines.append(
+                f"{rng.choice(kinds)},{rng.choice(bad_keys)},{field()}")
+        elif shape == 6:                     # bad kind column
+            lines.append(
+                f"{rng.choice(bad_kinds)},{rng.randrange(20)},{field()}")
+        elif shape == 7:                     # huge payload field
+            lines.append(
+                f"I,{rng.randrange(20)},{'x' * rng.choice([1000, 50000])}")
+        elif shape == 8:                     # NUL-byte / control lines
+            lines.append(rng.choice(
+                ["\x00", "\x00,\x00,\x00", f"I,\x005,{field()}",
+                 f"I\x00,5,{field()}", "\x07\x08\x1b"]))
+        else:                                # empty-ish / comma storms
+            lines.append(rng.choice(
+                ["", " ", ",", ",,", ",,,", "," * 12,
+                 "I,,x", ",5,x", "I,5,"]))
+    return lines
+
+
+def test_wave26_hostile_changelog_lines_drop_dont_crash(spark, tmp_path):
+    """r13 VERDICT #8: the changelog parse path (P9 arity filter +
+    P10 split/try_cast) under seeded hostile input — 180 lines of
+    ragged arity, unicode separators, unicode digits, int32 overflow,
+    NUL bytes, 50 KB fields — across 3 micro-batches. Pins:
+    (a) the stream never crashes and every hostile line is DROPPED,
+    never mis-parsed (final MERGE state equals the _python_replay
+    model, whose key parse mirrors try_cast via _try_int32 — NOT
+    Python int(), which accepts '٥٣'/'５'/2^31 and would model rows
+    the engine correctly drops); (b) MERGE-state integrity after the
+    hostile feed: no NULL or out-of-range keys, no internal columns
+    leaked into the table; (c) the batch parse path agrees with the
+    streamed result on the same corpus (one contract, two surfaces);
+    (d) a 50 KB payload field survives end-to-end byte-identical."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(0xC0FFEE)
+    batches = [_hostile_changelog_lines(rng, 60) for _ in range(3)]
+    # plant the huge-field survivor deterministically: key 777 is only
+    # ever written by this line, in batch 2, so it must land intact
+    big = "y" * 50000
+    batches[1].append(f"I,777,{big}")
+
+    final, table = _run_stream(spark, tmp_path, batches)
+    assert final == _python_replay(batches)
+    assert final[777] == big                                  # (d)
+
+    # (b) table-state integrity
+    rows = table.read()
+    assert set(rows.columns) == {"block_number", "hash", "type"}
+    assert rows.where(F.col("block_number").isNull()).count() == 0
+    bad = rows.where((F.col("block_number") < -(2 ** 31))
+                     | (F.col("block_number") >= 2 ** 31)).count()
+    assert bad == 0
+
+    # (c) batch-mode parse of the same corpus = the streamed keep-set
+    flat = [(ln,) for b in batches for ln in b]
+    parsed = parse_changelog(
+        spark.createDataFrame(flat, "value string")).drop("ts")
+    kept = parsed.count()
+    model_kept = sum(
+        1 for b in batches for ln in b
+        if len(ln.split(",")) == 3 and ln.split(",")[0] in ("I", "D")
+        and _try_int32(ln.split(",")[1]) is not None)
+    assert kept == model_kept
