@@ -1442,6 +1442,66 @@ def test_span_index_retry_is_idempotent(spark, tmp_path):
         dedup.update_span_index(tbl, batch, batch_id=42, window=w)
 
 
+def test_wave27_span_index_racing_ingests_conflict_then_converge(
+        spark, tmp_path):
+    """The ledger docstring's concurrency claim, pinned: two DIFFERENT
+    batches ingesting concurrently must serialize through the
+    property-carrying append's PIN — the loser raises
+    CommitConflictError (never silently drops the winner's ledger
+    entry or rows), the failed statement leaves NO trace (atomicity:
+    neither its rows nor its ledger key), and its retry converges to
+    the same index a serial ingest of both batches produces. The race
+    is driven deterministically by landing the winner's commit inside
+    the loser's statement window (between its snapshot read and its
+    commit — the _write_files seam, same construction as
+    test_commit_conflict_detected)."""
+    import pytest
+
+    from lakeshed.catalog import Catalog
+    from lakeshed.table import CommitConflictError, LakeTable
+
+    w = 4
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    mk = lambda lo: spark.createDataFrame(
+        [(lo + i, f"u{lo + i} c0 c1 c2 c3") for i in range(3)],
+        "doc_id long, text string")
+    tbl_a = dedup.build_span_index(mk(0), cat, "default.idx", window=w,
+                                   batch_id="seed")
+    tbl_b = LakeTable(spark, tbl_a.path)  # the racing writer's handle
+
+    orig = tbl_a._write_files
+
+    def race_once(*args, **kwargs):
+        tbl_a._write_files = orig  # fire on the first write only
+        dedup.update_span_index(tbl_b, mk(100), batch_id="B", window=w)
+        return orig(*args, **kwargs)
+
+    tbl_a._write_files = race_once
+    with pytest.raises(CommitConflictError):
+        dedup.update_span_index(tbl_a, mk(200), batch_id="A", window=w)
+
+    # atomicity of the failed statement: no rows, no ledger key
+    assert dedup.span_index_batches(tbl_a) == {"seed", "B"}
+    assert tbl_a.read().where(
+        F.col("first_id") >= 200).count() == 0
+
+    # the retry sees the winner's entry and lands cleanly
+    dedup.update_span_index(tbl_a, mk(200), batch_id="A", window=w)
+    assert dedup.span_index_batches(tbl_a) == {"seed", "B", "A"}
+    got = {(r.h, r.n) for r in tbl_a.read().groupBy("h").agg(
+        F.sum("occurrences").alias("n")).collect()}
+
+    # serial ground truth: same three batches, one writer
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    ser = dedup.build_span_index(mk(0), cat2, "default.idx", window=w,
+                                 batch_id="seed")
+    dedup.update_span_index(ser, mk(100), batch_id="B", window=w)
+    dedup.update_span_index(ser, mk(200), batch_id="A", window=w)
+    want = {(r.h, r.n) for r in ser.read().groupBy("h").agg(
+        F.sum("occurrences").alias("n")).collect()}
+    assert got == want
+
+
 def test_span_index_compaction_bounds_read_amplification(spark, tmp_path):
     """r13 VERDICT #5: index rows accrete one-per-hash-per-batch, so a
     boilerplate hash carries B partial rows after B ingests and every
