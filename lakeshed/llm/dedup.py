@@ -1506,6 +1506,15 @@ def remove_duplicate_spans(
 _SPANIDX_BATCH_PREFIX = "lakeshed.spanidx.batch."
 
 
+def _ledger_now_ms() -> int:
+    """Wall clock for ledger stamps — a seam so tests can drive the
+    retention horizon deterministically (the ``LakeTable._now_ms``
+    pattern)."""
+    import time
+
+    return int(time.time() * 1000)
+
+
 def _check_spanidx_batch_id(batch_id) -> None:
     if not isinstance(batch_id, str) or not batch_id:
         raise ValueError(
@@ -1519,7 +1528,10 @@ def _check_spanidx_batch_id(batch_id) -> None:
 def span_index_batches(table) -> set[str]:
     """Batch ids already folded into a span index (the ingestion
     ledger) — one table property per batch, written atomically with
-    that batch's append."""
+    that batch's append. The value is the ingest's epoch-ms stamp
+    (pre-r14 entries carry ``"1"``), which lets
+    :func:`compact_span_index` prune entries past a retention
+    horizon."""
     return {
         k[len(_SPANIDX_BATCH_PREFIX):]
         for k in table.properties()
@@ -1577,7 +1589,7 @@ def build_span_index(
         properties={
             "lakeshed.spanidx.window": str(window),
             "lakeshed.spanidx.id_col": id_col,
-            _SPANIDX_BATCH_PREFIX + batch_id: "1",
+            _SPANIDX_BATCH_PREFIX + batch_id: str(_ledger_now_ms()),
         },
     )
 
@@ -1641,11 +1653,12 @@ def update_span_index(
         F.col("__first.pos").alias("first_pos"),
     )
     table.append(
-        agg, extra_properties={_SPANIDX_BATCH_PREFIX + batch_id: "1"})
+        agg, extra_properties={
+            _SPANIDX_BATCH_PREFIX + batch_id: str(_ledger_now_ms())})
     return table
 
 
-def compact_span_index(table):
+def compact_span_index(table, *, ledger_retention_ms: int | None = None):
     """Re-aggregate the span index to ONE row per hash — the row-level
     analog of ``rewrite_data_files`` (r13 VERDICT #5). The index is
     append-only partial aggregates, so after B ingests a boilerplate
@@ -1657,12 +1670,31 @@ def compact_span_index(table):
     every later mark and every later ingest folds against the compact
     rows identically.
 
+    ``ledger_retention_ms`` prunes the ingestion LEDGER too (wave 28
+    — the ledger has the same accretion disease as the rows, one
+    level down): every batch adds one property, and table properties
+    are copied into EVERY subsequent commit JSON, so at a streaming
+    cadence (one ingest per 5 s trigger ≈ 17k/day) commit metadata
+    grows O(total batches ever) and every commit rewrite pays it.
+    With retention set, batch entries whose ingest stamp is older
+    than ``now − retention`` are dropped from the rewritten
+    properties. THE CONTRACT NARROWS accordingly: a replay of a
+    pruned batch is no longer detected and WILL re-fold — size the
+    horizon at least as long as the pipeline's maximum retry window
+    (a replayed micro-batch retries within its checkpoint retention;
+    a re-run job within its scheduler's history), the same bounded-
+    transaction-id-horizon contract Kafka/Flink exactly-once sinks
+    give. Pre-r14 ledger entries carry stamp ``"1"`` (epoch 1970) and
+    are pruned by ANY retention. Default ``None``: keep everything.
+
     One groupBy + one full-table rewrite, PINNED to the snapshot it
     read (the ``rewrite_data_files`` pattern — compaction has the
     longest read-to-commit window, and a concurrent
     :func:`update_span_index` landing mid-rewrite must conflict, not
-    be silently dropped from the rewritten fold). The ledger and
-    parameter stamps are table properties and ride through unchanged.
+    be silently dropped from the rewritten fold — the same pin also
+    makes ledger pruning safe: an ingest racing the compaction can't
+    have its fresh ledger entry dropped, one of the two commits
+    loses and retries). Parameter stamps always ride through.
     Run it like file compaction: on a maintenance cadence, or when
     ``.files`` row counts say the partial-row multiple has drifted
     past ~a few× the distinct-hash count."""
@@ -1673,6 +1705,14 @@ def compact_span_index(table):
             "lakeshed.spanidx.window property) — compact_span_index "
             "re-aggregates (h, occurrences, first_id, first_pos) "
             "partials and would corrupt any other table"
+        )
+    if ledger_retention_ms is not None and (
+            not isinstance(ledger_retention_ms, (int, np.integer))
+            or isinstance(ledger_retention_ms, bool)
+            or ledger_retention_ms <= 0):
+        raise ValueError(
+            "ledger_retention_ms must be a positive int (ms) or None, "
+            f"got {ledger_retention_ms!r}"
         )
     head = table.head()
     head_commit, live = table._state(head)
@@ -1695,9 +1735,26 @@ def compact_span_index(table):
         *[F.col(f.name).cast(f.type) for f in fields])
     adds = table._write_files(
         aligned, head_commit.partition_spec, head_commit.schema_version)
+    new_props = None
+    pruned = 0
+    if ledger_retention_ms is not None:
+        cutoff = _ledger_now_ms() - ledger_retention_ms
+        new_props = {}
+        for k, v in head_commit.properties.items():
+            if k.startswith(_SPANIDX_BATCH_PREFIX):
+                try:
+                    stamp = int(v)
+                except ValueError:
+                    stamp = 0  # unparseable legacy stamp: prune
+                if stamp < cutoff:
+                    pruned += 1
+                    continue
+            new_props[k] = v
     table._commit(
         "compact-span-index", adds, [a.path for a in live],
-        summary={"compacted-files": len(live)},
+        properties=new_props,
+        summary={"compacted-files": len(live),
+                 "ledger-pruned": pruned},
         **table._pinned(head),
     )
     return table
@@ -1711,6 +1768,7 @@ def batch_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     skew_fanout: int | None = None,
+    persist_occurrences: bool = False,
     salt_row_target: int = 1_000_000,
 ) -> DataFrame:
     """Mark the NEW batch's duplicated spans against the WHOLE corpus
@@ -1733,10 +1791,23 @@ def batch_duplicate_spans(
     in the join otherwise, and only hashes over the per-task row budget
     replicate) — the corpus TEXT is never re-windowed
     (plan-pinned: the index scan carries no text column; every
-    generator windows the batch)."""
+    generator windows the batch).
+
+    ``persist_occurrences`` — the same space-time knob as
+    :func:`duplicate_spans`, and it matters MORE here (measured r14,
+    attribution_r13.json): the batch's (id, pos, h) frame feeds THREE
+    consumers — the semi-join probe, the hot-list broadcast branch
+    (which must fully materialize before the main join can run), and
+    the rejoin's stream side — so without persist the batch text is
+    windowed three times, the third sequentially behind the broadcast
+    barrier (+0.8 s at sf0.1). With it, one windowing pass feeds all
+    three from cache. Default off: at a 100 TB batch, recompute is
+    CPU-linear and never spills."""
     skew_fanout = _resolve_fanout(new_docs, skew_fanout)
     _check_span_params(window, skew_fanout, id_col, salt_row_target)
     occ = _span_occurrences(new_docs, window, text_col, id_col)
+    if persist_occurrences:
+        occ = scoped_persist("batch_duplicate_spans", occ)
     relevant = index.join(occ.select("h").distinct(), "h", "left_semi")
     folded = (
         relevant.groupBy("h")

@@ -1627,6 +1627,80 @@ def test_wave25_probe_slope_guard_and_span_cache_session_key(spark):
     assert ("app-from-a-dead-session", sf) not in lq._SPAN_INDEX_CACHE
 
 
+def test_wave28_ledger_retention_prunes_old_batches(
+        spark, tmp_path, monkeypatch):
+    """Wave 28 (self-found): the ingestion ledger has the same
+    accretion disease as the index rows, one level down — every batch
+    adds a table property, and properties are copied into EVERY
+    subsequent commit JSON, so at streaming cadence commit metadata
+    grows O(total batches ever). compact_span_index(ledger_retention_
+    ms=...) prunes entries older than the horizon. Pins: (a) ledger
+    values are the ingest's epoch-ms stamp; (b) pruning keeps young
+    entries, drops old ones (and unparseable legacy stamps), counts
+    them in the commit summary, and preserves parameter stamps and
+    index rows; (c) a KEPT batch still no-ops on replay; (d) a PRUNED
+    batch re-folds on replay — the documented narrowed contract
+    (bounded txn-id horizon), pinned here so the trade-off stays
+    honest; (e) nonsense retention raises."""
+    import pytest
+
+    from lakeshed.catalog import Catalog
+
+    w = 4
+    clock = {"t": 1_000_000}
+    monkeypatch.setattr(dedup, "_ledger_now_ms", lambda: clock["t"])
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    mk = lambda lo: spark.createDataFrame(
+        [(lo + i, f"u{lo + i} c0 c1 c2 c3") for i in range(2)],
+        "doc_id long, text string")
+    tbl = dedup.build_span_index(mk(0), cat, "default.idx", window=w,
+                                 batch_id="seed")
+    clock["t"] = 2_000_000
+    dedup.update_span_index(tbl, mk(100), batch_id="early", window=w)
+    clock["t"] = 10_000_000
+    dedup.update_span_index(tbl, mk(200), batch_id="late", window=w)
+
+    # (a) stamped values
+    props = tbl.properties()
+    assert props["lakeshed.spanidx.batch.seed"] == "1000000"
+    assert props["lakeshed.spanidx.batch.late"] == "10000000"
+
+    pre_counts = {(r.h, r.n) for r in tbl.read().groupBy("h").agg(
+        F.sum("occurrences").alias("n")).collect()}
+
+    # (e) loud rejection before any rewrite
+    with pytest.raises(ValueError, match="ledger_retention_ms"):
+        dedup.compact_span_index(tbl, ledger_retention_ms=0)
+    with pytest.raises(ValueError, match="ledger_retention_ms"):
+        dedup.compact_span_index(tbl, ledger_retention_ms=True)
+
+    # (b) cutoff = 10M - 5M = 5M: seed(1M) + early(2M) pruned,
+    # late(10M) kept; stamps + rows intact
+    dedup.compact_span_index(tbl, ledger_retention_ms=5_000_000)
+    assert dedup.span_index_batches(tbl) == {"late"}
+    assert tbl.properties()["lakeshed.spanidx.window"] == str(w)
+    snap = tbl._read_commit(tbl.head())
+    assert snap.summary["ledger-pruned"] == 2
+    post_counts = {(r.h, r.n) for r in tbl.read().groupBy("h").agg(
+        F.sum("occurrences").alias("n")).collect()}
+    assert post_counts == pre_counts
+
+    # (c) a kept batch still no-ops on replay
+    head = tbl.head()
+    dedup.update_span_index(tbl, mk(200), batch_id="late", window=w)
+    assert tbl.head() == head
+
+    # (d) a pruned batch re-folds on replay — doc 100's boilerplate
+    # windows double (the narrowed contract: retries beyond the
+    # horizon are undetectable, size the horizon past the pipeline's
+    # retry window)
+    dedup.update_span_index(tbl, mk(100), batch_id="early", window=w)
+    refolded = {r.n for r in tbl.read().where(F.col("first_id") == 100)
+                .groupBy("h").agg(F.sum("occurrences").alias("n"))
+                .collect()}
+    assert refolded and all(n == 2 for n in refolded)
+
+
 def test_wave17_semantic_dedup_auto_k_scales_with_corpus(spark):
     """r11 VERDICT #1 (the one surviving `weak`): a fixed k=8 default
     makes SemDeDup's Σ|cluster|² pair bound quadratic in corpus size
