@@ -792,6 +792,26 @@ class Catalog:
                 "rewritten_data_files_count bigint, "
                 "added_data_files_count bigint",
             )
+        if proc == "compact_span_index":
+            # lakeshed extension (not an Iceberg procedure): row-level
+            # compaction of an LLM span index + ledger retention — the
+            # maintenance op rides the same CALL surface as its
+            # file-level siblings so pipelines schedule it the same way
+            from lakeshed.llm.dedup import compact_span_index
+
+            retention = arg("ledger_retention_ms", 1)
+            compact_span_index(
+                t,
+                ledger_retention_ms=(
+                    int(retention) if retention is not None else None),
+            )
+            c = t._read_commit(t.head())
+            return self.spark.createDataFrame(
+                [(int(c.summary["compacted-files"]),
+                  int(c.summary["ledger-pruned"]))],
+                "compacted_data_files_count bigint, "
+                "pruned_ledger_entries_count bigint",
+            )
         raise TableError(f"unknown procedure {proc!r}")
 
     # -------------------------------------------------------- MERGE INTO

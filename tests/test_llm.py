@@ -1627,6 +1627,75 @@ def test_wave25_probe_slope_guard_and_span_cache_session_key(spark):
     assert ("app-from-a-dead-session", sf) not in lq._SPAN_INDEX_CACHE
 
 
+def test_wave29_compact_races_ingest_and_routes_via_call(
+        spark, tmp_path, monkeypatch):
+    """Wave 29. (1) The compaction docstring's pin claim, raced for
+    real — an ingest landing INSIDE the compaction's read-to-commit
+    window (the longest such window of any index op) must force
+    CommitConflictError on the compaction — never a silent drop of
+    the ingest's rows or its ledger entry from the rewritten fold —
+    and the compaction's retry folds the full state. (2) The op is
+    schedulable like its file-level siblings:
+    ``CALL system.compact_span_index(table => ..., ledger_retention_ms
+    => ...)`` routes through the catalog's procedure router and
+    returns the (compacted files, pruned ledger entries) result
+    frame."""
+    import pytest
+
+    from lakeshed.catalog import Catalog
+    from lakeshed.table import CommitConflictError, LakeTable
+
+    w = 4
+    clock = {"t": 1_000_000}
+    monkeypatch.setattr(dedup, "_ledger_now_ms", lambda: clock["t"])
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    mk = lambda lo: spark.createDataFrame(
+        [(lo + i, f"u{lo + i} c0 c1 c2 c3") for i in range(2)],
+        "doc_id long, text string")
+    tbl = dedup.build_span_index(mk(0), cat, "default.idx", window=w,
+                                 batch_id="seed")
+    dedup.update_span_index(tbl, mk(100), batch_id="b1", window=w)
+    tbl_b = LakeTable(spark, tbl.path)
+
+    orig = tbl._write_files
+
+    def race_once(*args, **kwargs):
+        tbl._write_files = orig
+        dedup.update_span_index(tbl_b, mk(200), batch_id="mid",
+                                window=w)
+        return orig(*args, **kwargs)
+
+    tbl._write_files = race_once
+    with pytest.raises(CommitConflictError):
+        dedup.compact_span_index(tbl)
+    # the racer's ingest survives untouched; the failed compaction
+    # left no commit
+    assert dedup.span_index_batches(tbl) == {"seed", "b1", "mid"}
+    assert tbl._read_commit(tbl.head()).operation == "append"
+
+    # retry compacts the FULL state including the mid-flight ingest
+    clock["t"] = 9_000_000
+    n_distinct = tbl.read().select("h").distinct().count()
+    pre = {(r.h, r.n) for r in tbl.read().groupBy("h").agg(
+        F.sum("occurrences").alias("n")).collect()}
+    dedup.compact_span_index(tbl)
+    assert tbl.read().count() == n_distinct
+    assert {(r.h, r.n) for r in tbl.read().groupBy("h").agg(
+        F.sum("occurrences").alias("n")).collect()} == pre
+
+    # (2) the CALL routing: prune everything older than 1ms-ago stamp
+    clock["t"] = 10_000_000
+    res = cat.sql(
+        "CALL system.compact_span_index(table => 'default.idx', "
+        "ledger_retention_ms => 5000000)").collect()
+    assert res[0].pruned_ledger_entries_count == 3  # all stamped 1M
+    assert dedup.span_index_batches(tbl) == set()
+    with pytest.raises(ValueError, match="not a span index"):
+        cat.create_table("default.plain",
+                         spark.createDataFrame([(1,)], "x long"))
+        cat.sql("CALL system.compact_span_index('default.plain')")
+
+
 def test_wave28_ledger_retention_prunes_old_batches(
         spark, tmp_path, monkeypatch):
     """Wave 28 (self-found): the ingestion ledger has the same
