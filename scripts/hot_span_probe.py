@@ -334,8 +334,10 @@ def main() -> None:
         f"- Rejoin materialization: session defaults → "
         f"**{default_shape}**; broadcast disabled + skew thresholds at "
         f"fixture scale → **{forced_shape}**. The engine's "
-        "salt-replicated rejoin (r13) pre-splits the hot key "
-        "skew_fanout ways deterministically AND restores the "
+        "salt-replicated rejoin (r13; per-hash widths since r14 — "
+        "least(ceil(occurrences/salt_row_target), skew_fanout), "
+        "scripts/salt_volume_probe.py) pre-splits the hot key "
+        "deterministically AND restores the "
         "Sort-over-shuffle-stage shape OptimizeSkewedJoin requires "
         "(without the salt, the agg side's final aggregate blocks the "
         "rule — measured here pre-salt: no split at any threshold). "
