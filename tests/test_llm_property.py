@@ -271,16 +271,22 @@ def test_duplicate_spans_and_removal_match_reference(spark, docs, window):
 @given(docs=st.lists(DOC, min_size=1, max_size=10),
        window=st.integers(min_value=2, max_value=6),
        fanout=st.sampled_from([1, 2, 32]),
+       target=st.sampled_from([1, 2, 1_000_000]),
        hot=st.booleans())
 def test_duplicate_and_remove_spans_match_reference(
-        spark, docs, window, fanout, hot):
+        spark, docs, window, fanout, target, hot):
     """duplicate_spans + remove_duplicate_spans vs a plain-Python replay
     over generated corpora (r13: the salted skew_fanout rejoin must be
-    a pure implementation detail — identical output at fanout 1/2/32).
-    ``hot`` appends one shared ``window``-token line to every doc, the
-    boilerplate profile the salt exists for, so the canonical-minimum
-    tie-break is exercised on a key whose multiplicity equals the
-    corpus size."""
+    a pure implementation detail — identical output at fanout 1/2/32;
+    r14 wave 30: crossed with ``salt_row_target`` 1/2/1M, which sweeps
+    the per-hash width regimes — 1 puts EVERY duplicated hash on the
+    broadcast hot list at full width, 2 mixes widths by occurrence
+    count, 1M keeps the hot list empty — so hypothesis owns the whole
+    (fanout × target) parameter plane, not the three points the
+    example test pins). ``hot`` appends one shared ``window``-token
+    line to every doc, the boilerplate profile the salt exists for, so
+    the canonical-minimum tie-break is exercised on a key whose
+    multiplicity equals the corpus size."""
     from pyspark.sql import functions as F
 
     from lakeshed.llm import dedup
@@ -320,13 +326,15 @@ def test_duplicate_and_remove_spans_match_reference(
     got_spans = {
         (r.doc_id, r.pos): (r.occurrences, r.is_canonical)
         for r in dedup.duplicate_spans(
-            df, window=window, skew_fanout=fanout).collect()
+            df, window=window, skew_fanout=fanout,
+            salt_row_target=target).collect()
     }
     assert got_spans == want_spans
     got_clean = {
         r.doc_id: r.text
         for r in dedup.remove_duplicate_spans(
-            df, window=window, skew_fanout=fanout).collect()
+            df, window=window, skew_fanout=fanout,
+            salt_row_target=target).collect()
     }
     assert got_clean == want_clean
     if hot and len(docs) > 1:
