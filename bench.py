@@ -334,6 +334,20 @@ def _time_query(spark, fn) -> float:
     return best
 
 
+def _min2(fn):
+    """The probe scripts' shared timing primitive (warm shapes assumed;
+    take the min of 2 executions). ONE definition — r14 review wave 31
+    found three byte-identical copies across scripts/, where a future
+    protocol change would silently fork the measurement method."""
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 2)
+
+
 def _canary(spark) -> float:
     """Fixed CPU-bound probe (no I/O, no repo code): median-of-3 timing of
     a 20M-row hash-sum over ``spark.range``. Identical work every round, so

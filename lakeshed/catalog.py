@@ -800,12 +800,14 @@ class Catalog:
             from lakeshed.llm.dedup import compact_span_index
 
             retention = arg("ledger_retention_ms", 1)
-            compact_span_index(
+            # use the op's own Commit — re-reading t.head() here can
+            # race a concurrent ingest onto an append commit whose
+            # summary lacks these keys (wave 31)
+            c = compact_span_index(
                 t,
                 ledger_retention_ms=(
                     int(retention) if retention is not None else None),
             )
-            c = t._read_commit(t.head())
             return self.spark.createDataFrame(
                 [(int(c.summary["compacted-files"]),
                   int(c.summary["ledger-pruned"]))],

@@ -1320,10 +1320,18 @@ def _salted_rejoin(
     even when every row is a duplicate) and salt with
     ``pmod(xxhash64(id, pos), __fan)``; agg rows explode across their
     own ``sequence(0, __fan - 1)`` — exactly one match per occurrence.
-    The hot-list branch shares the aggregation's shuffle with the dup
-    branch (identical exchange subtree → Spark's ReuseExchange, pinned
-    in tests/test_llm.py), so deriving it costs one broadcast of a
-    tiny frame, not a second windowing pass."""
+    COST of the hot-list branch, stated honestly (r14 review wave 31;
+    the plan test pins FOUR exchanges — the hot branch's column-pruned
+    agg subtree differs from the dup branch's, so Spark's
+    ReuseExchange does NOT deduplicate them): deriving the hot list is
+    a SECOND aggregation pass over the occurrence frame, and its
+    broadcast is a materialization barrier the main join waits on —
+    measured +0.8 s at sf0.1 when the occurrence frame is recomputed
+    (attribution_r13.json / scripts/salt_volume_probe.py). Callers on
+    the hot path absorb the recompute with ``persist_occurrences``
+    (one windowing feeds the agg, the hot list, and the rejoin); the
+    persist-off default trades that constant for zero storage — the
+    per-hash widths are what cap the SHUFFLE volume either way."""
     if skew_fanout <= 1:
         return occ.join(dup, ["h"])
     fan = F.least(
@@ -1515,13 +1523,24 @@ def _ledger_now_ms() -> int:
     return int(time.time() * 1000)
 
 
-def _check_spanidx_batch_id(batch_id) -> None:
+def _check_spanidx_batch_id(batch_id, *, allow_reserved: bool = False
+                            ) -> None:
     if not isinstance(batch_id, str) or not batch_id:
         raise ValueError(
             f"batch_id must be a non-empty string, got {batch_id!r} — "
             "stamp each ingested batch with a stable caller-chosen id "
             "(a streaming epoch id, an ingest-job run id) so retries "
             "of the same batch no-op instead of double-counting"
+        )
+    if batch_id.startswith("__") and not allow_reserved:
+        # r14 review wave 31: "__"-prefixed ids are reserved for the
+        # engine (the build's default "__build__"). Without the fence a
+        # caller-chosen id colliding with an internal one would make
+        # update_span_index SILENTLY no-op — the batch's windows never
+        # fold, duplicates under-count, and nothing signals it.
+        raise ValueError(
+            f"batch_id {batch_id!r} uses the reserved '__' prefix — "
+            "pick a caller-owned id (epoch id, run id)"
         )
 
 
@@ -1548,7 +1567,7 @@ def build_span_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "error",
-    batch_id: str = "initial",
+    batch_id: str = "__build__",
 ):
     """Materialize the substring-dedup span INDEX to an ACID
     ``LakeTable`` — the incremental shape of :func:`duplicate_spans`
@@ -1572,9 +1591,12 @@ def build_span_index(
     validated on every update/use. Like :func:`update_span_index`, the
     input is deduplicated on ``id_col`` first, and the build is
     recorded in the ingestion LEDGER under ``batch_id`` — a later
-    :func:`update_span_index` with the same id no-ops."""
+    :func:`update_span_index` with the same id no-ops. The default id
+    is the RESERVED ``"__build__"`` (update rejects ``__``-prefixed
+    ids), so a caller-chosen update id can never silently collide
+    with the build's ledger entry (wave 31)."""
     _check_span_params(window, 1, id_col)
-    _check_spanidx_batch_id(batch_id)
+    _check_spanidx_batch_id(batch_id, allow_reserved=True)
     agg = _span_agg(
         _span_occurrences(
             df.dropDuplicates([id_col]), window, text_col, id_col),
@@ -1594,8 +1616,7 @@ def build_span_index(
     )
 
 
-def _check_spanidx_props(table, window: int, id_col: str) -> None:
-    props = table.properties()
+def _check_spanidx_props(props: dict, window: int, id_col: str) -> None:
     for k, v in (("window", window), ("id_col", id_col)):
         stored = props.get(f"lakeshed.spanidx.{k}")
         if stored is not None and stored != str(v):
@@ -1631,7 +1652,16 @@ def update_span_index(
     REMOVAL. Concurrent ingests of two different batches are safe too
     (per-batch ledger keys; the property-carrying append is pinned, so
     a racing commit raises ``CommitConflictError`` for one writer to
-    retry — and its retry then sees the other's ledger entry).
+    retry — and its retry then sees the other's ledger entry). The
+    idempotency holds even for CONCURRENT duplicates of the SAME
+    batch id (r14 review wave 31 — two zombie attempts of one
+    replayed micro-batch): the early ledger check below is only a
+    fast path reading its own snapshot, so the AUTHORITATIVE check
+    rides inside the pinned append (``require_new_properties`` — the
+    key's absence is verified against the exact snapshot the commit
+    pins to, making check→commit atomic); a duplicate that slips past
+    the fast path gets ``PropertyExistsError`` from its own append
+    and no-ops without committing rows.
 
     The ledger is batch-granular, mirroring the failure mode it
     guards (job/micro-batch replay): feeding the SAME document under
@@ -1639,10 +1669,14 @@ def update_span_index(
     MinHash signature table's contract is per-doc because its rows
     are. Deduplicate doc membership across batches upstream
     (within-batch id duplicates are dropped here)."""
+    from lakeshed.table import PropertyExistsError
+
     _check_span_params(window, 1, id_col)
     _check_spanidx_batch_id(batch_id)
-    _check_spanidx_props(table, window, id_col)
-    if batch_id in span_index_batches(table):
+    props = table.properties()  # ONE metadata read for both checks
+    _check_spanidx_props(props, window, id_col)
+    key = _SPANIDX_BATCH_PREFIX + batch_id
+    if key in props:
         return table  # idempotent replay: rows already folded
     batch = new_docs.dropDuplicates([id_col])
     agg = _span_agg(
@@ -1652,9 +1686,12 @@ def update_span_index(
         F.col(f"__first.{id_col}").alias("first_id"),
         F.col("__first.pos").alias("first_pos"),
     )
-    table.append(
-        agg, extra_properties={
-            _SPANIDX_BATCH_PREFIX + batch_id: str(_ledger_now_ms())})
+    try:
+        table.append(
+            agg, extra_properties={key: str(_ledger_now_ms())},
+            require_new_properties=True)
+    except PropertyExistsError:
+        return table  # a concurrent duplicate of this batch won
     return table
 
 
@@ -1750,14 +1787,17 @@ def compact_span_index(table, *, ledger_retention_ms: int | None = None):
                     pruned += 1
                     continue
             new_props[k] = v
-    table._commit(
+    # return the compaction's own Commit (the LakeTable.compact
+    # convention — wave 31): a caller reading t.head() afterwards can
+    # race a concurrent ingest onto an 'append' commit whose summary
+    # lacks the compaction keys
+    return table._commit(
         "compact-span-index", adds, [a.path for a in live],
         properties=new_props,
         summary={"compacted-files": len(live),
                  "ledger-pruned": pruned},
         **table._pinned(head),
     )
-    return table
 
 
 def batch_duplicate_spans(

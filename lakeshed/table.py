@@ -101,6 +101,14 @@ class CommitConflictError(TableError):
     """Another writer committed the same version first — re-resolve and retry."""
 
 
+class PropertyExistsError(TableError):
+    """An ``append(extra_properties=..., require_new_properties=True)``
+    found one of its keys already present in the snapshot it pinned —
+    the caller's marker (e.g. an ingestion-ledger batch id) was
+    committed by someone else. Typed apart from CommitConflictError:
+    a conflict means *retry*, this means *the work is already done*."""
+
+
 class CorruptCommitError(TableError):
     """A commit or checkpoint file exists but cannot be parsed — damage,
     not absence. Typed apart from the missing-snapshot TableError so walks
@@ -1735,7 +1743,8 @@ class LakeTable:
 
     def append(self, df: DataFrame, *, branch: str = MAIN,
                wap_id: str | None = None,
-               extra_properties: dict[str, str] | None = None) -> Commit:
+               extra_properties: dict[str, str] | None = None,
+               require_new_properties: bool = False) -> Commit:
         """W2 — append write (``mode("append").saveAsTable``,
         PyIceberg...ipynb:120 / ``writeTo(...).append()``,
         Berlin Buzzwords.ipynb:119).
@@ -1753,7 +1762,20 @@ class LakeTable:
         from the statement's read snapshot, such an append is PINNED
         (a concurrent commit raises ``CommitConflictError`` instead of
         silently dropping the other writer's property change), trading
-        the fast-append float for read-modify-write safety."""
+        the fast-append float for read-modify-write safety.
+
+        ``require_new_properties`` raises :class:`PropertyExistsError`
+        when any ``extra_properties`` key is already present in the
+        PINNED snapshot's properties — the check-and-commit a ledger
+        needs to be race-free (r14 review wave 31): a caller-side
+        "check ledger, then append" reads two different snapshots, so
+        two concurrent attempts of the same marker can both pass the
+        check and both land (same-key property merges don't conflict).
+        With the guard, the absence check is made against the exact
+        snapshot the commit pins to, and the pin's CAS makes
+        check→commit atomic: one attempt lands, every concurrent
+        duplicate either sees the key (PropertyExistsError) or
+        conflicts and sees it on retry."""
         # staged commits chain on their own wap-<id> ref (first one
         # forks from the target branch); main never moves, and the
         # sibling-conflict guard sees distinct parents per stage. The
@@ -1765,6 +1787,17 @@ class LakeTable:
         read_v, ckw, sx = self._dml_commit_args(
             branch, wap_id, pin=extra_properties is not None)
         head_commit = self._read_commit(read_v)
+        if require_new_properties:
+            if extra_properties is None:
+                raise TableError(
+                    "require_new_properties needs extra_properties")
+            seen = [k for k in extra_properties
+                    if k in head_commit.properties]
+            if seen:
+                raise PropertyExistsError(
+                    f"properties already present on {self.path} at "
+                    f"version {read_v}: {seen}"
+                )
         fields = head_commit.schemas[str(head_commit.schema_version)]
         aligned = df.select(*[F.col(f"`{f.name}`").cast(f.type) for f in fields])
         adds = self._write_files(

@@ -140,16 +140,6 @@ def _slope(a, b, key):
                  np.log(b["n_docs"] / a["n_docs"]), 2)
 
 
-def _min2(fn):
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        fn()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return round(best, 2)
-
-
 def _join_shape(df) -> str:
     """Materialize df and report the AQE-final join strategy of the
     rejoin ('broadcast', 'smj skew=true', or 'smj'). Must collect()
@@ -166,7 +156,7 @@ def _join_shape(df) -> str:
 def main() -> None:
     spark = get_spark("hot-span-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    from bench import _canary
+    from bench import _canary, _min2
 
     warm = load_star(spark, SF_DIR, "documents")["documents"] \
         .select("doc_id", "text").limit(500)

@@ -43,6 +43,10 @@ from lakeshed.session import get_spark
 
 PAIR_DOCS = int(os.environ.get("SALT_PAIR_DOCS", "2000000"))
 FANOUT = int(os.environ.get("SALT_FANOUT", "32"))
+# the per-(hash, salt) row budget under test — ONE definition so the
+# timed rejoin, the volume accounting, and the width histogram always
+# describe the same shape (r14 review wave 31)
+TARGET = int(os.environ.get("SALT_TARGET", "1000000"))
 WINDOW = 16
 
 
@@ -76,7 +80,7 @@ def _blanket_rejoin(occ, dup, id_col, fanout):
 
 def _hot_only_rejoin(occ, dup, id_col, fanout):
     return dedup._salted_rejoin(occ, dup, id_col, fanout,
-                                salt_row_target=1_000_000)
+                                salt_row_target=TARGET)
 
 
 def _exploded_rows(dup, fanout, per_hash: bool) -> int:
@@ -84,25 +88,15 @@ def _exploded_rows(dup, fanout, per_hash: bool) -> int:
     crossing the rejoin exchange."""
     if not per_hash:
         return dup.count() * fanout
-    fan = F.least(F.ceil(F.col("occurrences") / F.lit(1_000_000)),
+    fan = F.least(F.ceil(F.col("occurrences") / F.lit(TARGET)),
                   F.lit(fanout).cast("bigint"))
     return dup.agg(F.sum(fan)).first()[0]
-
-
-def _min2(fn):
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        fn()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return round(best, 2)
 
 
 def main() -> None:
     spark = get_spark("salt-volume-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    from bench import _canary
+    from bench import _canary, _min2
 
     docs = _pair_corpus(spark, PAIR_DOCS)
     n_docs = docs.count()
@@ -151,7 +145,7 @@ def main() -> None:
     occ_h = dedup._span_occurrences(docs_hot, WINDOW, "text", "doc_id")
     dup_h = dedup._span_agg(occ_h, "doc_id") \
         .where(F.col("occurrences") > 1)
-    fan = F.least(F.ceil(F.col("occurrences") / F.lit(1_000_000)),
+    fan = F.least(F.ceil(F.col("occurrences") / F.lit(TARGET)),
                   F.lit(FANOUT).cast("bigint"))
     widths = dup_h.select(fan.alias("f")).groupBy("f").count().collect()
     width_hist = {int(r.f): int(r["count"]) for r in widths}

@@ -72,16 +72,6 @@ def _corpus(spark):
     )
 
 
-def _min2(fn):
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        fn()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return round(best, 2)
-
-
 def _build_at(spark, docs, b: int):
     """1 build + (b-1) ledgered updates over equal id-range slices of
     the SAME corpus."""
@@ -104,7 +94,7 @@ def _build_at(spark, docs, b: int):
 def main() -> None:
     spark = get_spark("span-amp-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    from bench import _canary
+    from bench import _canary, _min2
 
     docs = _corpus(spark).persist()
     docs.count()

@@ -1553,7 +1553,7 @@ def test_span_index_compaction_bounds_read_amplification(spark, tmp_path):
     assert marks_after == marks_before
     # (d) stamps + ledger intact
     assert dedup.span_index_batches(tbl) == {
-        "initial", "b0", "b1", "b2", "b3"}
+        "__build__", "b0", "b1", "b2", "b3"}
     assert tbl.properties()["lakeshed.spanidx.window"] == str(w)
     # (f) pinned rewrite: the compact commit's parent is its read head
     head = tbl.head()
@@ -1625,6 +1625,91 @@ def test_wave25_probe_slope_guard_and_span_cache_session_key(spark):
     assert (app, sf) in lq._SPAN_INDEX_CACHE
     # the dead-session entry for the same sf_dir was evicted, not kept
     assert ("app-from-a-dead-session", sf) not in lq._SPAN_INDEX_CACHE
+
+
+def test_wave31_same_batch_concurrent_duplicates_fold_once(
+        spark, tmp_path):
+    """r14 review wave 31 (the round's own code-review find): the
+    ledger check and the pinned append used to read DIFFERENT
+    snapshots, so two concurrent attempts of the SAME batch_id — two
+    zombie executions of one replayed micro-batch — could both pass
+    the check and both commit (same-key property merges don't
+    conflict), double-folding the batch despite 'RETRIES ARE SAFE'.
+    Now the authoritative absence check rides INSIDE the pinned
+    append (require_new_properties): the duplicate that loses the
+    race gets PropertyExistsError from its own append and no-ops.
+    Driven deterministically by landing the winner's fold inside the
+    loser's statement window — after its fast-path ledger check (the
+    dropDuplicates seam), before its append pins. Also pins: the
+    build's default ledger id is the reserved '__build__' and update
+    rejects '__'-prefixed ids, so a caller's first natural choice
+    ('initial', now legal) can never silently collide with the
+    build's entry and no-op the batch; compact_span_index returns its
+    own Commit (not the table), so callers never race a head re-read
+    onto a concurrent ingest's commit."""
+    import pytest
+
+    from lakeshed.catalog import Catalog
+    from lakeshed.table import LakeTable, PropertyExistsError
+
+    w = 4
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    mk = lambda lo: spark.createDataFrame(
+        [(lo + i, f"u{lo + i} c0 c1 c2 c3") for i in range(2)],
+        "doc_id long, text string")
+    tbl = dedup.build_span_index(mk(0), cat, "default.idx", window=w)
+    assert dedup.span_index_batches(tbl) == {"__build__"}
+    tbl_b = LakeTable(spark, tbl.path)
+
+    batch = mk(100)
+    fired = {"n": 0}
+
+    class RacingBatch:
+        """Delegates to the real batch frame, but the loser's FIRST
+        dropDuplicates (the statement step right after its fast-path
+        ledger check) first lets the winner fold the same batch id."""
+
+        def __getattr__(self, name):
+            return getattr(batch, name)
+
+        def dropDuplicates(self, cols):
+            if fired["n"] == 0:
+                fired["n"] += 1
+                dedup.update_span_index(tbl_b, batch, batch_id="ep-7",
+                                        window=w)
+            return batch.dropDuplicates(cols)
+
+    dedup.update_span_index(tbl, RacingBatch(), batch_id="ep-7",
+                            window=w)
+    assert fired["n"] == 1  # the race actually ran
+    # folded exactly ONCE: docs 100/101 contribute two unique-window
+    # hashes (occ 1 each) and one batch-shared window ('c0 c1 c2 c3',
+    # occ 2, batch-first) — a double fold would read [2, 2, 4]
+    folds = sorted(
+        r.n for r in tbl.read().where(F.col("first_id") >= 100)
+        .groupBy("h").agg(F.sum("occurrences").alias("n")).collect())
+    assert folds == [1, 1, 2]
+    assert dedup.span_index_batches(tbl) == {"__build__", "ep-7"}
+
+    # the table-layer guard itself, raw: same-key append raises typed
+    agg_stub = tbl.read().limit(0)
+    with pytest.raises(PropertyExistsError):
+        tbl.append(agg_stub,
+                   extra_properties={"lakeshed.spanidx.batch.ep-7": "9"},
+                   require_new_properties=True)
+
+    # reserved-prefix fence + the no-longer-trapped 'initial'
+    with pytest.raises(ValueError, match="reserved"):
+        dedup.update_span_index(tbl, mk(300), batch_id="__build__",
+                                window=w)
+    head = tbl.head()
+    dedup.update_span_index(tbl, mk(300), batch_id="initial", window=w)
+    assert tbl.head() > head  # FOLDED — not a silent no-op
+
+    # compact returns its own Commit
+    c = dedup.compact_span_index(tbl)
+    assert c.operation == "compact-span-index"
+    assert "compacted-files" in c.summary and "ledger-pruned" in c.summary
 
 
 def test_wave29_compact_races_ingest_and_routes_via_call(
