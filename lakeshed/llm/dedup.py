@@ -364,18 +364,25 @@ def update_signature_table(
 
     The fresh batch is deduplicated on ``id_col`` first — a batch carrying
     the same doc twice would otherwise append two signature rows and
-    inflate LSH candidate generation. Concurrent updates of the SAME table
-    require external serialization (two racing updates can both pass the
-    anti-join); the table's commit protocol will reject one writer's
-    commit, which is the intended failure mode."""
+    inflate LSH candidate generation. Concurrent updates of the SAME
+    table serialize through the commit pin (r14 review wave 32 — the
+    old note here claimed the commit protocol would reject a racer,
+    but the append was a FAST append that floats past concurrent
+    commits without conflict, so two racing updates of overlapping
+    docs would both pass the anti-join and both land duplicate
+    signature rows): the anti-join now reads a pinned snapshot and
+    the append pins to the SAME version (``pin_version``), so a
+    commit landing in between raises ``CommitConflictError`` — retry
+    the call and the fresh anti-join sees the racer's ids."""
     _check_sig_props(table, num_hashes, seed, shingle)
-    known = table.read().select("id")
+    head = table.head()
+    known = table.read(version=head).select("id")
     batch = new_docs.dropDuplicates([id_col])
     fresh = batch.join(known, batch[id_col] == known["id"], "left_anti")
     sig = minhash_signatures(
         fresh, text_col, id_col, num_hashes, seed, shingle
     )
-    table.append(sig)
+    table.append(sig, pin_version=head)
     return table
 
 

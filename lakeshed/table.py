@@ -1744,7 +1744,8 @@ class LakeTable:
     def append(self, df: DataFrame, *, branch: str = MAIN,
                wap_id: str | None = None,
                extra_properties: dict[str, str] | None = None,
-               require_new_properties: bool = False) -> Commit:
+               require_new_properties: bool = False,
+               pin_version: int | None = None) -> Commit:
         """W2 — append write (``mode("append").saveAsTable``,
         PyIceberg...ipynb:120 / ``writeTo(...).append()``,
         Berlin Buzzwords.ipynb:119).
@@ -1775,7 +1776,18 @@ class LakeTable:
         snapshot the commit pins to, and the pin's CAS makes
         check→commit atomic: one attempt lands, every concurrent
         duplicate either sees the key (PropertyExistsError) or
-        conflicts and sees it on retry."""
+        conflicts and sees it on retry.
+
+        ``pin_version`` pins the append to a snapshot the CALLER
+        already read (r14 review wave 32): the anti-join/dedup-guard
+        shape — "read the table, derive what's missing, append it" —
+        is only race-free if the commit conflicts when anything landed
+        after that read; a fast append would float past the racer and
+        happily append rows the racer just made redundant. With the
+        pin, a concurrent commit raises ``CommitConflictError`` and
+        the caller re-derives against the new head. Mutually
+        exclusive with ``wap_id`` (a staged chain resolves its own
+        parent)."""
         # staged commits chain on their own wap-<id> ref (first one
         # forks from the target branch); main never moves, and the
         # sibling-conflict guard sees distinct parents per stage. The
@@ -1784,8 +1796,19 @@ class LakeTable:
         # pin=False: fast append — add-only, commutative, floats onto
         # the commit-time head instead of conflicting on a concurrent
         # advance (see _dml_commit_args)
-        read_v, ckw, sx = self._dml_commit_args(
-            branch, wap_id, pin=extra_properties is not None)
+        if pin_version is not None:
+            if wap_id is not None:
+                raise TableError(
+                    "pin_version cannot be combined with wap_id — a "
+                    "staged chain resolves its own parent")
+            read_v, ckw, sx = (
+                pin_version,
+                {"branch": branch, **self._pinned(pin_version)},
+                {},
+            )
+        else:
+            read_v, ckw, sx = self._dml_commit_args(
+                branch, wap_id, pin=extra_properties is not None)
         head_commit = self._read_commit(read_v)
         if require_new_properties:
             if extra_properties is None:

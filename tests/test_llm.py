@@ -1627,6 +1627,55 @@ def test_wave25_probe_slope_guard_and_span_cache_session_key(spark):
     assert ("app-from-a-dead-session", sf) not in lq._SPAN_INDEX_CACHE
 
 
+def test_wave32_signature_table_racing_updates_conflict_not_duplicate(
+        spark, tmp_path):
+    """r14 review wave 32 (the wave-31 TOCTOU lens applied to the
+    sibling): update_signature_table's old docstring claimed 'the
+    table's commit protocol will reject one writer's commit', but its
+    append was a FAST append — it floats past concurrent commits
+    without conflict — and the anti-join read its own (possibly
+    stale) snapshot, so two racing updates with overlapping docs
+    would both pass the anti-join and both land: duplicate signature
+    rows, inflated LSH candidates, duplicate pairs. Now the anti-join
+    reads a pinned snapshot and the append pins to the SAME version:
+    the racer that loses gets CommitConflictError (pinned
+    deterministically via the _write_files seam), and its retry's
+    fresh anti-join sees the winner's ids — final table has exactly
+    one signature row per doc. Also pins pin_version⊕wap_id
+    exclusivity."""
+    import pytest
+
+    from lakeshed.catalog import Catalog
+    from lakeshed.table import CommitConflictError, LakeTable, TableError
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c") for i in ids],
+        "doc_id long, text string")
+    t = dedup.build_signature_table(mk([1, 2]), cat, "default.sigs")
+    t_b = LakeTable(spark, t.path)
+
+    orig = t._write_files
+
+    def race_once(*args, **kwargs):
+        t._write_files = orig
+        # the racer lands an OVERLAPPING batch mid-statement
+        dedup.update_signature_table(t_b, mk([3, 4]))
+        return orig(*args, **kwargs)
+
+    t._write_files = race_once
+    with pytest.raises(CommitConflictError):
+        dedup.update_signature_table(t, mk([3, 5]))
+    # retry: fresh anti-join sees the racer's 3/4 — only 5 appended
+    dedup.update_signature_table(t, mk([3, 5]))
+    per_id = {r.id: r.n for r in t.read().groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_id == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+    with pytest.raises(TableError, match="pin_version"):
+        t.append(t.read().limit(0), pin_version=t.head(), wap_id="x")
+
+
 def test_wave31_same_batch_concurrent_duplicates_fold_once(
         spark, tmp_path):
     """r14 review wave 31 (the round's own code-review find): the
