@@ -878,7 +878,15 @@ def _dedup_clusters_impl(
             .groupBy("id")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        merged = _materialize(
+        # the convergence count rides the checkpoint WRITE as an
+        # Observation (r14 optimization: one action per round instead of
+        # write + a second agg job that re-read the checkpoint; the chg
+        # flag also no longer widens the checkpoint files — each round's
+        # parquet carries only (id, lbl))
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        stepped = (
             lbl.alias("c")
             .join(nbr.alias("n"), F.col("c.id") == F.col("n.id"), "left")
             .select(
@@ -891,11 +899,15 @@ def _dedup_clusters_impl(
                     F.coalesce(F.col("n.nlbl"), F.col("c.lbl"))
                     < F.col("c.lbl")
                 ).cast("int").alias("chg"),
-            ),
+            )
+        )
+        merged = _materialize(
+            stepped.observe(obs, F.sum("chg").alias("n"))
+            .select("id", "lbl"),
             f"labels{it + 1}",
         )
-        n_changed = merged.agg(F.sum("chg")).first()[0] or 0
-        lbl = merged.select("id", "lbl")
+        n_changed = obs.get["n"] or 0
+        lbl = merged
         final_name = f"labels{it + 1}"
         if n_changed == 0:
             converged = True
@@ -1005,12 +1017,22 @@ def _star_clusters_impl(
             .distinct()
         )
         final_name = f"edges{it + 1}"
-        e = ck.put(sm, final_name)
+        # fixed-point signature rides the checkpoint write (Observation)
+        # instead of a second agg job re-reading it (r14 optimization —
+        # same change as the label loop above)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        e = ck.put(
+            sm.observe(
+                obs,
+                F.count(F.lit(1)).alias("c"),
+                F.sum(F.xxhash64("src", "dst")).alias("h"),
+            ),
+            final_name,
+        )
         rounds += 1
-        row = e.agg(
-            F.count("*").alias("c"),
-            F.sum(F.xxhash64("src", "dst")).alias("h"),
-        ).first()
+        row = obs.get
         sig = (row["c"], row["h"])
         if sig == prev_sig:
             break
