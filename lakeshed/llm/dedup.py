@@ -1367,7 +1367,20 @@ def _salted_rejoin(
         F.ceil(F.col("occurrences") / F.lit(salt_row_target)),
         F.lit(skew_fanout).cast("bigint"),
     )
-    dup = dup.withColumn("__fan", fan)
+    # persist the duplicates-only aggregate (r14 optimization): it feeds
+    # BOTH the hot-list broadcast and the explode side, and the two
+    # branches' column pruning diverges (count-only vs count+min), so
+    # ReuseExchange can never deduplicate them — unpersisted, the full
+    # aggregation pass over the occurrence frame runs twice (on the
+    # persist_occurrences=False default that is a second tokenize+hash+
+    # window pass over the corpus text). The frame is one narrow row per
+    # DUPLICATED hash — bounded by distinct duplicated hashes, orders of
+    # magnitude below the occurrence frame it aggregates — so
+    # MEMORY_AND_DISK is affordable where persisting occ is not.
+    # Tracked for release_persisted() like the signature frames; the
+    # broadcast hot-list materialization populates the cache, the main
+    # join's explode side reads it.
+    dup = scoped_persist("salted_rejoin", dup.withColumn("__fan", fan))
     hot = dup.where(F.col("__fan") > 1).select("h", "__fan")
     occ = (
         occ.join(F.broadcast(hot), "h", "left")
@@ -1913,7 +1926,17 @@ def ngram_overlap(
     are tiny next to the corpus), so the corpus side is one narrow
     explode + broadcast semi-join + count: no corpus-sized shuffle. Docs
     with zero overlap report 0/false."""
-    grams = lambda c: F.array_distinct(ngrams(tokens(c), n))
+    # grams collapse to xxhash64 BEFORE the explode/broadcast (r14
+    # optimization, same move as the substring-dedup kernels): the
+    # broadcast eval-gram set and the corpus-side generator output carry
+    # 8 bytes per gram instead of the n-token string (~5x fewer bytes at
+    # n=5), and the semi-join probes a long instead of hashing strings.
+    # Same cross-engine collision note as duplicate_spans: equal gram
+    # text => equal hash; a 64-bit collision (~n²/2⁶⁴) could only add a
+    # counted overlap, astronomically unlikely and deterministic.
+    grams = lambda c: F.transform(
+        F.array_distinct(ngrams(tokens(c), n)), lambda g: F.xxhash64(g)
+    )
     corpus = df.select(
         F.col(id_col), F.explode(grams(text_col)).alias("g")
     )

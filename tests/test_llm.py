@@ -1078,6 +1078,14 @@ def test_substring_dedup_skewproof_plan(spark):
     assert "partial_count" in plan and "partial_min" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 4, plan
     assert plan.count("BroadcastExchange") == 1, plan  # the hot list
+    # r14 optimization: the duplicates-only aggregate is CACHED — the
+    # hot-list branch and the explode branch both read one
+    # InMemoryRelation, so the aggregation pass over the occurrence
+    # frame (a full corpus windowing on the persist_occurrences=False
+    # default) executes once, not once per branch. (The 4-exchange
+    # count above includes the cached relation's agg exchange printed
+    # inside each InMemoryRelation; it executes once.)
+    assert plan.count("InMemoryTableScan") == 2, plan
     assert plan.count("__salt") >= 2, plan     # both join inputs salted
     # per-hash width, capped at the session fanout (32 on local[32])
     assert "least(CEIL" in plan, plan

@@ -157,6 +157,13 @@ def test_decontaminate_benchmark_grams_broadcast(spark):
     plan = _plan(q.spark_queries()["llm_decontaminate"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert plan.count("Join type: LeftSemi") >= 1
+    # r14 optimization: grams collapse to xxhash64 BEFORE the explode,
+    # so the broadcast set and the corpus generator output carry 8-byte
+    # longs, never n-token gram strings
+    assert "xxhash64" in plan
+    import re
+    gcols = re.findall(r"explode\(transform\(array_distinct", plan)
+    assert gcols, plan  # hash applied inside the gram array pre-explode
 
 
 def test_range_window_single_exchange(spark):
