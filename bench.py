@@ -76,7 +76,14 @@ BENCH_NOTES: dict[str, str] = {
         "(~+0.6 s at sf0.1); the production dedup itself is unchanged. "
         "r8-regression attribution (VERDICT r8 #2): 5 quiet-box runs of "
         "the r8 shape measured 3.22-3.49 s — r7's 3.38 s is in-band, so "
-        "r8's 4.25 s was background contention, not a plan change."
+        "r8's 4.25 s was background contention, not a plan change. "
+        "r14 OPTIMIZATION round: kmeans_fit persists its narrow fit "
+        "input for the fit's duration (init + every Lloyd pass read "
+        "cache instead of re-scanning the source — MLlib's own k-means "
+        "shape). Local wall flat (isolated A/B 3.64 vs 3.64 s — the "
+        "780 KB parquet was page-cached anyway); at corpus scale it is "
+        "iters+1 source scans -> 1. Same change rides "
+        "llm_kmeans_clusters and llm_ivf_topk."
     ),
     "table_merge_upsert": (
         "r8-regression attribution (VERDICT r8 #2): 5 quiet-box runs "
@@ -105,6 +112,12 @@ BENCH_NOTES: dict[str, str] = {
         "worst case and the oracle is the exact top-10."
     ),
     "llm_dedup_clusters": (
+        "PLAN CHANGE in r14 (optimization round): each propagation "
+        "round's convergence count now rides the checkpoint write as an "
+        "Observation instead of a second agg job re-reading the "
+        "checkpoint (one action per round, chg column no longer "
+        "written). Isolated A/B on the r14 box: 3.92 -> 3.50 s "
+        "(min-of-4, bench method). Labels identical. "
         "r9-regression attribution (VERDICT r9 #1): 5 quiet-box runs "
         "(canary 0.06-0.09 s = quiet) measured 3.52-4.36 s — the band "
         "contains BOTH r8 (3.44) and r9 (4.36); this query has high "
@@ -197,7 +210,15 @@ BENCH_NOTES: dict[str, str] = {
         "persist-on (FASTER than the r13 blanket shape despite the "
         "added broadcast branch); persist-off variant 3.057-3.970 "
         "(VERDICT r13 #6 — the 100 TB default, which pays the occ "
-        "frame twice plus the broadcast barrier)."
+        "frame twice plus the broadcast barrier). PLAN CHANGE in the "
+        "r14 OPTIMIZATION round: the duplicates-only aggregate is now "
+        "cached inside _salted_rejoin — one agg pass feeds the "
+        "hot-list broadcast AND the explode side (their column pruning "
+        "diverges, so ReuseExchange never deduplicated them); "
+        "persist-off additionally drops one full corpus windowing "
+        "pass. Isolated A/B on the r14 box: 2.05 -> 1.88 s (min-of-4, "
+        "bench method); persist-off kernel flat locally (2.81 vs "
+        "2.82 s) — the saved pass is CPU that only matters at scale."
     ),
     "llm_substring_removed": (
         "New in r13 (VERDICT r12 #3): value-checks the span-REMOVAL "
@@ -212,7 +233,9 @@ BENCH_NOTES: dict[str, str] = {
         "llm_substring_dedup), re-measured band 2.36-2.69 s quiet. "
         "r14 (hot-only salted rejoin, see llm_substring_dedup): "
         "attribution_r13 band 2.250-2.571 persist-on; persist-off "
-        "variant 3.050-3.800 (VERDICT r13 #6)."
+        "variant 3.050-3.800 (VERDICT r13 #6). r14 OPTIMIZATION round "
+        "(cached duplicates-only aggregate, see llm_substring_dedup): "
+        "isolated A/B 2.12 -> 1.81 s (min-of-4)."
     ),
     "llm_simhash_neardup": (
         "r13 wave 24 added the NULL-text guard to the signature path "
@@ -242,7 +265,9 @@ BENCH_NOTES: dict[str, str] = {
         "run). attribution_r13 band at the shipped shape: "
         "1.690-1.939 — the ~+0.1 s over the r13 intro band is the "
         "residual broadcast barrier, the price of the scale-correct "
-        "replication volume."
+        "replication volume. r14 OPTIMIZATION round (cached "
+        "duplicates-only aggregate in _salted_rejoin, see "
+        "llm_substring_dedup): isolated A/B 1.43 -> 1.29 s (min-of-4)."
     ),
     "llm_weighted_sample": (
         "New in r13 (tail-born): quality-weighted deterministic "
@@ -250,6 +275,16 @@ BENCH_NOTES: dict[str, str] = {
         "threshold, no shuffle. Quiet-band reference at introduction: "
         "0.72-0.87 s at sf0.1 over 5 canary-bracketed runs (canaries "
         "0.096-0.142 after the first)."
+    ),
+    "llm_decontaminate": (
+        "PLAN CHANGE in the r14 OPTIMIZATION round: n-grams collapse "
+        "to xxhash64 BEFORE the explode and broadcast (same documented "
+        "collision class as the substring kernels) — 8 bytes per gram "
+        "through the broadcast eval set and the corpus-side generator "
+        "instead of the 5-token string. Local wall unchanged (isolated "
+        "A/B 1.19 vs 1.23 s — within noise); the win is broadcast/"
+        "generator bytes at corpus scale. Output value-identical "
+        "(parity gate green)."
     ),
     "llm_leakage_safe_split": (
         "Times the split projection over a cluster-labels table "

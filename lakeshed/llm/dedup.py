@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakeshed.llm._persist import release_persisted, scoped_persist  # noqa: F401
+from lakeshed.llm._spread import spread
 from lakeshed.llm.text import ngrams, normalize, tokens
 
 # deterministic universal-hash parameters (fixed seeds → stable results)
@@ -285,10 +286,14 @@ def minhash_signatures(
     spark = df.sparkSession
     kernel = minhash_packed_arrow(num_hashes, seed, shingle)
     return (
-        # repartition the RAW text (one string/doc) — shuffling the token
-        # arrays instead moves strictly more bytes for the same spread
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-        .repartition(spark.sparkContext.defaultParallelism, "id")
+        # spread the RAW text (one string/doc) — shuffling the token
+        # arrays instead moves strictly more bytes for the same spread;
+        # conditional (r14): an already-parallel scan skips the shuffle
+        spread(
+            df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("__t")),
+            "id",
+        )
         .select("id", tokens("__t").alias("tk"))
         .where(F.size("tk") > 0)
         .select(
@@ -461,8 +466,8 @@ def minhash_lsh_pairs(
                 shingles(text_col, shingle).alias("sh"),
             )
             .where(F.size("sh") > 0)
-            .repartition(spark.sparkContext.defaultParallelism, "id")
         )
+        base = spread(base, "id")
         kernel = minhash_signature_arrow(num_hashes, seed)
         sigs = base.withColumn("hs", hash_shingles(F.col("sh"))).select(
             "id", "sh", kernel(F.col("hs")).alias("sig")
@@ -475,8 +480,8 @@ def minhash_lsh_pairs(
                 shingles(text_col, shingle).alias("sh"),
             )
             .where(F.size("sh") > 0)
-            .repartition(spark.sparkContext.defaultParallelism, "id")
         )
+        base = spread(base, "id")
         sigs = (
             base.crossJoin(
                 F.broadcast(minhash_params_df(spark, num_hashes, seed))
@@ -1196,7 +1201,7 @@ def simhash_pairs(
     )
     hasher = hash_shingles_md5 if hash_fn == "md5" else hash_shingles
     sig = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        spread(df, id_col)
         .select(
             F.col(id_col).alias("id"),
             hasher(F.array_distinct(tokens(text_col))).alias("hs"),

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lakeshed.llm._persist import scoped_persist
+from lakeshed.llm._spread import spread
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -287,8 +288,7 @@ def lsh_index(
     n_planes = len(flat)
     # a NULL embedding has no geometry: it can never bucket, never pair
     # — drop it here instead of crashing the signature kernel (wave 23)
-    part = df.where(F.col(vec_col).isNotNull()).repartition(
-        df.sparkSession.sparkContext.defaultParallelism)
+    part = spread(df.where(F.col(vec_col).isNotNull()))
     if use_arrow:
         kernel = _bucket_arrow(flat, bits, tables)
         return (
@@ -489,7 +489,7 @@ def ivf_index(
         )
         return pd.Series(np.argmax(mat @ cn.T, axis=1).astype("int32"))
 
-    part = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    part = spread(df)
     return (
         part.select(
             F.col(id_col).alias("id"),
@@ -766,7 +766,35 @@ def kmeans_fit(
     # 23: list(None) in the init collect crashed with an opaque
     # TypeError; downstream, kmeans_assign gives such rows a NULL
     # cluster, so they simply never cluster/dedup)
-    df = df.where(F.col(vec_col).isNotNull())
+    #
+    # The narrow fit input is PERSISTED for the fit's duration (r14,
+    # guide §5): the init sample plus every Lloyd iteration is a full
+    # pass over it — iters+1 scans of the source otherwise (MLlib
+    # caches its k-means input for the same reason). MEMORY_AND_DISK:
+    # at corpus scales past executor memory the tail spills instead of
+    # evicting, and either way beats re-reading + re-decoding parquet
+    # per pass. Released before returning — centroids are plain Python,
+    # nothing lazy escapes.
+    fit_in = df.select(id_col, vec_col).where(
+        F.col(vec_col).isNotNull()).persist()
+    try:
+        return _kmeans_fit_passes(fit_in, k, dim, iters, id_col, vec_col,
+                                  seed)
+    finally:
+        fit_in.unpersist(blocking=False)
+
+
+def _kmeans_fit_passes(
+    df: DataFrame,
+    k: int,
+    dim: int | None,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+) -> list[list[float]]:
+    """The init + Lloyd's passes of :func:`kmeans_fit`, over an input the
+    caller has already narrowed/persisted."""
     init_rows = (
         df.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.concat_ws(":", F.lit(f"km{seed}"),

@@ -1104,6 +1104,37 @@ def test_substring_dedup_skewproof_plan(spark):
         dedup.duplicate_spans(docs, window=16, salt_row_target=0)
 
 
+def test_spread_skips_already_parallel_inputs(spark):
+    """r14 optimization: the kernel-input spread repartitions ONLY
+    under-parallel inputs. A single-partition frame (the single-file
+    test corpus case) gets the historical repartition; a frame already
+    at >= session parallelism passes through with NO exchange — at
+    100 TB an unconditional spread would shuffle the whole corpus
+    payload for nothing (and the keyless form pays the
+    sort-before-repartition local sort on top). Results are
+    partitioning-independent (row-wise kernels), pinned by the parity
+    gates; this pins the plan shape."""
+    from lakeshed.llm._spread import spread
+
+    par = spark.sparkContext.defaultParallelism
+    one = spark.range(100).coalesce(1)
+    assert spread(one).rdd.getNumPartitions() == par
+    assert spread(one, "id").rdd.getNumPartitions() == par
+    wide = spark.range(1000).repartition(par + 1)
+    assert spread(wide) is wide          # no-op, no exchange added
+    assert spread(wide, "id") is wide
+    # end-to-end: minhash signatures over an already-parallel corpus
+    # plan NO round-robin/hash re-spread above the scan
+    docs = spark.createDataFrame(
+        [(i, f"a b c d{i}") for i in range(64)],
+        "doc_id long, text string",
+    ).repartition(par + 1)
+    plan = dedup.minhash_signatures(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # exactly the caller's repartition survives; spread added none
+    assert plan.count("Exchange") <= 1, plan
+
+
 def test_salted_rejoin_replicates_only_hot_hashes(spark):
     """r13 ADVICE (medium): the rejoin's replication volume must be
     per-hash — Σ least(ceil(occ/target), fanout) — not
