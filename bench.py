@@ -320,24 +320,37 @@ CANARY_QUIET_BEFORE_MAX = 0.19
 CANARY_QUIET_AFTER_MAX = 0.10
 
 
-def _prior_detail(repo: str, rnd: int) -> tuple[int | None, dict, bool]:
+def _prior_detail(repo: str, rnd: int,
+                  cpus: int | None) -> tuple[int | None, dict, bool]:
     """(round, per-query timings, that round's contended flag) from the
     newest readable BENCH_DETAIL_r{M}.json with M < rnd — the comparison
     base for contended-round re-runs. The round number and flag are
     recorded into the artifact so a reader can validate the base (r11
     review: a silently-skipped corrupt file or an itself-contended base
-    would otherwise be invisible)."""
+    would otherwise be invisible).
+
+    r15 (VERDICT r14 #3): a detail is only a valid base when it was
+    measured at the SAME core count — the r14 judge's 8-core scaling run
+    left an 8-core detail file that would have silenced the 32-core
+    steal-retry trigger (8c times are 1-3x larger, so a stolen 32c
+    sample never reaches 3x of them). Details that do not record "cpus"
+    (pre-r15, including that 8-core file) are skipped for the same
+    reason: their core count is unknowable from the artifact."""
     best: tuple[int, dict] | None = None
     for f in os.listdir(repo):
         m = re.match(r"BENCH_DETAIL_r(\d+)\.json$", f)
         if not m or int(m.group(1)) >= rnd:
             continue
-        if best is None or int(m.group(1)) > best[0]:
-            try:
-                with open(os.path.join(repo, f)) as fh:
-                    best = (int(m.group(1)), json.load(fh))
-            except (OSError, json.JSONDecodeError):
-                continue
+        if best is not None and int(m.group(1)) <= best[0]:
+            continue
+        try:
+            with open(os.path.join(repo, f)) as fh:
+                d = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if d.get("cpus") != cpus:
+            continue
+        best = (int(m.group(1)), d)
     if best is None:
         return None, {}, False
     return best[0], best[1].get("queries", {}), bool(
@@ -502,13 +515,25 @@ def main() -> None:
     if m:  # tolerant parse ("8", "r8", "round-8"): a malformed env var
         rnd = int(m.group())  # must never crash the run after the queries
     else:
+        # strict ^BENCH_r<N>.json$ (r15, VERDICT r14 #3): the driver's
+        # auxiliary artifacts (BENCH_r14_c8.json, the 8-core scaling
+        # run) must not inflate the round count and shift which detail
+        # file this run writes / compares against
         prior = [
             f for f in os.listdir(repo)
-            if f.startswith("BENCH_r") and f.endswith(".json")
-            and "DETAIL" not in f
+            if re.match(r"BENCH_r\d+\.json$", f)
         ]
         rnd = len(prior) + 1
     detail_name = f"BENCH_DETAIL_r{rnd:02d}.json"
+
+    # Resolved core count for this run — recorded in the detail artifact
+    # and used to select a same-cpus prior (VERDICT r14 #3: the judge's
+    # 8-core scaling pass wrote a detail file that must never become a
+    # 32-core run's comparison base, and vice versa).
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", ""))
+    except ValueError:
+        cpus = os.cpu_count()
 
     # Canary-blind steal retry (r14 optimization round, measurement-bug
     # fix — disclosed here and in OPTIMIZATION_r14.md): this box shows
@@ -532,8 +557,9 @@ def main() -> None:
     # re-sampling ordinary variance — only steal-shaped outliers
     # qualify.
     steal_retries: dict = {}
+    fast_vs_prior: dict = {}
     if sf == 0.1 and not contended:
-        prior_rnd_s, prior_t_s, _ = _prior_detail(repo, rnd)
+        prior_rnd_s, prior_t_s, _ = _prior_detail(repo, rnd, cpus)
         outliers = sorted(
             (n for n, t in timings.items()
              if prior_t_s.get(n, 0) >= 0.3 and t / prior_t_s[n] >= 3.0),
@@ -554,6 +580,16 @@ def main() -> None:
                 "prior_round": prior_rnd_s,
                 "rerun_canary_sec": _canary(spark),
             }
+        # Symmetric disclosure (r14 ADVICE low): the steal-retry only
+        # heals queries that got >=3x SLOWER, a one-sided correction.
+        # Queries that came in suspiciously FASTER than the same prior
+        # (<=1/3x) are flagged here — never altered, just recorded — so
+        # cross-round comparisons can see both tails of the noise.
+        fast_vs_prior = {
+            n: {"suite_sec": t, "prior_sec": prior_t_s[n]}
+            for n, t in timings.items()
+            if prior_t_s.get(n, 0) >= 0.3 and t / prior_t_s[n] <= 1 / 3.0
+        }
 
     total = round(sum(timings.values()), 3)
 
@@ -567,7 +603,7 @@ def main() -> None:
     # unchanged); re-runs are extra evidence, not replacements.
     reruns: dict = {}
     if contended and sf == 0.1:
-        prior_rnd, prior_t, prior_contended = _prior_detail(repo, rnd)
+        prior_rnd, prior_t, prior_contended = _prior_detail(repo, rnd, cpus)
         drifters = sorted(
             (n for n, t in timings.items()
              # >=0.3 s floor: tiny queries drift multiplicatively on
@@ -601,6 +637,10 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "sf": sf,
+                    # resolved core count of this run (r15, VERDICT r14
+                    # #3): details from a different core count are never
+                    # used as a steal-retry/drift comparison base
+                    "cpus": cpus,
                     # fixed 20M-row hash-sum probe, median-of-3 after one
                     # untimed warmup, timed before/after the suite — the
                     # contention denominator. JVM JIT keeps tiering the
@@ -629,6 +669,12 @@ def main() -> None:
                     # `queries`/`value`
                     **({"steal_retries": steal_retries}
                        if steal_retries else {}),
+                    # informational only (r14 ADVICE low, symmetry): the
+                    # queries that ran <=1/3x of the same-cpus prior —
+                    # the fast tail of the same noise the steal-retry
+                    # heals on the slow tail. Values are NOT adjusted.
+                    **({"fast_vs_prior": fast_vs_prior}
+                       if fast_vs_prior else {}),
                     # present only when the first pass was contended and
                     # the full suite re-ran (VERDICT r12 #5): the first
                     # pass's timings/canaries, whether the retry was
