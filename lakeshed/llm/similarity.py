@@ -358,19 +358,22 @@ def ann_pairs_lsh(
     is much cheaper than all-pairs; use :func:`cosine_pairs_brute` (or
     raise the threshold) there. Defaults suit small/loose corpora."""
     # prune the vector column before the self-join and persist: both legs
-    # then reuse one run of the signature kernel over (id, tbl, bucket)
-    # triples instead of re-bucketing the corpus per leg.
+    # then reuse one run of the signature kernel instead of re-bucketing
+    # the corpus per leg. The table index is folded INTO the bucket key
+    # via xxhash64 (r15, guide §2.3): the cached frame and the self-join
+    # exchange ONE 8-byte key per row instead of int tbl + long bucket;
+    # a 64-bit collision only adds a candidate the exact-cosine verify
+    # re-scores (same documented class as the minhash band keys).
     idx = scoped_persist(
         "ann_pairs_lsh",
         lsh_index(df, dim, bits, tables, id_col, vec_col, seed)
-        .select("id", "tbl", "bucket"),
+        .select("id", F.xxhash64("tbl", "bucket").alias("tb")),
     )
     cand = (
         idx.alias("l")
         .join(
             idx.alias("r"),
-            (F.col("l.tbl") == F.col("r.tbl"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
+            (F.col("l.tb") == F.col("r.tb"))
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
@@ -775,13 +778,57 @@ def kmeans_fit(
     # evicting, and either way beats re-reading + re-decoding parquet
     # per pass. Released before returning — centroids are plain Python,
     # nothing lazy escapes.
+    from pyspark import StorageLevel
+
     fit_in = df.select(id_col, vec_col).where(
-        F.col(vec_col).isNotNull()).persist()
+        F.col(vec_col).isNotNull()).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         return _kmeans_fit_passes(fit_in, k, dim, iters, id_col, vec_col,
                                   seed)
     finally:
         fit_in.unpersist(blocking=False)
+
+
+# Above this many input partitions, each Lloyd pass folds its per-
+# partition partial moments through a depth-2 executor-side combine
+# (sqrt(P) order-preserving coalesce groups) before the driver collect
+# (r15, VERDICT r14 #4 / guide §5 "the driver should do almost no data
+# work"): the collect otherwise carries partitions x k x (d+1) doubles
+# — at auto-k corpus scale (P~10k, k~1000, d~768) that is tens of GB of
+# driver traffic per pass, the exact failure mode semantic_dedup_auto_k's
+# driver-memory note warns about. Below the threshold (every local/bench
+# shape) the plain collect runs and the drive-side fold is byte-for-byte
+# the r14 behavior.
+_FIT_COMBINE_PARTITIONS = 256
+
+
+def _combine_partials(k: int, dim: int):
+    """Executor-side fold of Lloyd partial-moment rows: sums per cluster
+    IN ROW ORDER (coalesce preserves parent-partition order), the same
+    left-to-right accumulation the driver applies — so for exactly-
+    representable sums the tree is bit-identical to the flat fold, and
+    for real data it differs only in final-ulp regrouping (the standard
+    property of any distributed float reduction, e.g. treeAggregate)."""
+
+    def combine(batches):
+        cnt = np.zeros(k, dtype=np.int64)
+        s = np.zeros((k, dim))
+        seen = False
+        for pdf in batches:
+            for c, n_, sv in zip(pdf["c"].to_numpy(),
+                                 pdf["n"].to_numpy(), pdf["s"]):
+                seen = True
+                cnt[c] += n_
+                s[c] += np.asarray(sv, dtype=np.float64)
+        if seen:
+            hit = np.nonzero(cnt)[0]
+            yield pd.DataFrame({
+                "c": hit.astype("int32"),
+                "n": cnt[hit],
+                "s": [s[i].tolist() for i in hit],
+            })
+
+    return combine
 
 
 def _kmeans_fit_passes(
@@ -821,6 +868,12 @@ def _kmeans_fit_passes(
     cents = np.asarray([list(r[1]) for r in init_rows], dtype=np.float64)
     if dim is None:  # infer from the init sample — saves a probe job
         dim = cents.shape[1]
+
+    # partition count of the (persisted) fit input — decides whether the
+    # per-pass partial-moment fold needs the executor-side combine tree
+    # (_FIT_COMBINE_PARTITIONS). One cheap lineage read on a frame the
+    # caller already narrowed; the init job above has materialized it.
+    nparts = df.rdd.getNumPartitions()
 
     for _ in range(iters):
         c = cents  # rebind for closure capture of THIS round's centroids
@@ -869,9 +922,19 @@ def _kmeans_fit_passes(
                     "s": [s[i].tolist() for i in hit],
                 })
 
-        parts = df.select(vec_col).mapInPandas(
+        partials = df.select(vec_col).mapInPandas(
             partial, schema="c int, n long, s array<double>"
-        ).collect()
+        )
+        if nparts > _FIT_COMBINE_PARTITIONS:
+            import math
+
+            partials = partials.coalesce(
+                int(math.ceil(math.sqrt(nparts)))
+            ).mapInPandas(
+                _combine_partials(k, dim),
+                schema="c int, n long, s array<double>",
+            )
+        parts = partials.collect()
         cnt = np.zeros(k, dtype=np.int64)
         s = np.zeros((k, dim))
         for r in parts:
