@@ -112,6 +112,16 @@ BENCH_NOTES: dict[str, str] = {
         "worst case and the oracle is the exact top-10."
     ),
     "llm_dedup_clusters": (
+        "CODEC CHANGE in r15 (VERDICT r14 #1): the per-round CC "
+        "checkpoints write snappy, overriding the session zstd — hot "
+        "ephemeral scratch (written+read once per round, then deleted) "
+        "where codec latency matters and footprint does not. "
+        "Interleaved codec A/B (scripts/codec_ab_probe.py, 7+5 reps): "
+        "snappy 3.54/3.47 min vs zstd 3.68/3.76 — the ONE write path "
+        "where zstd showed a consistent cost; durable tables/fixtures "
+        "keep zstd (measured flat). Also r15: label-vs-star CC A/B "
+        "measured within noise (3.49 vs 3.37 min, labels identical, "
+        "scripts/cc_algo_ab_probe.py) — the auto default stands. "
         "PLAN CHANGE in r14 (optimization round): each propagation "
         "round's convergence count now rides the checkpoint write as an "
         "Observation instead of a second agg job re-reading the "
@@ -136,6 +146,16 @@ BENCH_NOTES: dict[str, str] = {
         "class of drift self-documenting."
     ),
     "llm_minhash_neardup": (
+        "PLAN CHANGE in r15 (VERDICT r14 #6 / guide §2.3): the band "
+        "index folds INTO the band hash — xxhash64(band, slice) — so "
+        "the banded self-join and candidate exchange carry ONE 8-byte "
+        "key instead of (int band, long bsig), and the generator emits "
+        "plain longs instead of structs (plan: join keys [2] -> [1], "
+        "plans/r15). Interleaved quiet A/B on the gate shape "
+        "(scripts/bandkey_ab_probe.py): 5.50 -> 4.77 s min (0.87x), "
+        "pair set byte-identical. The candidate distinct was ALREADY "
+        "map-side partial-aggregated before its exchange (the other "
+        "VERDICT #6 candidate — no change needed, plan-visible). "
         "r10-regression attribution (VERDICT r10 #1): 5 quiet-box runs "
         "(canaries 0.058-0.084 s after the first = quiet) measured "
         "2.159-2.743 s — the band contains r9 (2.17) and sits BELOW "
@@ -237,7 +257,21 @@ BENCH_NOTES: dict[str, str] = {
         "(cached duplicates-only aggregate, see llm_substring_dedup): "
         "isolated A/B 2.12 -> 1.81 s (min-of-4)."
     ),
+    "llm_embedding_neardup_lsh": (
+        "PLAN CHANGE in r15 (guide §2.3): ann_pairs_lsh folds the table "
+        "index into the bucket key — xxhash64(tbl, bucket) — so the "
+        "persisted index and the candidate self-join carry ONE 8-byte "
+        "key instead of int tbl + long bucket. Interleaved quiet A/B "
+        "(scripts/lshkey_ab_probe.py): 3.03 -> 2.88 s min (0.95x), "
+        "pair set identical. Collision class: a 64-bit collision only "
+        "adds a candidate the exact-cosine verify re-scores."
+    ),
     "llm_simhash_neardup": (
+        "PLAN CHANGE in r15 (guide §2.3): the pigeonhole chunk index "
+        "folds into the bucket key — xxhash64(chunk, cval) — ONE 8-byte "
+        "join key instead of int chunk + long cval. Output PROVABLY "
+        "identical: pigeonhole banding is complete, so every pair "
+        "passing the exact-popcount verify was already a candidate. "
         "r13 wave 24 added the NULL-text guard to the signature path "
         "(size(hs) > 0 before the Arrow kernel — one NULL document "
         "used to crash the whole job); the quiet r13 headline sample "

@@ -1099,6 +1099,12 @@ def semantic_dedup(
         k = semantic_dedup_auto_k(
             df.select(id_col).count(), target_cluster_size)
     cents = kmeans_fit(df, k, None, iters, id_col, vec_col, seed)
+    # r15 note (attempted and REVERTED): unrolling the per-pair dot into
+    # a flat element_at multiply-add chain (dimension known from the
+    # centroids) measured ~2x SLOWER than this HOF fold on an
+    # interleaved quiet A/B (scripts/semantic_pair_ab_probe.py, min
+    # 2.97 -> 5.81 s) — the fold makes ONE native pass over the
+    # primitive array; d scattered element_at accesses do not.
     tagged = scoped_persist(
         "semantic_dedup",
         kmeans_assign(df, cents, id_col, vec_col)
